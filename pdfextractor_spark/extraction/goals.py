@@ -1,0 +1,647 @@
+"""Goal extraction (operator E1) — the reference's largest heuristic stack.
+
+Semantics mirror backend/services/enhancedExtractors.js:45-550 pass-for-pass:
+wrapped-line join, canonical overrides, streaming capture, raw-line merges,
+sentence-loop capture with quantitative/primary gating, raw-sentence and
+raw-line fallbacks, primary classification, paragraph reconstruction, and
+duplicate consolidation. Order-dependent: ids are sequence-derived (``G{n}``).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from .rules import (
+    ACHIEVED_RE,
+    BASELINE_TARGET_PAIR,
+    DEADLINE_YEAR,
+    LOAD_REDUCTION,
+    PERCENT_RE,
+    POLLUTANT_TERMS,
+    QUANTITY_UNIT,
+    REDUCTION_INLINE,
+    RESPONSIBLE_RE,
+    YEAR_G,
+)
+from .textutil import infer_status, js_parse_float, split_sentences
+
+__all__ = ["extract_goals", "join_wrapped_lines", "score_goal", "split_multi_goal"]
+
+
+def _find_index(lines: list[str], pred) -> int:
+    for i, l in enumerate(lines):
+        if pred(l):
+            return i
+    return -1
+
+
+def join_wrapped_lines(lines: list[str]) -> list[str]:
+    """Sequential buffer merge of physically wrapped lines (operator W5).
+
+    Ref: enhancedExtractors.js:45-71."""
+    out: list[str] = []
+    buffer = ""
+    for raw in lines:
+        raw = raw if raw is not None else ""
+        line = raw.strip()
+        if not line:
+            if buffer:
+                out.append(buffer)
+                buffer = ""
+            continue
+        if not buffer:
+            buffer = line
+            continue
+        lower_buf = buffer.lower()
+        starts_continuation = bool(
+            re.match(r"^[\"“”'\-–—(\[]", raw.lstrip())
+            or re.match(r"^\t", raw)
+            or re.match(r"^(and|to|for|that|which|it|this|these|those|in|on|by|of)\b", line, re.I)
+        )
+        needs_goal_join = "goal" in lower_buf and (
+            not re.search(r"[.!?]$", buffer)
+            or len(re.split(r"\s+", buffer)) < 80
+            or starts_continuation
+        )
+        if needs_goal_join:
+            buffer += " " + line
+            continue
+        if re.match(r"^[a-z0-9]", line) and re.search(r"[a-z],?$", buffer) and len(buffer) < 200:
+            buffer += " " + line  # join probable wrap
+        elif re.match(r"^[a-z]", line) and not re.search(r"[.!;:]$", buffer) and len(buffer) < 160:
+            buffer += " " + line
+        else:
+            out.append(buffer)
+            buffer = line
+    if buffer:
+        out.append(buffer)
+    return out
+
+
+def split_multi_goal(line: str) -> list[str]:
+    """Split on semicolons if multiple goal-like clauses (ref :73-80)."""
+    if ";" in line:
+        parts = [p.strip() for p in re.split(r";+", line) if p.strip()]
+        if len(parts) > 1:
+            return parts
+    return [line]
+
+
+def score_goal(g: dict) -> float:
+    """Additive feature weights, capped at 0.9 (ref :82-96)."""
+    s = 0.0
+    if g.get("pollutant"):
+        s += 0.2
+    if g.get("reductionPercent") is not None:
+        s += 0.2
+    if g.get("baselineValue") is not None and g.get("targetValue") is not None:
+        s += 0.2
+    if g.get("deadlineYear"):
+        s += 0.15
+    if g.get("responsible"):
+        s += 0.1
+    if g.get("loadReductionValue") is not None:
+        s += 0.15
+    if g.get("achievedValue") is not None:
+        s += 0.1
+    if g.get("pollutant") and (
+        g.get("reductionPercent") is not None
+        or (g.get("baselineValue") is not None and g.get("targetValue") is not None)
+    ):
+        s += 0.05
+    return min(0.9, s)
+
+
+_EARLY_NORM = [
+    (re.compile(r"[“”]"), '"'),
+    (re.compile(r"â€œ|â"), '"'),
+    (re.compile(r"â€"), '"'),
+    (re.compile(r"ΓÇ£|ΓÇ¥"), '"'),
+    (re.compile(r"ΓÇÖ|â€™"), "'"),
+    (re.compile(r"â€“|â€”|ΓÇô"), "-"),
+    (re.compile(r"\s+"), " "),
+]
+
+_STREAM_NORM = [
+    (re.compile(r"\r"), " "),
+    (re.compile(r"[“”]"), '"'),
+    (re.compile(r"â€œ|â|ΓÇ£"), '"'),
+    (re.compile(r"â€|ΓÇ¥"), '"'),
+    (re.compile(r"â€™|ΓÇÖ"), "'"),
+    (re.compile(r"â€“|â€”|ΓÇô"), "-"),
+    (re.compile(r"\s+"), " "),
+]
+
+
+def _apply_chain(s: str, chain) -> str:
+    for rx, rep in chain:
+        s = rx.sub(rep, s)
+    return s
+
+
+def _poll_group(text: str):
+    m = POLLUTANT_TERMS.search(text)
+    return m.group(1).lower() if m else None
+
+
+def _extract_goal_fields(text: str) -> dict:
+    """Shared field extraction used by the sentence loop and both fallback
+    scans (ref :300-341, :367-378, :391-402)."""
+    pollutant = _poll_group(text)
+    reduction_percent = None
+    reduction_src = None
+    m = PERCENT_RE.search(text)
+    if m:
+        reduction_percent = js_parse_float(m.group(3))
+        reduction_src = "verb_pattern"
+    if reduction_percent is None:
+        r2 = REDUCTION_INLINE.search(text)
+        if r2:
+            reduction_percent = js_parse_float(r2.group(1))
+            reduction_src = "inline"
+    baseline_value = baseline_unit = target_value = target_unit = None
+    pair = BASELINE_TARGET_PAIR.search(text)
+    if pair:
+        baseline_value = js_parse_float(pair.group(1).replace(",", ""))
+        baseline_unit = pair.group(2)
+        target_value = js_parse_float(pair.group(3).replace(",", ""))
+        target_unit = pair.group(4)
+    load_reduction_value = load_reduction_unit = None
+    load_m = LOAD_REDUCTION.search(text)
+    if load_m:
+        load_reduction_value = js_parse_float(load_m.group(2).replace(",", ""))
+        load_reduction_unit = load_m.group(3)
+    if target_value is None:
+        q = QUANTITY_UNIT.search(text)
+        if q:
+            target_value = js_parse_float(q.group(1).replace(",", ""))
+            target_unit = q.group(2)
+    deadline_year = deadline = None
+    d = DEADLINE_YEAR.search(text)
+    if d:
+        deadline_year = d.group(1)
+        deadline = f"{deadline_year}-12-31"
+    years = [m.group(1) for m in YEAR_G.finditer(text)]
+    baseline_year = achieved_year = target_year = None
+    if years:
+        baseline_year = years[0]
+        if len(years) > 1:
+            achieved_year = years[-1]
+        if not deadline_year:
+            target_year = years[-1]
+    responsible = None
+    resp = RESPONSIBLE_RE.search(text)
+    if resp:
+        responsible = resp.group(2).strip()
+    achieved_value = achieved_unit = None
+    ach = ACHIEVED_RE.search(text)
+    if ach:
+        achieved_value = js_parse_float(ach.group(2).replace(",", ""))
+        achieved_unit = ach.group(4) if ach.group(4) else None
+    return {
+        "status": infer_status(text),
+        "pollutant": pollutant,
+        "parameter": pollutant,
+        "reductionPercent": reduction_percent,
+        "reductionSrc": reduction_src,
+        "baselineValue": baseline_value,
+        "baselineUnit": baseline_unit,
+        "targetValue": target_value,
+        "targetUnit": target_unit,
+        "achievedValue": achieved_value,
+        "achievedUnit": achieved_unit,
+        "loadReductionValue": load_reduction_value,
+        "loadReductionUnit": load_reduction_unit,
+        "deadline": deadline,
+        "deadlineYear": deadline_year,
+        "baselineYear": baseline_year,
+        "achievedYear": achieved_year,
+        "targetYear": target_year,
+        "responsible": responsible,
+    }
+
+
+_PRIMARY_PHRASE = re.compile(
+    r"(ultimate goal|overall goal|primary objective|primary goal|main goal|overarching goal"
+    r"|mission is to|vision is to|the goal is to|the objective is to|our goal is to|our objective is to)",
+    re.I,
+)
+_QUANTITATIVE = re.compile(
+    r"(reduce|decrease|lower|achieve|attain|improve)\s+(?:[a-z\s]+)?"
+    r"(\d{1,3}(?:\.\d+)?\s?(%|percent|mg/L|mg\\L|ppm|tons?|lbs|pounds|kg))",
+    re.I,
+)
+_GOAL_STARTER = re.compile(
+    r"(ultimate goal|overall goal|primary objective|the goal is|our goal is|the objective is"
+    r"|the goals are|our goals are|project goals?|program goals?)",
+    re.I,
+)
+_PRIMARY_CLASSIFY = re.compile(
+    r"(ultimate goal|overall goal|primary objective|primary goal|main goal|overarching goal"
+    r"|key goals?|principal goal|mission is to|vision is to|the goal is to|the objective is to)",
+    re.I,
+)
+
+
+def extract_goals(raw_lines: list[str]) -> list[dict]:
+    raw_lines = ["" if l is None else l for l in raw_lines]
+    lines = join_wrapped_lines(raw_lines)
+
+    # --- Early canonical "Dry Creek" whole-text override (ref :100-119) ------
+    raw_text_all_early = "\n".join(raw_lines)
+    if re.search(r"dry creek watershed plan", raw_text_all_early, re.I) and re.search(
+        r"The ultimate goal is to bring about behavior changes and the use of", raw_text_all_early, re.I
+    ):
+        normalized = _apply_chain(raw_text_all_early, _EARLY_NORM)
+        full_match = re.search(
+            r"The ultimate goal is to bring about behavior changes and the use of .*?"
+            r"best management practices.*?overall quality of life in the watershed\.",
+            normalized,
+            re.I,
+        )
+        if full_match:
+            sentence = full_match.group(0).strip()
+            return [
+                {
+                    "id": "G1",
+                    "title": sentence,
+                    "status": infer_status(sentence),
+                    "pollutant": _poll_group(sentence),
+                    "parameter": _poll_group(sentence),
+                    "reductionPercent": None,
+                    "source": sentence,
+                    "confidence": 0.65,
+                    "isPrimary": True,
+                    "primaryReason": "early_canonical_dry_creek",
+                }
+            ]
+
+    # --- Simple streaming sentence capture on persistent truncation (:120-178)
+    raw_all_stream = "\n".join(raw_lines)
+    lower_all = raw_all_stream.lower()
+    goal_keywords = [
+        "the ultimate goal", "the overall goal", "the primary goal",
+        "primary goal", "overall goal", "main goal", "goal is to",
+    ]
+    start_idx = -1
+    for key in goal_keywords:
+        idx = lower_all.find(key)
+        if idx != -1 and (start_idx == -1 or idx < start_idx):
+            start_idx = idx
+    has_trunc = (
+        re.search(r"use of\s*(?:\n|$)", raw_all_stream, re.I)
+        and re.search(r"The ultimate goal is to bring about", raw_all_stream, re.I)
+        and not re.search(r"quality of life in the\s+watershed\.", raw_all_stream, re.I)
+    )
+    if start_idx != -1 and has_trunc:
+        window = raw_all_stream[start_idx : start_idx + 1000]
+        norm_window = _apply_chain(window, _STREAM_NORM).strip()
+        sentence = None
+        watershed_match = re.match(r"^(.*?watershed\.)", norm_window, re.I)
+        if watershed_match:
+            sentence = watershed_match.group(1)
+        else:
+            generic_match = re.match(r"^(.*?\.)", norm_window)
+            if generic_match and len(generic_match.group(1)) >= 40:
+                sentence = generic_match.group(1)
+        if sentence and re.search(r"goal", sentence, re.I):
+            clean = re.sub(r"\s+", " ", sentence).strip()
+            return [
+                {
+                    "id": "G1",
+                    "title": clean,
+                    "status": infer_status(clean),
+                    "pollutant": _poll_group(clean),
+                    "parameter": _poll_group(clean),
+                    "reductionPercent": None,
+                    "source": clean,
+                    "confidence": 0.8,
+                    "isPrimary": True,
+                    "primaryReason": "simple_stream_capture",
+                }
+            ]
+
+    # --- Second pass: direct raw-line merge for unterminated goal lines (:181-205)
+    for i in range(len(lines)):
+        if re.search(r"(ultimate goal|overall goal|primary objective)", lines[i], re.I) and not re.search(
+            r"[.!?]$", lines[i]
+        ):
+            frag = lines[i][:40]
+            raw_index = _find_index(raw_lines, lambda r, f=frag.strip(): bool(r) and f in r)
+            if raw_index != -1:
+                merged = raw_lines[raw_index].strip()
+                look = 1
+                added = False
+                while look <= 3 and raw_index + look < len(raw_lines) and not re.search(r"[.!?]$", merged):
+                    nxt = (raw_lines[raw_index + look] or "").strip()
+                    if not nxt:
+                        break
+                    if re.match(
+                        r"^(and|the|to|for|that|which|it|this|these|those|in|on|by|of)\b", nxt, re.I
+                    ) or re.match(r"^[a-z]", nxt):
+                        merged += " " + nxt
+                        added = True
+                    else:
+                        break
+                    look += 1
+                if added:
+                    lines[i] = merged
+
+    # --- Third pass: paragraph extension for truncated goal starters (:207-229)
+    for i in range(len(lines)):
+        if _GOAL_STARTER.search(lines[i]) and not re.search(r"[.!?]$", lines[i]):
+            frag = lines[i][:50].strip()
+            raw_index = _find_index(raw_lines, lambda r, f=frag: bool(r) and f in r)
+            if raw_index != -1:
+                paragraph = raw_lines[raw_index].strip()
+                added = False
+                look = 1
+                while look <= 8 and raw_index + look < len(raw_lines) and not re.search(r"[.!?]$", paragraph):
+                    nxt = (raw_lines[raw_index + look] or "").strip()
+                    if not nxt:
+                        break  # blank line ends paragraph
+                    if re.match(r"^[A-Z0-9]", nxt) and not re.match(
+                        r"^(And|The|To|For|That|Which|It|This|These|Those|In|On|By|Of)\b", nxt
+                    ):
+                        if added:
+                            break
+                    paragraph += " " + nxt
+                    added = True
+                    look += 1
+                if added:
+                    lines[i] = paragraph
+
+    goals: list[dict] = []
+    seen_sentences: set[str] = set()
+
+    # --- Main sentence loop (:234-347) ----------------------------------------
+    for line in lines:
+        for clause in split_multi_goal(line):
+            sentence_parts = split_sentences(clause)
+            # Rejoin parts split prematurely (quotes / dangling infinitives)
+            si = 0
+            while si < len(sentence_parts) - 1:
+                cur = sentence_parts[si]
+                nxt = sentence_parts[si + 1]
+                if re.search(r"[.!?]\s*$", cur) and re.match(r'^"[a-z]', nxt):
+                    sentence_parts[si] = cur + " " + nxt
+                    del sentence_parts[si + 1]
+                    continue
+                if re.search(r"\b(to|for|in order to)$", cur.strip(), re.I):
+                    sentence_parts[si] = cur + " " + nxt
+                    del sentence_parts[si + 1]
+                    continue
+                si += 1
+            if not sentence_parts:
+                sentence_parts = [clause]
+            for part in sentence_parts:
+                text = part.strip()
+                # Force-extend dangling stopword endings via rawLines lookahead
+                if re.search(r"\b(of|to|for|from|with)$", text, re.I) and len(re.split(r"\s+", text)) < 60:
+                    frag = text[:40]
+                    raw_index = _find_index(raw_lines, lambda r, f=frag: bool(r) and f in r)
+                    if raw_index != -1:
+                        extended = text
+                        look = 1
+                        while (
+                            look <= 3
+                            and raw_index + look < len(raw_lines)
+                            and re.search(r"\b(of|to|for|from|with)$", extended, re.I)
+                        ):
+                            nxt = (raw_lines[raw_index + look] or "").strip()
+                            if not nxt:
+                                break
+                            if re.match(
+                                r"^(and|the|to|for|that|which|it|this|these|those|in|on|by|of|from|with)",
+                                nxt,
+                                re.I,
+                            ) or re.match(r"^[a-z]", nxt):
+                                extended += " " + nxt
+                            else:
+                                break
+                            look += 1
+                        text = re.sub(r"\s+", " ", extended).strip()
+                text = re.sub(r"\s+", " ", text).strip()
+                text = re.sub(r"[“”]", '"', text)
+                text = re.sub(r"[‘’]", "'", text)
+                text = re.sub(r"\s+", " ", text).strip()
+                if not text:
+                    continue
+                lower = text.lower()
+                if lower in seen_sentences:
+                    continue
+                has_pollutant = bool(POLLUTANT_TERMS.search(text))
+                has_reduction_inline = bool(REDUCTION_INLINE.search(text)) or bool(PERCENT_RE.search(text))
+                baseline_target = bool(BASELINE_TARGET_PAIR.search(text))
+                explicit = bool(_PRIMARY_PHRASE.search(text))
+                quantitative = (
+                    bool(_QUANTITATIVE.search(text))
+                    or has_reduction_inline
+                    or baseline_target
+                    or (has_pollutant and bool(re.search(r"(reduce|decrease|improve|achieve|attain)", text, re.I)))
+                )
+                looks_heading = (
+                    bool(re.search(r"goals?", text, re.I))
+                    and not re.search(r"(reduce|decrease|improve|achieve|attain|protect|restore)", text, re.I)
+                    and len(re.split(r"\s+", text)) < 8
+                )
+                if looks_heading:
+                    continue
+                if not explicit and not quantitative:
+                    continue
+                seen_sentences.add(lower)
+                goal = {"id": f"G{len(goals) + 1}", "title": text}
+                goal.update(_extract_goal_fields(text))
+                goal["source"] = text
+                goal["confidence"] = score_goal(goal)
+                goals.append(goal)
+
+    # --- Final raw-sentence scan for any remaining 'goal' sentences (:348-382)
+    all_raw = "\n".join(raw_lines)
+    raw_sentences = split_sentences(re.sub(r"\s+", " ", all_raw))
+    i = 0
+    while i < len(raw_sentences) - 1:
+        cur = raw_sentences[i]
+        nxt = raw_sentences[i + 1]
+        if re.search(r"\b(to|for|in order to)$", cur.strip(), re.I):
+            raw_sentences[i] = cur + " " + nxt
+            del raw_sentences[i + 1]
+            continue
+        if re.search(r"[.!?]\s*$", cur) and re.match(r'^"[a-z]', nxt):
+            raw_sentences[i] = cur + " " + nxt
+            del raw_sentences[i + 1]
+            continue
+        i += 1
+    for rs in raw_sentences:
+        candidate = re.sub(r"[‘’]", "'", re.sub(r"[“”]", '"', rs.strip()))
+        if not re.search(r"goals?", candidate, re.I):
+            continue
+        lower = candidate.lower()
+        if lower in seen_sentences:
+            continue
+        if len(re.split(r"\s+", candidate)) < 4:
+            continue
+        seen_sentences.add(lower)
+        goal = {"id": f"G{len(goals) + 1}", "title": candidate.strip()}
+        goal.update(_extract_goal_fields(candidate))
+        goal["source"] = candidate
+        goal["confidence"] = score_goal(goal) * 0.9  # fallback-scan penalty
+        goals.append(goal)
+
+    # --- Punctuation-less raw-line fallback (:384-405) -------------------------
+    for rl in raw_lines:
+        if not re.search(r"goals?", rl, re.I):
+            continue
+        trimmed = rl.strip()
+        if not trimmed or re.match(r"^goals?\s*:?$", trimmed, re.I):
+            continue
+        lower = trimmed.lower()
+        if lower in seen_sentences:
+            continue
+        if len(re.split(r"\s+", trimmed)) < 3:
+            continue
+        # NOTE: the reference does NOT add to seenSentences here — duplicate
+        # raw lines each produce a goal. Preserved for parity.
+        goal = {"id": f"G{len(goals) + 1}", "title": trimmed}
+        goal.update(_extract_goal_fields(trimmed))
+        goal["source"] = trimmed
+        goal["confidence"] = score_goal(goal) * 0.9
+        goals.append(goal)
+
+    # --- Primary classification (:427-451) -------------------------------------
+    if goals:
+        explicit_primaries = []
+        for g in goals:
+            if _PRIMARY_CLASSIFY.search(g["title"]):
+                g["isPrimary"] = True
+                g["primaryReason"] = "explicit_phrase"
+                g["confidence"] = min(0.99, (g.get("confidence") or 0) + 0.05)
+                explicit_primaries.append(g)
+        if not explicit_primaries:
+            candidates = [
+                g
+                for g in goals
+                if g.get("pollutant")
+                or g.get("reductionPercent") is not None
+                or (g.get("baselineValue") is not None and g.get("targetValue") is not None)
+            ]
+            sorted_c = sorted(candidates, key=lambda g: -(g.get("confidence") or 0))
+            pick_count = min(max(1, math.ceil(len(sorted_c) * 0.3)), 3)
+            for g in sorted_c[:pick_count]:
+                g["isPrimary"] = True
+                g["primaryReason"] = "top_scoring"
+        if not any(g.get("isPrimary") for g in goals):
+            top = sorted(goals, key=lambda g: -(g.get("confidence") or 0))[0]
+            top["isPrimary"] = True
+            top["primaryReason"] = "fallback_top_confidence"
+
+    # --- Extended paragraph reconstruction & hyphen fix (:453-484) --------------
+    if goals:
+        raw_joined = [l or "" for l in raw_lines]
+        for g in goals:
+            frag = re.sub(r"[-/\\^$*+?.()|[\]{}]", "", " ".join(re.split(r"\s+", g["title"])[:6]))
+            idx = -1
+            if len(frag) > 6:
+                probe = frag[: min(40, len(frag))]
+                idx = _find_index(raw_joined, lambda l, p=probe: p in l)
+            paragraph = g["title"]
+            if idx != -1:
+                paragraph = raw_joined[idx].strip()
+                for look in range(1, 13):
+                    if idx + look >= len(raw_joined):
+                        break
+                    nxt_raw = raw_joined[idx + look]
+                    if not nxt_raw or not nxt_raw.strip():
+                        break
+                    nxt = nxt_raw.strip()
+                    if re.search(r"[.!?]$", paragraph) and (
+                        re.match(r"^[A-Z][A-Za-z0-9\- ]{0,40}$", nxt) or re.search(r":$", nxt)
+                    ):
+                        break
+                    paragraph += " " + nxt
+                    if re.search(r"[.!?]$", nxt) and len(re.split(r"\s+", paragraph)) > 120:
+                        break
+            paragraph = re.sub(r"([A-Za-z])-(\s+)([a-z])", r"\1\3", paragraph)
+            paragraph = re.sub(r"\s+", " ", paragraph).strip()
+            if len(paragraph) > len(g["title"]) + 20:
+                g["fullParagraph"] = paragraph
+
+    # --- Duplicate / overlap consolidation (:487-548) ---------------------------
+    if goals:
+        goals.sort(key=lambda g: -len(g["title"]))  # stable, like V8
+        consolidated: list[dict] = []
+        for g in goals:
+            lower = g["title"].lower()  # original title, pre-strip (parity)
+            t = g["title"]
+            t = re.sub(r"^(project\s+goals?\s+goals?/objectives\s+\d+\s+)", "", t, flags=re.I)
+            t = re.sub(r"^(project\s+goals?\s+objectives?\s+\d+\s+)", "", t, flags=re.I)
+            t = re.sub(r"^(goals?\s+and\s+objectives?\s+)", "", t, flags=re.I)
+            t = re.sub(r"^(goals?\s*[:;]\s*)", "", t, flags=re.I)
+            t = re.sub(r"Goal Who What Where When Contacts", "", t, flags=re.I)
+            t = re.sub(r"Goals?/Objectives?", "", t, flags=re.I)
+            t = re.sub(r"^(?:Project\s+)?Goals?\b", "", t, flags=re.I)
+            t = re.sub(r"\s+", " ", t).strip()
+            t = re.sub(
+                r"^(the watershed implementation plan has the goals? of reducing the nutrients? and\s+)",
+                "",
+                t,
+                flags=re.I,
+            )
+            t = re.sub(r"\s+", " ", t).strip()
+            g["title"] = t
+            if re.search(r"use of$", g["title"], re.I):
+                frag = g["title"][:50]
+                raw_index = _find_index(raw_lines, lambda r, f=frag: bool(r) and f in r)
+                if raw_index != -1:
+                    extended = g["title"]
+                    look = 1
+                    appended = False
+                    while look <= 12 and raw_index + look < len(raw_lines) and not re.search(r"[.!?]$", extended):
+                        nxt = (raw_lines[raw_index + look] or "").strip()
+                        if not nxt:
+                            break
+                        extended += " " + nxt
+                        appended = True
+                        look += 1
+                        if re.search(r"[.!?]$", nxt):
+                            break
+                    if appended:
+                        g["title"] = re.sub(r"\s+", " ", extended).strip()
+            phrase_idx = g["title"].lower().find("goal and objective is to")
+            if phrase_idx != -1:
+                g["title"] = re.sub(
+                    r"^goal and objective is to",
+                    "The goal and objective is to",
+                    g["title"][phrase_idx:],
+                    flags=re.I,
+                ).strip()
+            if len(re.split(r"\s+", g["title"])) < 8 or re.match(
+                r"^(who what where when contacts)$", g["title"].strip(), re.I
+            ):
+                continue  # skip fragment
+            if any(lower in c["title"].lower() and len(c["title"]) != len(lower) for c in consolidated):
+                continue  # skip subset duplicate
+            consolidated.append(g)
+        for i, g in enumerate(consolidated):
+            g["id"] = f"G{i + 1}"
+        raw_text_all = "\n".join(raw_lines)
+        canon_match = re.search(r"(?:The\s+)?goal and objective is to[^.]{10,300}\.", raw_text_all, re.I)
+        if canon_match:
+            sentence = re.sub(r"\s+", " ", canon_match.group(0)).strip()
+            return [
+                {
+                    "id": "G1",
+                    "title": sentence,
+                    "status": infer_status(sentence),
+                    "pollutant": _poll_group(sentence),
+                    "parameter": _poll_group(sentence),
+                    "reductionPercent": None,
+                    "source": sentence,
+                    "confidence": 0.4,
+                    "isPrimary": True,
+                    "primaryReason": "canonical_phrase",
+                }
+            ]
+        return consolidated
+    return goals

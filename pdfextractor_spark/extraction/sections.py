@@ -1,0 +1,79 @@
+"""Sectionizers: split raw document text into named section line-buckets.
+
+Two modes, matching the reference:
+- ``extract_sections`` — exact-header stateful scan
+  (ref: backend/services/sectionExtractor.js:4-24)
+- ``naive_sectionize`` — per-line keyword predicates, used for the batch corpus
+  (ref: backend/scripts/batch_silver_mdeq.js:59-71)
+"""
+
+from __future__ import annotations
+
+import re
+
+SECTION_HEADERS = ["Goals", "BMPs", "Implementation", "Monitoring", "Outreach", "Geography"]
+
+_HEADER_RES = [(h, re.compile(rf"^{h}[:]?$", re.I)) for h in SECTION_HEADERS]
+
+
+def empty_sections(extra_activities: bool = False) -> dict[str, list[str]]:
+    d = {h: [] for h in SECTION_HEADERS}
+    if extra_activities:
+        d["Activities"] = []
+    d["uncategorized"] = []
+    return d
+
+
+def extract_sections(raw_text: str) -> dict[str, list[str]]:
+    """Stateful scan: an exact header line switches the current bucket;
+    non-empty lines append to the current section; default 'uncategorized'."""
+    lines = [l.strip() for l in re.split(r"\r?\n", raw_text)]
+    current = "uncategorized"
+    sections = empty_sections()
+    for line in lines:
+        if not line:
+            continue
+        matched = None
+        for name, rx in _HEADER_RES:
+            if rx.match(line):
+                matched = name
+                break
+        if matched is not None:
+            current = matched
+            continue
+        sections[current].append(line)
+    return sections
+
+
+_GOAL_WORD = re.compile(r"\bgoal\b", re.I)
+_COST_LINE = re.compile(
+    r"\$[0-9]|Practice\s+Units|Code\s+Practice|BMP Cost|Estimated Units|Estimated Cost"
+    r"|Unit Cost|Total Cost|Practice\s+Producer\s+NRCS\s+(EPA-?MDEQ|EPA\s*MDEQ)\s+Total",
+    re.I,
+)
+_PROJECTED_COSTS = re.compile(r"Projected\s+Costs.*Practice.*Producer.*NRCS", re.I)
+
+
+def naive_sectionize(raw_text: str) -> dict[str, list[str]]:
+    """Batch-path sectionizer: 'goal' token -> Goals (cap 50); $-amount /
+    cost-table header tokens -> BMPs; else uncategorized. A line can land in
+    both Goals and BMPs (matches the reference's non-exclusive first check)."""
+    lines = re.split(r"\r?\n", raw_text)
+    sections = empty_sections(extra_activities=True)
+    for l in lines:
+        t = l.strip()
+        if not t:
+            continue
+        bucketed = False
+        if _GOAL_WORD.search(t) and len(sections["Goals"]) < 50:
+            sections["Goals"].append(t)
+            bucketed = True
+        if _COST_LINE.search(t):
+            sections["BMPs"].append(t)
+            bucketed = True
+        elif _PROJECTED_COSTS.search(t):
+            sections["BMPs"].append(t)
+            bucketed = True
+        if not bucketed:
+            sections["uncategorized"].append(t)
+    return sections
