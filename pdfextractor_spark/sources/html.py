@@ -1,0 +1,148 @@
+"""HTML main-content extraction (boilerplate strip).
+
+New capability required by the graft (no reference counterpart): a
+readability/boilerpipe-style heuristic built from published text-density and
+link-density signals, implemented deterministically over the stdlib HTML
+parser so extracted text is reproducible byte-for-byte.
+
+Rules (fixed, golden-tested):
+- ``script/style/noscript/template/svg/iframe/form/button/select/nav/header/
+  footer/aside`` subtrees are dropped entirely.
+- Block-level boundaries (p, div, li, h1-6, td, th, blockquote, pre, article,
+  section, main, figcaption, dd, dt, tr) delimit candidate text blocks.
+- A block is CONTENT iff its link density (chars inside <a> / total chars)
+  is <= 1/3 AND it has >= 25 characters — or it is a heading (h1-h4) with
+  >= 8 characters and link density <= 1/3.
+- Kept blocks are emitted in document order joined with '\\n'.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+__all__ = ["extract_html_text"]
+
+_DROP_TAGS = {
+    "script", "style", "noscript", "template", "svg", "iframe", "form",
+    "button", "select", "option", "nav", "header", "footer", "aside",
+}
+_BLOCK_TAGS = {
+    "p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6", "td", "th",
+    "blockquote", "pre", "article", "section", "main", "figcaption",
+    "dd", "dt", "tr", "ul", "ol", "table", "body",
+}
+_HEADING_TAGS = {"h1", "h2", "h3", "h4"}
+
+_WS = re.compile(r"\s+")
+
+
+class _Block:
+    __slots__ = ("tag", "chars", "link_chars")
+
+    def __init__(self, tag: str):
+        self.tag = tag
+        self.chars: list[str] = []
+        self.link_chars = 0
+
+    def text(self) -> str:
+        return _WS.sub(" ", "".join(self.chars)).strip()
+
+
+class _ContentParser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.drop_depth = 0
+        self.link_depth = 0
+        self.block_stack: list[_Block] = []
+        self.finished: list[tuple[int, _Block]] = []  # (doc_order, block)
+        self._order = 0
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag in _DROP_TAGS:
+            self.drop_depth += 1
+            return
+        if self.drop_depth:
+            return
+        if tag == "a":
+            self.link_depth += 1
+        if tag == "br" and self.block_stack:
+            self.block_stack[-1].chars.append(" ")
+        if tag in _BLOCK_TAGS:
+            self._order += 1
+            self.block_stack.append(_Block(tag))
+
+    def handle_startendtag(self, tag, attrs):
+        if tag.lower() == "br" and self.block_stack and not self.drop_depth:
+            self.block_stack[-1].chars.append(" ")
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in _DROP_TAGS:
+            self.drop_depth = max(0, self.drop_depth - 1)
+            return
+        if self.drop_depth:
+            return
+        if tag == "a":
+            self.link_depth = max(0, self.link_depth - 1)
+        if tag in _BLOCK_TAGS:
+            # close the innermost matching open block
+            for i in range(len(self.block_stack) - 1, -1, -1):
+                if self.block_stack[i].tag == tag:
+                    blk = self.block_stack.pop(i)
+                    self._order += 1
+                    self.finished.append((self._order, blk))
+                    break
+
+    def handle_data(self, data):
+        if self.drop_depth or not data:
+            return
+        if self.block_stack:
+            blk = self.block_stack[-1]
+            blk.chars.append(data)
+            if self.link_depth:
+                blk.link_chars += len(_WS.sub(" ", data))
+
+
+def _is_content(blk: _Block) -> bool:
+    text = blk.text()
+    n = len(text)
+    if n == 0:
+        return False
+    link_density = blk.link_chars / max(1, n)
+    if link_density > 1 / 3:
+        return False
+    if blk.tag in _HEADING_TAGS:
+        return n >= 8
+    return n >= 25
+
+
+def extract_html_text(html: str) -> str:
+    """Main-content text of an HTML document, one block per line."""
+    parser = _ContentParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass  # salvage whatever blocks were finished
+    # flush unclosed blocks in stack order
+    for blk in parser.block_stack:
+        parser._order += 1
+        parser.finished.append((parser._order, blk))
+    parser.finished.sort(key=lambda t: t[0])
+    out: list[str] = []
+    seen_texts: set[int] = set()
+    # NOTE: container tags (div/ul/body/...) only ever accumulate their
+    # *direct* text runs — nested block text goes to the inner block on the
+    # stack — so there is no double counting.
+    for _, blk in parser.finished:
+        if not _is_content(blk):
+            continue
+        text = blk.text()
+        key = hash(text)
+        if key in seen_texts:
+            continue
+        seen_texts.add(key)
+        out.append(text)
+    return "\n".join(out)
