@@ -1,0 +1,74 @@
+"""Bronze stage: pages -> extracted raw text.
+
+Spark plan: salted ``repartition(N, xxhash64(url))`` (defuses large-document
+skew: the ~1% of 50-100x docs spread uniformly instead of clumping in input
+file order) -> ``mapInPandas`` Arrow-batched extraction -> bronze parquet.
+Per-row error capture: a corrupt payload never fails the job (SURVEY §4
+swallow-and-continue policy); failures are counted in lineage.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .schema import BRONZE_SCHEMA
+
+__all__ = ["extract_bronze"]
+
+
+def _extract_one(html: bytes | None, text: str | None):
+    """Returns (raw_text, parser, n_pages, error)."""
+    from ..sources.html import extract_html_text
+    from ..sources.pdf import PdfParseError, extract_pdf_text
+
+    if html is None or len(html) == 0:
+        if text is not None:
+            return text, "passthrough", None, None
+        return None, "error", None, "empty payload and no pre-extracted text"
+    payload = bytes(html)
+    if payload[:5] == b"%PDF-":
+        try:
+            extracted, n_pages = extract_pdf_text(payload)
+            return extracted, "pdf", n_pages, None
+        except PdfParseError as e:
+            return None, "error", None, f"pdf: {e}"
+        except Exception as e:  # never fail the job on one document
+            return None, "error", None, f"pdf: unexpected {type(e).__name__}: {e}"
+    try:
+        extracted = extract_html_text(payload.decode("utf-8", errors="replace"))
+        return extracted, "html", None, None
+    except Exception as e:
+        return None, "error", None, f"html: unexpected {type(e).__name__}: {e}"
+
+
+def _bronze_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"url": [], "warc_ts": [], "lang": [], "raw_text": [], "parser": [],
+               "n_pages": [], "n_chars": [], "text_match": [], "error": []}
+        for url, warc_ts, html, text, lang in zip(
+            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]
+        ):
+            raw_text, parser, n_pages, error = _extract_one(html, text if isinstance(text, str) else None)
+            out["url"].append(url)
+            out["warc_ts"].append(warc_ts)
+            out["lang"].append(lang)
+            out["raw_text"].append(raw_text)
+            out["parser"].append(parser)
+            out["n_pages"].append(n_pages)
+            out["n_chars"].append(len(raw_text) if raw_text is not None else None)
+            out["text_match"].append(
+                (raw_text == text) if (isinstance(text, str) and raw_text is not None) else None
+            )
+            out["error"].append(error)
+        yield pd.DataFrame(out)
+
+
+def extract_bronze(pages_df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    spark = pages_df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    salted = pages_df.repartition(n, F.xxhash64("url"))
+    return salted.mapInPandas(_bronze_batches, schema=BRONZE_SCHEMA)

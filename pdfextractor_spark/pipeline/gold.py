@@ -1,0 +1,164 @@
+"""Gold layer: corpus-level aggregates as pure native DataFrame plans
+(whole-stage codegen; no Python in the hot path).
+
+A4 cross-report cost summary (ref: backend/routes/reportSummary.js:21-108),
+A5 per-report rollup (backend/routes/list.js:38-73),
+A6 coverage audit (backend/scripts/audit_mdeq_cost_coverage.js),
+W3 cross-corpus BMP dedupe (backend/scripts/dedupe_bmps.js).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "gold_pattern_usage",
+    "gold_cost_summary",
+    "gold_report_costs",
+    "gold_coverage",
+    "gold_bmp_dedupe",
+    "gold_lang_rollup",
+]
+
+
+def _exploded_tables(silver: DataFrame) -> DataFrame:
+    return (
+        silver.select("url", F.explode("cost_tables").alias("t"))
+        .select(
+            "url",
+            F.col("t.pattern_id").alias("pattern_id"),
+            F.col("t.pattern_confidence").alias("conf"),
+            F.col("t.total_reported").alias("r"),
+            F.col("t.total_computed").alias("c"),
+        )
+    )
+
+
+def gold_pattern_usage(silver: DataFrame) -> DataFrame:
+    """Per-patternId rollup: count, totals, confidence-weighted computed,
+    within-1%/5% discrepancy buckets, avg discrepancy. Sorted by
+    totalComputed desc (reportSummary.js:84-97)."""
+    t = _exploded_tables(silver).where(F.col("pattern_id").isNotNull())
+    r_pos = F.col("r").isNotNull() & (F.col("r") > 0)
+    c_pos = F.col("c").isNotNull() & (F.col("c") > 0)
+    both = r_pos & c_pos
+    rel = F.abs(F.col("r") - F.col("c")) / F.col("c")
+    return (
+        t.groupBy("pattern_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.when(r_pos, F.col("r")).otherwise(0.0)).alias("total_reported"),
+            F.sum(F.when(c_pos, F.col("c")).otherwise(0.0)).alias("total_computed"),
+            F.sum(
+                F.when(c_pos & F.col("conf").isNotNull() & (F.col("conf") > 0),
+                       F.col("c") * F.least(F.col("conf"), F.lit(1.0))).otherwise(0.0)
+            ).alias("weighted_computed"),
+            F.sum(F.when(r_pos, 1).otherwise(0)).alias("with_reported_totals"),
+            F.sum(F.when(both, 1).otherwise(0)).alias("total_with_both"),
+            F.sum(F.when(both & (rel <= 0.01), 1).otherwise(0)).alias("within_1pct"),
+            F.sum(F.when(both & (rel <= 0.05), 1).otherwise(0)).alias("within_5pct"),
+            F.sum(F.when(both, F.col("r") - F.col("c")).otherwise(0.0)).alias("sum_discrepancy"),
+        )
+        .withColumn("pct_within_1pct",
+                    F.when(F.col("total_with_both") > 0, F.col("within_1pct") / F.col("total_with_both")).otherwise(F.lit(0.0)))
+        .withColumn("pct_within_5pct",
+                    F.when(F.col("total_with_both") > 0, F.col("within_5pct") / F.col("total_with_both")).otherwise(F.lit(0.0)))
+        .withColumn("avg_discrepancy",
+                    F.when(F.col("total_with_both") > 0, F.col("sum_discrepancy") / F.col("total_with_both")))
+        .orderBy(F.col("total_computed").desc())
+    )
+
+
+def gold_report_costs(silver: DataFrame) -> DataFrame:
+    """Per-report cost rollup (A5): Σreported/Σcomputed over positive table
+    totals, tables count, discrepancy."""
+    t = _exploded_tables(silver)
+    return (
+        t.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("tables"),
+            F.sum(F.when(F.col("r") > 0, F.col("r")).otherwise(0.0)).alias("total_reported"),
+            F.sum(F.when(F.col("c") > 0, F.col("c")).otherwise(0.0)).alias("total_computed"),
+            F.sum(F.when((F.col("r") > 0) | (F.col("c") > 0), 1).otherwise(0)).alias("tables_with_costs"),
+        )
+        .withColumn("discrepancy", F.col("total_reported") - F.col("total_computed"))
+    )
+
+
+def gold_cost_summary(silver: DataFrame) -> DataFrame:
+    """Corpus totals (A4 headline numbers): reportCount, reportsWithCosts,
+    Σreported, Σcomputed, confidence-weighted Σ."""
+    per_report = gold_report_costs(silver)
+    weighted = (
+        _exploded_tables(silver)
+        .agg(F.sum(F.when((F.col("c") > 0) & (F.col("conf") > 0),
+                          F.col("c") * F.least(F.col("conf"), F.lit(1.0))).otherwise(0.0)).alias("w"))
+    )
+    totals = per_report.agg(
+        F.sum(F.when((F.col("total_reported") > 0) | (F.col("total_computed") > 0), 1).otherwise(0)).alias("reports_with_costs"),
+        F.sum("total_reported").alias("total_reported"),
+        F.sum("total_computed").alias("total_computed"),
+    )
+    n = silver.agg(F.count(F.lit(1)).alias("report_count"))
+    return n.crossJoin(totals).crossJoin(weighted.withColumnRenamed("w", "total_computed_weighted"))
+
+
+def gold_coverage(silver: DataFrame) -> DataFrame:
+    """Coverage audit (A6): totalReports, withCost, coveragePct, adaptive
+    usage, error counts."""
+    has_cost = F.size(F.col("cost_tables")) > 0
+    has_adaptive = F.exists("cost_tables", lambda t: t["pattern_id"] == F.lit("adaptive_generic_costs"))
+    return silver.agg(
+        F.count(F.lit(1)).alias("total_reports"),
+        F.sum(F.when(has_cost, 1).otherwise(0)).alias("with_cost"),
+        F.round(F.avg(F.when(has_cost, 1.0).otherwise(0.0)), 6).alias("coverage_pct"),
+        F.sum(F.when(has_adaptive, 1).otherwise(0)).alias("with_adaptive"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+    )
+
+
+def gold_bmp_dedupe(silver: DataFrame) -> DataFrame:
+    """Cross-corpus BMP dedupe by canonical name keeping max confidence (W3).
+    Canonicalization is expressed natively: lowercase, collapse whitespace,
+    strip trailing punctuation, (feet)->(ft), naive de-pluralization."""
+    b = silver.select(F.explode("bmps").alias("b")).select(
+        F.col("b.name").alias("name"), F.col("b.category").alias("category"),
+        F.col("b.confidence").alias("confidence"),
+    )
+    canon0 = F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.trim(F.lower(F.col("name"))), r"\s+", " "), r"[,:;]+$", ""), r"\((feet|ft)\)", "(ft)")
+    b = b.withColumn("canon0", canon0)
+    singular = F.expr("substring(canon0, 1, length(canon0) - 1)")
+    canon = F.when(
+        F.col("canon0").rlike(r"^[a-z0-9 \-()\/]{4,}$")
+        & F.col("canon0").endswith("s")
+        & (F.length("canon0") > 4)
+        & (F.length("canon0") - 1 > 3),
+        singular,
+    ).otherwise(F.col("canon0"))
+    w = Window.partitionBy("canon").orderBy(F.col("confidence").desc_nulls_last(), F.col("name"))
+    return (
+        b.withColumn("canon", canon)
+        .drop("canon0")
+        .where(F.col("canon") != "")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def gold_lang_rollup(silver: DataFrame) -> DataFrame:
+    """Per-language entity yield (the flagship smoke aggregate)."""
+    return (
+        silver.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("total_goals").alias("goals"),
+            F.sum("total_bmps").alias("bmps"),
+            F.sum("total_activities").alias("activities"),
+            F.sum(F.when(F.size("cost_tables") > 0, 1).otherwise(0)).alias("docs_with_cost_tables"),
+            F.round(F.avg("avg_goal_confidence"), 6).alias("avg_goal_confidence"),
+        )
+        .orderBy("lang")
+    )

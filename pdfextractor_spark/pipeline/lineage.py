@@ -1,0 +1,60 @@
+"""Per-partition lineage + checkpoint/resume primitives.
+
+The reference persists ``*.state.json`` with processed/remaining lists after
+every chunk (backend/scripts/chunked_mdeq_extraction.js:107-166); here each
+checkpointed stage write carries a ``_lineage`` table (stage, partition id,
+doc count, bytes, failure counters), and resume is the anti-join of the input
+against already-done urls (operator J7) — broadcast when the done-list is
+small, sort-merge otherwise (AQE decides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["stage_lineage", "resume_remaining", "write_stage"]
+
+
+def stage_lineage(df: DataFrame, stage: str, error_col: str = "error",
+                  bytes_col: str = "raw_text") -> DataFrame:
+    """Per-partition rollup: (stage, partition_id, doc_count, bytes, failures)."""
+    base = df.withColumn("partition_id", F.spark_partition_id())
+    byts = (F.sum(F.length(F.col(bytes_col))) if bytes_col in df.columns else F.lit(0)).alias("bytes")
+    return (
+        base.groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            byts,
+            F.sum(F.when(F.col(error_col).isNotNull(), 1).otherwise(0)).alias("failures"),
+        )
+        .select(F.lit(stage).alias("stage"), "partition_id", "doc_count",
+                F.coalesce(F.col("bytes"), F.lit(0)).alias("bytes"), "failures")
+    )
+
+
+def resume_remaining(input_df: DataFrame, done_df: DataFrame, key: str = "url",
+                     broadcast_threshold: int | None = 1_000_000) -> DataFrame:
+    """J7: input rows not yet present in the completed stage output.
+
+    The done-side is pruned to the join key before the anti-join so only the
+    key column is shuffled/broadcast; AQE picks broadcast vs sort-merge at
+    runtime from actual size."""
+    done_keys = done_df.select(key).distinct()
+    return input_df.join(done_keys, on=key, how="left_anti")
+
+
+def write_stage(df: DataFrame, path: str, stage: str, mode: str = "overwrite",
+                error_col: str = "error", bytes_col: str = "raw_text") -> None:
+    """Checkpointed stage write: data parquet + sibling _lineage parquet.
+
+    (Parquet directories stand in for Iceberg snapshots in this sandbox; on a
+    cluster these become ``writeTo(table).overwritePartitions()`` with the
+    same lineage side-table.)"""
+    df.write.mode(mode).parquet(path)
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    if error_col in written.columns:
+        stage_lineage(written, stage, error_col=error_col, bytes_col=bytes_col).write.mode(
+            "overwrite"
+        ).parquet(path.rstrip("/") + "_lineage")

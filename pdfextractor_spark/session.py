@@ -1,0 +1,38 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Key choices (SURVEY §4):
+- Arrow enabled with a *small* ``maxRecordsPerBatch`` so a batch of multi-MB
+  documents fits executor memory (huge text cells).
+- AQE on: coalesces post-shuffle partitions and splits skewed ones at runtime.
+- ``spark.sql.shuffle.partitions`` sized to cores (local mode); on a real
+  cluster this scales with executor count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "pdfextractor-spark", cores: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    if cores:
+        master = f"local[{cores}]"
+    else:
+        master = os.environ.get("SPARK_MASTER", "local[*]")
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or (cores or 32)))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()
