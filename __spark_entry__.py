@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full extraction pipeline over the sf0.001
+``documents`` table -> per-language entity-yield rollup.
+
+``queries()`` — one entry per implemented operator family from SURVEY.md §2
+plus the training-data ops (dedup / similarity / text analysis / multimodal).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every SQL-expressible
+query; extraction-engine queries (pandas-UDF semantics) get rows-only checks.
+Column names/types are aligned on both sides (explicit aliases + casts).
 """
 
 from __future__ import annotations
@@ -12,27 +15,586 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _silver_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the full silver extraction over the documents table (text as the
+    document body, doc_id as the url key)."""
+    from pdfextractor_spark.pipeline.silver import extract_silver
+
+    docs = _t(spark, sf_dir, "documents")
+    bronze_like = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("lang"),
+        F.col("text").alias("raw_text"),
+    )
+    return extract_silver(bronze_like, mode="naive")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: extraction -> lang rollup."""
+    from pdfextractor_spark.pipeline.gold import gold_lang_rollup
+
+    silver = _silver_from_documents(spark, "/root/testdata/sf0.001")
+    return gold_lang_rollup(silver)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-backed queries (native DataFrame plans, ANSI-SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_stats(spark, sf_dir):
+    from pdfextractor_spark.ops.dedup import exact_dup_stats
+
+    df = exact_dup_stats(_t(spark, sf_dir, "documents"), "text", "lang")
+    return df.select(
+        "lang",
+        F.col("total_docs").cast("long").alias("total_docs"),
+        F.col("distinct_docs").cast("long").alias("distinct_docs"),
+        F.col("duplicate_docs").cast("long").alias("duplicate_docs"),
+    )
+
+
+def q_canon_dedupe_keep_best(spark, sf_dir):
+    # W3 analog: canonical-text dedupe keeping the largest doc
+    docs = _t(spark, sf_dir, "documents")
+    canon = F.regexp_replace(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), r"[,:;]+$", "")
+    w = Window.partitionBy("canon").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    kept = (
+        docs.withColumn("canon", canon)
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("kept_docs")).orderBy("lang")
+
+
+def q_token_count_rollup(spark, sf_dir):
+    from pdfextractor_spark.ops.textstats import with_token_count
+
+    df = with_token_count(_t(spark, sf_dir, "documents"))
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
+            F.sum("approx_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_quality_rollup(spark, sf_dir):
+    from pdfextractor_spark.ops.textstats import quality_rollup
+
+    df = quality_rollup(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "lang",
+        F.col("docs").cast("long").alias("docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "avg_quality",
+        "avg_digit_ratio",
+        F.col("high_quality_docs").cast("long").alias("high_quality_docs"),
+    )
+
+
+def q_langid_confusion(spark, sf_dir):
+    from pdfextractor_spark.ops.textstats import langid_confusion
+
+    return langid_confusion(_t(spark, sf_dir, "documents")).select(
+        "lang", "lang_guess", F.col("docs").cast("long").alias("docs")
+    )
+
+
+def q_fingerprint_dups(spark, sf_dir):
+    from pdfextractor_spark.ops.textstats import with_fingerprint
+
+    df = with_fingerprint(_t(spark, sf_dir, "documents"))
+    dups = (
+        df.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+        .where("n > 1")
+    )
+    return dups.agg(
+        F.count(F.lit(1)).cast("long").alias("dup_groups"),
+        F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("long").alias("redundant_docs"),
+    )
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
+    )
+
+
+def q_event_sessions(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond epoch on both engines (ts is TIMESTAMP_NTZ; session tz=UTC)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    sess = events.withColumn("new_session", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0))
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("sessions"),
+            F.count(F.lit(1)).cast("long").alias("events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.round("sum_qty", 4).alias("sum_qty"),
+            F.round("sum_base_price", 4).alias("sum_base_price"),
+            F.round("sum_disc_price", 4).alias("sum_disc_price"),
+            F.round("sum_charge", 4).alias("sum_charge"),
+            "avg_qty", "avg_disc", "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    revenue = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("orders"),
+    )
+    joined = revenue.join(F.broadcast(customer), revenue["o_custkey"] == customer["c_custkey"])
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where("rank <= 10")
+        .select("rank", "c_custkey", "c_name", "revenue", "orders")
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    no_orders = customer.join(orders.select("o_custkey").distinct(),
+                              customer["c_custkey"] == orders["o_custkey"], "left_anti")
+    return (
+        no_orders.join(F.broadcast(nation), no_orders["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("customers_without_orders"))
+        .orderBy("n_name")
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    # J6 analog: per-customer order-count diff between two deterministic halves
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where("o_orderkey % 2 = 0").groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_a"))
+    b = orders.where("o_orderkey % 2 = 1").groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_b"))
+    joined = a.join(b, "o_custkey", "full_outer")
+    status = (
+        F.when(F.col("n_a").isNull(), F.lit("ADDED"))
+        .when(F.col("n_b").isNull(), F.lit("REMOVED"))
+        .when(F.col("n_a") != F.col("n_b"), F.lit("CHANGED"))
+        .otherwise(F.lit("UNCHANGED"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("customers"))
+        .orderBy("status")
+    )
+
+
+def q_goal_regex_rollup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum(F.when(F.col("text").rlike(r"\bgoal\b"), 1).otherwise(0)).cast("long").alias("docs_with_goal"),
+            F.sum(F.when(F.col("text").rlike(r"\bmonitor\b"), 1).otherwise(0)).cast("long").alias("docs_with_monitor"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_ann_topk_cosine(spark, sf_dir):
+    from pdfextractor_spark.ops.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 5")
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extraction-engine queries (pandas-UDF semantics -> rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_reports(spark, sf_dir):
+    silver = _silver_from_documents(spark, sf_dir)
+    return silver.select(
+        "url", "lang", "total_goals", "total_bmps", "total_activities",
+        F.size("cost_tables").alias("n_cost_tables"), "error",
+    )
+
+
+def q_extract_pattern_usage(spark, sf_dir):
+    from pdfextractor_spark.pipeline.gold import gold_pattern_usage
+
+    return gold_pattern_usage(_silver_from_documents(spark, sf_dir))
+
+
+def q_pages_pipeline_smoke(spark, sf_dir):
+    """Full pages->bronze run over an in-memory synthetic corpus: per-parser
+    doc counts, failure counts, byte-identical match rate."""
+    from pdfextractor_spark.corpus import generate_pages
+    from pdfextractor_spark.pipeline.bronze import extract_bronze
+    from pdfextractor_spark.pipeline.schema import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(generate_pages(120), schema=PAGES_SCHEMA)
+    bronze = extract_bronze(pages, num_partitions=8)
+    return (
+        bronze.groupBy("parser")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("failures"),
+            F.sum(F.when(F.col("text_match"), 1).otherwise(0)).alias("byte_identical"),
+            F.sum(F.when(F.col("text_match").isNotNull(), 1).otherwise(0)).alias("parity_rows"),
+        )
+        .orderBy("parser")
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from pdfextractor_spark.ops.dedup import minhash_lsh_pairs, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_k=3)
+    pairs = minhash_lsh_pairs(sigs, num_bands=8)
+    return pairs.agg(F.count(F.lit(1)).cast("long").alias("candidate_pairs"))
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    from pdfextractor_spark.ops.dedup import simhash64, simhash_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_dup_pairs(simhash64(docs), max_hamming=3, num_blocks=4)
+    return pairs.agg(F.count(F.lit(1)).cast("long").alias("near_dup_pairs"))
+
+
+def q_ngram_jaccard_verify(spark, sf_dir):
+    from pdfextractor_spark.ops.dedup import minhash_lsh_pairs, minhash_signatures, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_k=3)
+    pairs = minhash_lsh_pairs(sigs, num_bands=8)
+    verified = ngram_jaccard_pairs(docs, pairs, n=3, threshold=0.5)
+    return verified.agg(
+        F.count(F.lit(1)).cast("long").alias("verified_pairs"),
+        F.round(F.coalesce(F.avg("jaccard"), F.lit(0.0)), 4).alias("avg_jaccard"),
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from pdfextractor_spark.ops.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 3")
+    return lsh_topk(emb, queries, k=3, bits=6, num_tables=3)
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Binary media plumbing over synthetic payloads derived from documents."""
+    from pdfextractor_spark.ops.multimodal import decode_media
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    feats = decode_media(media, num_partitions=8)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("decode_errors"),
+            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_feat0"),
+        )
+        .orderBy("kind")
+    )
+
+
+def q_bmp_filter_impact(spark, sf_dir):
+    """A9 analog: BMP noise-filter impact (before/after counts per lang)."""
+    from pdfextractor_spark.pipeline.silver import extract_silver
+
+    docs = _t(spark, sf_dir, "documents")
+    bronze_like = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("lang"), F.col("text").alias("raw_text"),
+    )
+    unfiltered = extract_silver(bronze_like, mode="naive", bmp_filter=False)
+    filtered = extract_silver(bronze_like, mode="naive", bmp_filter=True)
+    a = unfiltered.groupBy("lang").agg(F.sum("total_bmps").alias("bmps_before"))
+    b = filtered.groupBy("lang").agg(F.sum("total_bmps").alias("bmps_after"))
+    return (
+        a.join(b, "lang")
+        .withColumn("reduction_pct",
+                    F.round((F.col("bmps_before") - F.col("bmps_after"))
+                            / F.greatest(F.col("bmps_before"), F.lit(1)), 6))
+        .orderBy("lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # dedup family
+        "exact_dedup_stats": q_exact_dedup_stats,
+        "canon_dedupe_keep_best": q_canon_dedupe_keep_best,
+        "fingerprint_dups": q_fingerprint_dups,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard_verify": q_ngram_jaccard_verify,
+        # text analysis family
+        "token_count_rollup": q_token_count_rollup,
+        "quality_rollup": q_quality_rollup,
+        "langid_confusion": q_langid_confusion,
+        "goal_regex_rollup": q_goal_regex_rollup,
+        # windows / joins / aggs (operator inventory §2.3-2.5)
+        "latest_event_per_user": q_latest_event_per_user,
+        "event_sessions": q_event_sessions,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "customers_without_orders": q_customers_without_orders,
+        "snapshot_diff": q_snapshot_diff,
+        # similarity search
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        # extraction engine (rows-only)
+        "extract_reports": q_extract_reports,
+        "extract_pattern_usage": q_extract_pattern_usage,
+        "pages_pipeline_smoke": q_pages_pipeline_smoke,
+        "bmp_filter_impact": q_bmp_filter_impact,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_EN_MARKERS = [" the ", " and ", " of ", " to "]
+_MARKER_SQL = {
+    "en": [" the ", " and ", " of ", " to "],
+    "es": [" el ", " la ", " de ", " que "],
+    "fr": [" le ", " la ", " et ", " les "],
+    "zh": ["的", "是", "在"],
+}
+
+
+def _votes_sql(lang: str) -> str:
+    parts = [
+        f"(length(p) - length(replace(p, '{m}', ''))) / {len(m)}" for m in _MARKER_SQL[lang]
+    ]
+    return "CAST(" + " + ".join(parts) + " AS INT)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ws_tokens = "CAST(length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)"
+    lang_case = (
+        "CASE WHEN best <= 0 THEN 'und' "
+        "WHEN v_en = best THEN 'en' WHEN v_es = best THEN 'es' "
+        "WHEN v_fr = best THEN 'fr' WHEN v_zh = best THEN 'zh' END"
+    )
+    return {
+        "exact_dedup_stats": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS total_docs,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_docs,
+                   CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS duplicate_docs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "canon_dedupe_keep_best": """
+            WITH canon AS (
+              SELECT *, regexp_replace(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), '[,:;]+$', '') AS c
+              FROM documents),
+            ranked AS (
+              SELECT lang, row_number() OVER (PARTITION BY c ORDER BY n_chars DESC, doc_id) AS rn FROM canon)
+            SELECT lang, CAST(count(*) AS BIGINT) AS kept_docs FROM ranked WHERE rn = 1
+            GROUP BY lang ORDER BY lang
+        """,
+        "fingerprint_dups": """
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+              FROM documents),
+            dups AS (
+              SELECT fingerprint, count(*) AS n FROM fp GROUP BY fingerprint HAVING count(*) > 1)
+            SELECT CAST(count(*) AS BIGINT) AS dup_groups,
+                   CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS redundant_docs
+            FROM dups
+        """,
+        "token_count_rollup": f"""
+            SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum({ws_tokens}) AS BIGINT) AS total_ws_tokens,
+                   CAST(sum(CAST(ceil(length(text) / 4.0) AS INT)) AS BIGINT) AS total_bpe_tokens
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "quality_rollup": f"""
+            WITH q AS (
+              SELECT lang,
+                     {ws_tokens} AS ws_tokens,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+                     greatest(length(text), 1) AS n,
+                     ' ' || lower(text) || ' ' AS p,
+                     length(text) AS chars
+              FROM documents),
+            q2 AS (
+              SELECT lang, ws_tokens, digits, n, chars,
+                     ((length(p) - length(replace(p, ' the ', ''))) / 5.0
+                      + (length(p) - length(replace(p, ' and ', ''))) / 5.0
+                      + (length(p) - length(replace(p, ' of ', ''))) / 4.0
+                      + (length(p) - length(replace(p, ' to ', ''))) / 4.0) AS stop_hits
+              FROM q),
+            q3 AS (
+              SELECT lang, ws_tokens,
+                     round(CAST(digits AS DOUBLE) / n, 6) AS digit_ratio_r,
+                     CAST(digits AS DOUBLE) / n AS digit_ratio,
+                     least(stop_hits / greatest(ws_tokens, 1), 1.0) AS stop_share,
+                     0.4 * least(stop_hits / greatest(ws_tokens, 1), 1.0)
+                       + 0.3 * (1.0 - CAST(digits AS DOUBLE) / n)
+                       + 0.3 * least(chars / 500.0, 1.0) AS score
+              FROM q2)
+            SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+                   round(avg(round(score, 6)), 6) AS avg_quality,
+                   round(avg(round(digit_ratio, 6)), 6) AS avg_digit_ratio,
+                   CAST(sum(CASE WHEN round(score, 6) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS high_quality_docs
+            FROM q3 GROUP BY lang ORDER BY lang
+        """,
+        "langid_confusion": f"""
+            WITH v AS (
+              SELECT lang, ' ' || lower(text) || ' ' AS p FROM documents),
+            votes AS (
+              SELECT lang,
+                     {_votes_sql("en")} AS v_en, {_votes_sql("es")} AS v_es,
+                     {_votes_sql("fr")} AS v_fr, {_votes_sql("zh")} AS v_zh
+              FROM v),
+            best AS (
+              SELECT lang, v_en, v_es, v_fr, v_zh, greatest(v_en, v_es, v_fr, v_zh) AS best FROM votes)
+            SELECT lang, {lang_case} AS lang_guess, CAST(count(*) AS BIGINT) AS docs
+            FROM best GROUP BY 1, 2 ORDER BY lang, lang_guess
+        """,
+        "goal_regex_rollup": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(CASE WHEN regexp_matches(text, '\\bgoal\\b') THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_goal,
+                   CAST(sum(CASE WHEN regexp_matches(text, '\\bmonitor\\b') THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_monitor
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "latest_event_per_user": """
+            WITH ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_id, event_type, round(value, 6) AS value
+            FROM ranked WHERE rn = 1
+        """,
+        "event_sessions": """
+            WITH g AS (
+              SELECT user_id, event_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events),
+            s AS (
+              SELECT user_id, CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_session FROM g)
+            SELECT user_id, CAST(sum(new_session) AS BIGINT) AS sessions,
+                   CAST(count(*) AS BIGINT) AS events
+            FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            WITH revenue AS (
+              SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue,
+                     CAST(count(*) AS BIGINT) AS orders
+              FROM orders GROUP BY o_custkey),
+            ranked AS (
+              SELECT c.c_custkey, c.c_name, r.revenue, r.orders,
+                     row_number() OVER (ORDER BY r.revenue DESC, c.c_custkey) AS rank
+              FROM revenue r JOIN customer c ON r.o_custkey = c.c_custkey)
+            SELECT CAST(rank AS BIGINT) AS rank, c_custkey, c_name, revenue, orders
+            FROM ranked WHERE rank <= 10
+        """,
+        "customers_without_orders": """
+            SELECT n.n_name, CAST(count(*) AS BIGINT) AS customers_without_orders
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders)
+            GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "snapshot_diff": """
+            WITH a AS (SELECT o_custkey, count(*) AS n_a FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_custkey),
+                 b AS (SELECT o_custkey, count(*) AS n_b FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_custkey),
+                 j AS (SELECT coalesce(a.o_custkey, b.o_custkey) AS k, n_a, n_b FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey)
+            SELECT CASE WHEN n_a IS NULL THEN 'ADDED' WHEN n_b IS NULL THEN 'REMOVED'
+                        WHEN n_a <> n_b THEN 'CHANGED' ELSE 'UNCHANGED' END AS status,
+                   CAST(count(*) AS BIGINT) AS customers
+            FROM j GROUP BY 1 ORDER BY status
+        """,
+        "ann_topk_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+                 scored AS (
+                   SELECT query_id, neighbor_id, list_cosine_similarity(cvec, qvec) AS cos
+                   FROM c, q WHERE neighbor_id <> query_id),
+                 ranked AS (
+                   SELECT query_id, neighbor_id, cos,
+                          row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+                   FROM scored)
+            SELECT query_id, neighbor_id, round(cos, 4) AS cosine, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+    }

@@ -1,0 +1,222 @@
+"""Corpus-scale deduplication operators for training-data pipelines.
+
+All operators are expressed as native DataFrame plans (shuffle on the dedup
+key only; no Python in the hot path) except where hashing semantics require a
+vectorized Pandas UDF. At 100 TB the groupBy keys here are hashes/bands, so
+the shuffles are uniform by construction (no skew salting needed).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+__all__ = [
+    "exact_dedup",
+    "exact_dup_stats",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "simhash_dup_pairs",
+    "ngram_jaccard_pairs",
+]
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy, keep min id per content hash
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per exact text (md5 key, lowest id wins). Single shuffle
+    on the 128-bit content hash — uniform by construction."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+
+
+def exact_dup_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang") -> DataFrame:
+    """Per-group exact-duplicate statistics (map-side partial agg friendly)."""
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.countDistinct(F.md5(F.col(text_col))).alias("distinct_docs"),
+        )
+        .withColumn("duplicate_docs", F.col("total_docs") - F.col("distinct_docs"))
+        .orderBy(group_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup: shingle -> minhash -> band -> bucket self-join
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int = 7):
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       num_hashes: int = 64, shingle_k: int = 5) -> DataFrame:
+    """(id, signature array<long>) via a vectorized Pandas UDF.
+
+    Word-level k-shingles hashed with Python's stable ``zlib.crc32`` over
+    utf-8, min-hashed under ``num_hashes`` universal-hash draws (fixed seed)."""
+    params = _minhash_params(num_hashes)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for t in texts:
+            if not isinstance(t, str) or not t:
+                out.append([0] * num_hashes)
+                continue
+            words = t.lower().split()
+            shingles = (
+                {" ".join(words[i : i + shingle_k]) for i in range(len(words) - shingle_k + 1)}
+                if len(words) >= shingle_k
+                else {" ".join(words)}
+            )
+            hashes = [zlib.crc32(s.encode("utf-8")) for s in shingles]
+            sig = []
+            for a, b in params:
+                m = min(((a * h + b) % _MERSENNE) for h in hashes) if hashes else 0
+                sig.append(m & 0x7FFFFFFFFFFFFFFF)
+            out.append(sig)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("signature"))
+
+
+def minhash_lsh_pairs(signatures: DataFrame, num_bands: int = 16) -> DataFrame:
+    """Candidate near-dup pairs via banding: equal band-hash -> bucket
+    self-join. The heavy cross-product only happens inside buckets."""
+    sig_len_row = signatures.select(F.size("signature").alias("n")).limit(1).collect()
+    sig_len = sig_len_row[0]["n"] if sig_len_row else 0
+    rows_per_band = max(1, sig_len // num_bands)
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.lit(b), F.slice("signature", b * rows_per_band + 1, rows_per_band))
+                for b in range(num_bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.band_hash") == F.col("r.band_hash"))
+                  & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    @pandas_udf(LongType())
+    def _sim(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for t in texts:
+            if not isinstance(t, str) or not t:
+                out.append(0)
+                continue
+            acc = [0] * 64
+            for w in t.lower().split():
+                h = zlib.crc32(w.encode("utf-8")) | (zlib.crc32(w[::-1].encode("utf-8")) << 32)
+                for bit in range(64):
+                    acc[bit] += 1 if (h >> bit) & 1 else -1
+            v = 0
+            for bit in range(64):
+                if acc[bit] > 0:
+                    v |= 1 << bit
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), _sim(F.col(text_col)).alias("simhash"))
+
+
+def simhash_dup_pairs(hashes: DataFrame, max_hamming: int = 3, num_blocks: int = 4) -> DataFrame:
+    """Hamming-near pairs via block-permuted exact-match buckets: split the
+    64-bit hash into ``num_blocks`` blocks; any pair within ``max_hamming``
+    (< num_blocks) shares at least one exact block (pigeonhole)."""
+    bits_per = 64 // num_blocks
+    blocked = hashes.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), b * bits_per).bitwiseAND(F.lit((1 << bits_per) - 1))
+            for b in range(num_blocks)
+        ])).alias("block", "block_val"),
+    )
+    l, r = blocked.alias("l"), blocked.alias("r")
+    cand = (
+        l.join(r, (F.col("l.block") == F.col("r.block"))
+               & (F.col("l.block_val") == F.col("r.block_val"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.simhash").alias("h_a"), F.col("r.simhash").alias("h_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact, for verification of candidates at small scale)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact word-n-gram Jaccard for candidate pairs (broadcast the pair list
+    when verifying an LSH output). Native: split -> transform -> array ops."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "").alias("words"),
+    )
+    # word n-grams via sequence+transform (no UDF)
+    grams = grams.withColumn(
+        "grams",
+        F.when(
+            F.size("words") >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("words") - n),
+                    lambda i: F.concat_ws(" ", *[F.element_at("words", (i + k + 1).cast("int")) for k in range(n)]),
+                )
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", "words"))),
+    ).select("id", "grams")
+    a = grams.alias("a")
+    b = grams.alias("b")
+    joined = (
+        pairs.join(a, pairs["id_a"] == F.col("a.id"))
+        .join(b, pairs["id_b"] == F.col("b.id"))
+        .select("id_a", "id_b", F.col("a.grams").alias("g_a"), F.col("b.grams").alias("g_b"))
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        joined.withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,112 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``cosine_topk``: brute-force cosine top-k — the exactness baseline.
+  Query side is broadcast (small); the big side is scanned once, scored
+  JVM-side with higher-order functions (zip_with/aggregate — no Python),
+  and top-k selected per query via window rank. One shuffle on query_id.
+- ``lsh_topk``: random-hyperplane (sign-LSH) bucketed variant — the 100 TB
+  scale path: candidates come only from matching hash buckets (multi-probe
+  over ``num_tables`` independent tables), then exact cosine re-rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_topk", "lsh_topk", "embedding_norms"]
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def embedding_norms(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", _norm(F.col(vec_col).cast("array<double>")))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank). Self-matches excluded."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(_dot(F.col("cvec"), F.col("qvec"))
+                    / (_norm(F.col("cvec")) * _norm(F.col("qvec"))), 6))
+    )
+    # rank on the ROUNDED cosine so ordering is reproducible across engines
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, num_tables: int, seed: int = 11):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(bits)]
+        for _ in range(num_tables)
+    ]
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, bits: int = 8,
+             num_tables: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int | None = None) -> DataFrame:
+    """Approximate top-k via sign-LSH bucket join + exact cosine re-rank.
+
+    Recall grows with ``num_tables``; cost per query is bounded by bucket
+    size (~N / 2^bits per table) instead of N."""
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dim = first[0]["d"] if first else 0
+    tables = _hyperplanes(dim, bits, num_tables)
+
+    def signature(vec):
+        sigs = []
+        for t, planes in enumerate(tables):
+            bits_expr = F.lit(0).cast("long")
+            for b, plane in enumerate(planes):
+                plane_arr = F.array(*[F.lit(float(v)) for v in plane])
+                dot = _dot(vec, plane_arr)
+                bits_expr = bits_expr + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            sigs.append(bits_expr)
+        return F.array(*sigs)
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qvec"))
+    c_sig = c.withColumn("sig", signature(F.col("cvec"))).select(
+        "neighbor_id", "cvec", F.posexplode("sig").alias("table", "bucket"))
+    q_sig = q.withColumn("sig", signature(F.col("qvec"))).select(
+        "query_id", "qvec", F.posexplode("sig").alias("table", "bucket"))
+    cand = (
+        c_sig.join(F.broadcast(q_sig), ["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(_dot(F.col("cvec"), F.col("qvec")) / (_norm(F.col("cvec")) * _norm(F.col("qvec"))), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )

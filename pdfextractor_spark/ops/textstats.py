@@ -1,0 +1,112 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All native column expressions (JVM-side, codegen) —
+designed so the identical semantics are expressible in ANSI SQL for the
+correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["with_token_count", "with_quality", "with_lang_guess", "with_fingerprint",
+           "quality_rollup", "langid_confusion"]
+
+# Tiny deterministic stopword votes per language (heuristic n-gram/lexicon ID)
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " to "],
+    "es": [" el ", " la ", " de ", " que "],
+    "fr": [" le ", " la ", " et ", " les "],
+    "zh": ["的", "是", "在"],
+}
+
+
+def _padded(col):
+    return F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+
+
+def _votes(col, lang):
+    padded = _padded(col)
+    expr = F.lit(0)
+    for m in _LANG_MARKERS[lang]:
+        # occurrence count: (len(s) - len(replace(s, m))) / len(m)
+        expr = expr + (F.length(padded) - F.length(F.replace(padded, F.lit(m)))) / F.lit(len(m))
+    return expr.cast("int")
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Majority stopword vote among {en,es,fr,zh}; ties resolve in that fixed
+    order; zero votes -> 'und'."""
+    c = F.col(text_col)
+    votes = {lang: _votes(c, lang) for lang in _LANG_MARKERS}
+    best = F.greatest(*votes.values())
+    guess = F.when(best <= 0, F.lit("und"))
+    for lang in _LANG_MARKERS:  # fixed priority order on ties
+        guess = guess.when(votes[lang] == best, F.lit(lang))
+    return df.withColumn("lang_guess", guess)
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish proxy (ceil(chars/4)) used by training
+    pipelines for budget estimates."""
+    c = F.col(text_col)
+    ws_tokens = F.size(F.filter(F.split(c, r"\s+"), lambda w: w != ""))
+    return (
+        df.withColumn("ws_tokens", ws_tokens)
+        .withColumn("approx_bpe_tokens", F.ceil(F.length(c) / F.lit(4.0)).cast("int"))
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / digit / stopword signals + composite score.
+
+    score = 0.4*stopword_share + 0.3*(1-digit_ratio) + 0.3*min(1, chars/500)."""
+    c = F.col(text_col)
+    n = F.greatest(F.length(c), F.lit(1))
+    digits = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    padded = _padded(c)
+    stop_hits = F.lit(0)
+    for m in _LANG_MARKERS["en"]:
+        stop_hits = stop_hits + (F.length(padded) - F.length(F.replace(padded, F.lit(m)))) / F.lit(len(m))
+    words = F.greatest(F.size(F.filter(F.split(c, r"\s+"), lambda w: w != "")), F.lit(1))
+    digit_ratio = digits / n
+    punct_ratio = punct / n
+    stop_share = F.least(stop_hits / words, F.lit(1.0))
+    score = F.lit(0.4) * stop_share + F.lit(0.3) * (F.lit(1.0) - digit_ratio) \
+        + F.lit(0.3) * F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    return (
+        df.withColumn("digit_ratio", F.round(digit_ratio, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stopword_share", F.round(stop_share, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized content fingerprint: md5 over lowercased, whitespace-
+    collapsed, punctuation-stripped text (stable across engines)."""
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(norm))
+
+
+def quality_rollup(df: DataFrame, text_col: str = "text", group_col: str = "lang") -> DataFrame:
+    q = with_quality(with_token_count(df, text_col), text_col)
+    return (
+        q.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("ws_tokens").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.round(F.avg("digit_ratio"), 6).alias("avg_digit_ratio"),
+            F.sum(F.when(F.col("quality_score") >= 0.5, 1).otherwise(0)).alias("high_quality_docs"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def langid_confusion(df: DataFrame, text_col: str = "text", label_col: str = "lang") -> DataFrame:
+    g = with_lang_guess(df, text_col)
+    return g.groupBy(F.col(label_col).alias("lang"), "lang_guess").agg(
+        F.count(F.lit(1)).alias("docs")
+    ).orderBy("lang", "lang_guess")
