@@ -1,0 +1,52 @@
+"""Single-parallelism-level extraction benchmark job.
+
+Run as a subprocess pinned to exactly N CPUs (``taskset -c 0-{N-1}``) so a
+``local[N]`` session cannot borrow idle host cores for its python workers —
+this makes the two-cluster-size scaling measurement honest (an N-core run
+behaves like an N-core cluster, per the north rule's N vs 4N criterion).
+
+Usage: python -m pdfextractor_spark.benchjob <corpus_parquet> <cores> [reps]
+Prints one JSON line: {"cores": N, "docs": D, "wall_sec": W, "docs_per_sec": T}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    corpus_path = sys.argv[1]
+    cores = int(sys.argv[2])
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+
+    from pyspark.sql import functions as F
+
+    from pdfextractor_spark.pipeline.fused import extract_fused
+    from pdfextractor_spark.session import get_spark
+
+    spark = get_spark(app_name=f"benchjob-{cores}", cores=cores)
+    pages = spark.read.parquet(corpus_path)
+
+    def run() -> tuple[float, int]:
+        t0 = time.perf_counter()
+        silver = extract_fused(pages, num_partitions=cores * 4)
+        out = silver.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("total_goals").alias("goals"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("failures"),
+        ).collect()[0]
+        return time.perf_counter() - t0, int(out["docs"])
+
+    # warm-up on a slice: JVM JIT, python worker fork + imports
+    extract_fused(pages.limit(400), num_partitions=cores).agg(F.count(F.lit(1))).collect()
+
+    wall, docs = min(run() for _ in range(reps))
+    spark.stop()
+    print(json.dumps({"cores": cores, "docs": docs, "wall_sec": round(wall, 3),
+                      "docs_per_sec": round(docs / wall, 2)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -295,6 +295,30 @@ _FILLER = (
     "and prior conservation program participation across the contributing area."
 )
 
+_PROSE = [
+    "Field notes from the spring site visits describe channel conditions and bank stability.",
+    "Soil survey data indicate predominantly silty loam textures across the upland areas.",
+    "Historic land use in the contributing area was row crop agriculture with scattered pasture.",
+    "Participating landowners reported routine maintenance of previously installed practices.",
+    "Hydrologic records show flashy storm response typical of modified drainage networks.",
+    "Vegetation surveys documented early successional species along the riparian corridor.",
+    "Program staff coordinated with the local conservation district on outreach materials.",
+    "Stream habitat assessments were completed at representative reaches during base flow.",
+    "Aerial imagery review identified several headcut locations advancing through pasture.",
+    "Precipitation during the assessment period was near the long-term seasonal average.",
+]
+
+
+def _appendix(rng: random.Random, i: int) -> list[str]:
+    """Deterministic prose appendix sized like real web-page body text
+    (~4-10 KB/doc). Contains no goal/BMP/cost trigger tokens, so it never
+    changes entity extraction results — only document size realism."""
+    n = rng.randint(35, 80)
+    out = ["", f"Appendix A. Supporting narrative for document {i}.", ""]
+    for k in range(n):
+        out.append(f"{_PROSE[(i + k) % len(_PROSE)]} (paragraph {k + 1})")
+    return out
+
 
 def _wrap_html(body_lines: list[str], i: int) -> str:
     paras = "\n".join(
@@ -346,14 +370,20 @@ def _render_pdf(body_lines: list[str], i: int, two_column: bool) -> bytes:
     return make_pdf(pages, compress=(i % 2 == 0))
 
 
-def generate_pages(n_docs: int, seed: int = 42) -> list[dict]:
-    """Generate ``n_docs`` deterministic page rows (list of dicts matching
-    PAGES_COLUMNS)."""
+def generate_pages(n_docs: int, seed: int = 42, start: int = 0) -> list[dict]:
+    """Generate deterministic page rows for doc ids [start, start+n_docs)
+    (list of dicts matching PAGES_COLUMNS). Per-doc seeding makes any id
+    range reproducible independently, so generation can be sharded across
+    processes."""
     rows: list[dict] = []
-    for i in range(n_docs):
+    for i in range(start, start + n_docs):
         rng = random.Random(seed * 1_000_003 + i)
         shape = _SHAPES[i % len(_SHAPES)]
         body = shape(rng, i)
+        # Realistic web-page body size: prose appendix for most docs
+        # (i % 7 == 0 stays short, keeping size diversity)
+        if i % 7 != 0:
+            body = body + _appendix(rng, i)
         # Skew tail: ~1% of docs are 50-100x median size
         if i % 101 == 7:
             mult = rng.randint(50, 100)

@@ -20,10 +20,32 @@ from .textutil import canonicalize_unit, js_parse_float, js_to_locale_string, mo
 MONEY = r"\$[0-9][0-9,]*(?:\.[0-9]{2})?"
 _MONEY_RX = re.compile(MONEY)
 _HAS_DOLLAR = re.compile(r"\$[0-9]")
+_ALPHA3 = re.compile(r"[A-Za-z]{3,}")
 
 
 def _money_all(line: str) -> list[str]:
     return _MONEY_RX.findall(line or "")
+
+
+# Window-scanning header tests re-examine the same lines from many start
+# positions (O(lines x window)); memoizing these per-line predicates makes
+# that O(lines) without changing any result.
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16384)
+def _money_count(line: str) -> int:
+    return len(_MONEY_RX.findall(line))
+
+
+@lru_cache(maxsize=16384)
+def _alpha3(line: str) -> bool:
+    return bool(_ALPHA3.search(line))
+
+
+@lru_cache(maxsize=16384)
+def _has_dollar(line: str) -> bool:
+    return bool(_HAS_DOLLAR.search(line))
 
 
 def _pf(s: str) -> float | None:
@@ -36,12 +58,11 @@ def _pf(s: str) -> float | None:
 
 
 def _sparse_header(line, all_lines, i):
-    if not _HAS_DOLLAR.search(line):
+    if not _has_dollar(line):
         return False
-    dollars = _money_all(line)
-    if len(dollars) != 1:
+    if _money_count(line) != 1:
         return False
-    if not re.search(r"[A-Za-z]{3,}", line):
+    if not _alpha3(line):
         return False
     count = 0
     scanned = 0
@@ -52,8 +73,7 @@ def _sparse_header(line, all_lines, i):
         scanned += 1
         if not L:
             continue
-        m = _money_all(L)
-        if len(m) == 1 and re.search(r"[A-Za-z]{3,}", L):
+        if _money_count(L) == 1 and _alpha3(L):
             count += 1
     return count >= 5
 
@@ -104,16 +124,16 @@ _KNOWN_HEADERS = re.compile(r"Practice\s+Producer\s+NRCS|Activity\s+Size|Practic
 
 
 def _narrative_header(line, all_lines, i):
-    if not _HAS_DOLLAR.search(line):
+    if not _has_dollar(line):
         return False
     if _KNOWN_HEADERS.search(line):
         return False
     count = 0
     for k in range(i, min(i + 12, len(all_lines))):
         l = all_lines[k]
-        if not l or re.match(r"^\s*$", l):
+        if not l or l.isspace():
             break
-        if _HAS_DOLLAR.search(l):
+        if _has_dollar(l):
             count += 1
         else:
             break
@@ -207,14 +227,22 @@ def _coded_loose_parse(all_lines, start_index):
 _RANGE_ROW_TRIGGER = re.compile(
     r"^(.*?)\s+" + MONEY + r"(?:\s*-\s*" + MONEY + r")?\s+[0-9][0-9,].*?\s+" + MONEY
 )
+_PRACTICE_UNIT_COST = re.compile(r"Practice\s+Unit\s+Cost", re.I)
+_NUMBER_OF_UNITS = re.compile(r"Number\s+of\s+Units", re.I)
+_TOTAL_COST_RX = re.compile(r"Total\s+Cost", re.I)
+
+
+@lru_cache(maxsize=16384)
+def _range_row_hit(line: str) -> bool:
+    return bool(_RANGE_ROW_TRIGGER.search(line))
 
 
 def _practice_range_header(line, all_lines, i):
-    if re.search(r"Practice\s+Unit\s+Cost", line, re.I) and re.search(r"Number\s+of\s+Units", line, re.I) and re.search(r"Total\s+Cost", line, re.I):
+    if _PRACTICE_UNIT_COST.search(line) and _NUMBER_OF_UNITS.search(line) and _TOTAL_COST_RX.search(line):
         return True
-    if not _RANGE_ROW_TRIGGER.search(line):
+    if not _range_row_hit(line):
         return False
-    count = sum(1 for l in all_lines[i + 1 : i + 16] if l and _RANGE_ROW_TRIGGER.search(l))
+    count = sum(1 for l in all_lines[i + 1 : i + 16] if l and _range_row_hit(l))
     return count >= 2
 
 
@@ -294,12 +322,15 @@ def _practice_range_parse(all_lines, start_index):
     }
 
 
+_ACTIVITY_UNIT_COST = re.compile(r"Activity\s+Unit\s+cost", re.I)
+
+
 def _activity_range_header(line, all_lines, i):
-    if re.search(r"Activity\s+Unit\s+cost", line, re.I) and re.search(r"Number\s+of\s+units", line, re.I) and re.search(r"Total\s+cost", line, re.I):
+    if _ACTIVITY_UNIT_COST.search(line) and _NUMBER_OF_UNITS.search(line) and _TOTAL_COST_RX.search(line):
         return True
-    if not _RANGE_ROW_TRIGGER.search(line):
+    if not _range_row_hit(line):
         return False
-    count = sum(1 for l in all_lines[i + 1 : i + 15] if l and _RANGE_ROW_TRIGGER.search(l))
+    count = sum(1 for l in all_lines[i + 1 : i + 15] if l and _range_row_hit(l))
     return count >= 2
 
 
@@ -925,18 +956,18 @@ def _tech_parse(all_lines, start_index):
     }
 
 
+_AD_EX1 = re.compile(r"Practice\s+Average\s+Unit", re.I)
+_AD_EX2 = re.compile(r"Producer\s+NRCS", re.I)
+_AD_EX3 = re.compile(r"Code\s+Practice\s+Units", re.I)
+_AD_EX4 = re.compile(r"Activity\s+Size", re.I)
+
+
 def _adaptive_header(line, all_lines, idx):
-    if not _HAS_DOLLAR.search(line):
+    if not _has_dollar(line):
         return False
-    if re.search(r"Practice\s+Average\s+Unit", line, re.I):
+    if _AD_EX1.search(line) or _AD_EX2.search(line) or _AD_EX3.search(line) or _AD_EX4.search(line):
         return False
-    if re.search(r"Producer\s+NRCS", line, re.I):
-        return False
-    if re.search(r"Code\s+Practice\s+Units", line, re.I):
-        return False
-    if re.search(r"Activity\s+Size", line, re.I):
-        return False
-    money_lines = [l for l in all_lines[idx : idx + 12] if l and _HAS_DOLLAR.search(l)]
+    money_lines = [l for l in all_lines[idx : idx + 12] if l and _has_dollar(l)]
     return len(money_lines) >= 3
 
 
@@ -984,6 +1015,18 @@ def _adaptive_parse(all_lines, start_index):
     }
 
 
+_NRCS_HEADER = re.compile(r"Practice\s+Average\s+Unit\s+NRCS\s+Cost\s+Units\s+Total\s+Cost", re.I)
+_IMPL_HEADER = re.compile(r"WATERSHED IMPLEMENTATION PLAN – BUDGET ESTIMATES|Watershed Implementation Plan\s*$", re.I)
+_GENERIC_ACT_HEADER = re.compile(r"Activity\s+Size/?Amount\s+Estimated\s+Cost", re.I)
+_LANDOWNER_MATCH = re.compile(r"Landowner\s+Match", re.I)
+_TOTAL_EST_PROJECT = re.compile(r"Total\s+Estimated\s+Project\s+Cost", re.I)
+_MATCH_WORD = re.compile(r"Match", re.I)
+_BOOTHS_HEADER = re.compile(r"Code\s+Practice\s+Units\s+Cost.*Estimated.*Units.*Total", re.I)
+_PHASE1_HEADER = re.compile(r"BMPs\s*Amount\s*Estimated Cost", re.I)
+_ACT_MATCH_HEADER = re.compile(r"Activity.*Size.*Estimated Cost.*Landowner Match", re.I)
+_ITEM_COST_HEADER = re.compile(r"Item\s+Cost", re.I)
+_TECH_ASSIST_WORD = re.compile(r"Technical Assistance", re.I)
+
 PATTERNS: list[tuple[str, object, object]] = [
     ("sparse_inline_costs", _sparse_header, _sparse_parse),
     ("narrative_cost_block", _narrative_header, _narrative_parse),
@@ -991,39 +1034,47 @@ PATTERNS: list[tuple[str, object, object]] = [
     ("practice_unit_cost_range", _practice_range_header, _practice_range_parse),
     ("activity_unit_cost_range", _activity_range_header, _activity_range_parse),
     ("practice_unit_nrcs_costs",
-     lambda line, a, i: bool(re.search(r"Practice\s+Average\s+Unit\s+NRCS\s+Cost\s+Units\s+Total\s+Cost", line, re.I)),
+     lambda line, a, i: bool(_NRCS_HEADER.search(line)),
      _nrcs_parse),
     ("multi_funding_source_costs",
      lambda line, a, i: bool(_MULTI_FUND_HEADER.search(line)) or bool(_MULTI_FUND_HEADER2.search(line)),
      _multi_fund_parse),
     ("implementation_plan_coded_budget",
-     lambda line, a, i: bool(re.search(r"WATERSHED IMPLEMENTATION PLAN – BUDGET ESTIMATES|Watershed Implementation Plan\s*$", line, re.I)),
+     lambda line, a, i: bool(_IMPL_HEADER.search(line)),
      _impl_budget_parse),
     ("generic_activity_costs",
-     lambda line, a, i: bool(re.search(r"Activity\s+Size/?Amount\s+Estimated\s+Cost", line, re.I))
-     and not re.search(r"Landowner\s+Match", line, re.I),
+     lambda line, a, i: bool(_GENERIC_ACT_HEADER.search(line)) and not _LANDOWNER_MATCH.search(line),
      _generic_activity_parse),
     ("total_estimated_project_cost_block",
-     lambda line, a, i: bool(re.search(r"Total\s+Estimated\s+Project\s+Cost", line, re.I)) and bool(re.search(r"Match", line, re.I)),
+     lambda line, a, i: bool(_TOTAL_EST_PROJECT.search(line)) and bool(_MATCH_WORD.search(line)),
      _total_block_parse),
     ("booths_creek_bmps",
-     lambda line, a, i: bool(re.search(r"Code\s+Practice\s+Units\s+Cost.*Estimated.*Units.*Total", line, re.I)),
+     lambda line, a, i: bool(_BOOTHS_HEADER.search(line)),
      _booths_parse),
     ("phase1_bmps",
-     lambda line, a, i: bool(re.search(r"BMPs\s*Amount\s*Estimated Cost", line, re.I)),
+     lambda line, a, i: bool(_PHASE1_HEADER.search(line)),
      _phase1_parse),
     ("activity_match",
-     lambda line, a, i: bool(re.search(r"Activity.*Size.*Estimated Cost.*Landowner Match", line, re.I)),
+     lambda line, a, i: bool(_ACT_MATCH_HEADER.search(line)),
      _activity_match_parse),
     ("practice_costs", _practice_costs_header, _practice_costs_parse),
     ("bell_creek_bmps", lambda line, a, i: bool(_BELL_HEADER.search(line)), _bell_parse),
     ("tech_assistance",
-     lambda line, a, i: bool(re.search(r"Item\s+Cost", line, re.I)) and not re.search(r"Technical Assistance", line, re.I),
+     lambda line, a, i: bool(_ITEM_COST_HEADER.search(line)) and not _TECH_ASSIST_WORD.search(line),
      _tech_parse),
     ("adaptive_generic_costs", _adaptive_header, _adaptive_parse),
 ]
 
 REGISTERED_COST_PATTERNS = [p[0] for p in PATTERNS]
+
+# Conservative line pre-gate: every header_test above requires either a
+# dollar amount or one of these keyword stems somewhere in the line, so a
+# line failing this scan can never start a table — skipping it is a pure
+# optimization with identical semantics (the scan driver is O(lines x
+# patterns) otherwise, the hot loop of the whole silver stage).
+_SCAN_GATE = re.compile(
+    r"\$[0-9]|practice|activit|bmp|item|watershed|projected|total", re.I
+)
 
 
 def parse_cost_tables_with_patterns(all_lines: list[str], raw_lines: list[str] | None = None) -> list[dict]:
@@ -1050,6 +1101,8 @@ def parse_cost_tables_with_patterns(all_lines: list[str], raw_lines: list[str] |
             header_idx_global = idx
             break
     for i, line in enumerate(all_lines):
+        if not line or not _SCAN_GATE.search(line):
+            continue
         for pid, header_test, parse in PATTERNS:
             try:
                 if header_test(line, all_lines, i):

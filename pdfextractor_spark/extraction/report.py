@@ -567,6 +567,24 @@ _LEGACY_CONFIDENCE = {
 }
 
 
+_LEGACY_GATE = re.compile(r"practice|activit|table|bmp|code|cost", re.I)
+_LG_FULL_PROJECT = re.compile(r"^\s*Cost Estimate:\s*Full Project Implementation", re.I)
+_LG_PHASE1 = re.compile(r"^\s*Cost Estimate:\s*Phase 1 Implementation", re.I)
+_LG_ACTIVITY_MATCH = re.compile(r"Activity.*Size.*Amount.*Estimated Cost.*Landowner Match", re.I)
+_LG_PRACTICE_ONLY = re.compile(r"^Practice\s*$", re.I)
+_LG_UNIT_COST = re.compile(r"Unit Cost", re.I)
+_LG_TOTAL_COST = re.compile(r"Total Cost", re.I)
+_LG_TABLE_AG_BMP = re.compile(r"Table.*Agricultural.*Best Management Practice", re.I)
+_LG_PRACTICE_UNIT_TOTAL = re.compile(r"Practice.*Unit Cost.*Total Cost", re.I)
+_LG_TABLE_319 = re.compile(r"Table.*Funded.*319.*Project.*Budget.*BMPs", re.I)
+_LG_TABLE_TECH = re.compile(r"Table.*Technical Assistance", re.I)
+_LG_BELL_HEADER = re.compile(r"Practice\s+Area Affected\s+BMP Cost\s+BMP Total", re.I)
+_LG_PHASE1_BMPS = re.compile(r"BMPs\s*Amount\s*Estimated Cost", re.I)
+_LG_BOOTHS = re.compile(r"Code\s+Practice\s+Units\s+Cost.*Estimated.*Units.*Total", re.I)
+_LG_PROVIDED_BELOW = re.compile(r"Provided below is an estimate of project BMP costs", re.I)
+_LG_CODE_PRACTICE = re.compile(r"Code\s+Practice\s+Units\s+Cost", re.I)
+
+
 def parse_cost_table(sections: dict, raw_text: str | None = None) -> dict:
     """Integration layer: registry pass + impl-budget merge + legacy detection
     (ref: reportBuilder.js:39-655). ``raw_text`` replaces the reference's
@@ -647,39 +665,41 @@ def parse_cost_table(sections: dict, raw_text: str | None = None) -> dict:
                                               "rows": merged_rows, "total": merged_normalized["totalReported"]},
                                     "patternId": "implementation_plan_coded_budget", "patternConfidence": 0.72})
             bmp_cost_tables_normalized.append(merged_normalized)
-        # Legacy detection loop (reportBuilder.js:117-161)
+        # Legacy detection loop (reportBuilder.js:117-161). Every trigger
+        # below needs one of the gate keywords, so non-matching lines skip
+        # all twelve regexes (pure optimization, identical semantics).
         table_starts = []
         for i, l in enumerate(all_lines):
-            if l is None:
+            if not l or not _LEGACY_GATE.search(l):
                 continue
-            if re.match(r"^\s*Cost Estimate:\s*Full Project Implementation", l, re.I):
+            if _LG_FULL_PROJECT.match(l):
                 table_starts.append({"index": i, "kind": "full_project", "title": l.strip()})
-            elif re.match(r"^\s*Cost Estimate:\s*Phase 1 Implementation", l, re.I):
+            elif _LG_PHASE1.match(l):
                 table_starts.append({"index": i, "kind": "phase1", "title": l.strip()})
-            elif re.search(r"Activity.*Size.*Amount.*Estimated Cost.*Landowner Match", l, re.I):
+            elif _LG_ACTIVITY_MATCH.search(l):
                 table_starts.append({"index": i, "kind": "activity_match", "title": l.strip()})
-            elif re.match(r"^Practice\s*$", l, re.I):
+            elif _LG_PRACTICE_ONLY.match(l):
                 lookahead = " ".join(str(x) for x in all_lines[i : i + 6])
-                if re.search(r"Unit Cost", lookahead, re.I) and re.search(r"Total Cost", lookahead, re.I):
+                if _LG_UNIT_COST.search(lookahead) and _LG_TOTAL_COST.search(lookahead):
                     table_starts.append({"index": i, "kind": "practice_costs",
                                          "title": "Projected Costs for Agricultural BMPs"})
-            elif re.search(r"Table.*Agricultural.*Best Management Practice", l, re.I):
+            elif _LG_TABLE_AG_BMP.search(l):
                 lookahead = " ".join(str(x) for x in all_lines[i : i + 10])
-                if re.search(r"Practice.*Unit Cost.*Total Cost", lookahead, re.I):
+                if _LG_PRACTICE_UNIT_TOTAL.search(lookahead):
                     table_starts.append({"index": i, "kind": "practice_costs", "title": l.strip()})
-            elif re.search(r"Table.*Funded.*319.*Project.*Budget.*BMPs", l, re.I):
+            elif _LG_TABLE_319.search(l):
                 table_starts.append({"index": i, "kind": "bell_creek_bmps", "title": l.strip()})
-            elif re.search(r"Table.*Technical Assistance", l, re.I):
+            elif _LG_TABLE_TECH.search(l):
                 table_starts.append({"index": i, "kind": "tech_assistance", "title": l.strip()})
-            elif re.search(r"Practice\s+Area Affected\s+BMP Cost\s+BMP Total", l, re.I):
+            elif _LG_BELL_HEADER.search(l):
                 table_starts.append({"index": i, "kind": "bell_creek_bmps", "title": "Bell Creek BMP Budget"})
-            elif re.search(r"BMPs\s*Amount\s*Estimated Cost", l, re.I):
+            elif _LG_PHASE1_BMPS.search(l):
                 table_starts.append({"index": i, "kind": "phase1_bmps", "title": "Phase 1 Implementation BMPs"})
-            elif re.search(r"Code\s+Practice\s+Units\s+Cost.*Estimated.*Units.*Total", l, re.I):
+            elif _LG_BOOTHS.search(l):
                 table_starts.append({"index": i, "kind": "booths_creek_bmps", "title": "BMP Cost Estimates"})
-            elif re.search(r"Provided below is an estimate of project BMP costs", l, re.I):
+            elif _LG_PROVIDED_BELOW.search(l):
                 for j in range(i + 1, min(i + 10, len(all_lines))):
-                    if re.search(r"Code\s+Practice\s+Units\s+Cost", all_lines[j] or "", re.I):
+                    if _LG_CODE_PRACTICE.search(all_lines[j] or ""):
                         table_starts.append({"index": j, "kind": "booths_creek_bmps", "title": "BMP Cost Estimates"})
                         break
         if not table_starts and not bmp_cost_tables:

@@ -94,21 +94,51 @@ def make_pdf(pages: list[list[tuple[float, float, str]]], compress: bool = True)
 # Parser
 # ---------------------------------------------------------------------------
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", re.S)
+_OBJ_HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 
 
 def _parse_objects(data: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+    """Sequential object scan. Compressed stream bytes may contain the
+    literals ``endobj``/``endstream`` by chance, so object boundaries are
+    found by honoring the stream dict's /Length instead of a naive
+    first-``endobj`` regex."""
+    objs: dict[int, bytes] = {}
+    pos = 0
+    while True:
+        h = _OBJ_HDR_RE.search(data, pos)
+        if not h:
+            break
+        start = h.end()
+        sm = _STREAM_START_RE.search(data, start)
+        em = data.find(b"endobj", start)
+        if sm is not None and (em == -1 or sm.start() < em):
+            lm = _LENGTH_RE.search(data, start, sm.start())
+            if lm:
+                em = data.find(b"endobj", sm.end() + int(lm.group(1)))
+        if em == -1:
+            break
+        objs[int(h.group(1))] = data[start:em]
+        pos = em + len(b"endobj")
+    return objs
 
 
 def _get_stream(body: bytes) -> bytes | None:
-    m = _STREAM_RE.search(body)
-    if not m:
+    sm = _STREAM_START_RE.search(body)
+    if not sm:
         return None
-    raw = m.group(1)
-    if b"/FlateDecode" in body:
+    lm = _LENGTH_RE.search(body, 0, sm.start())
+    if lm:
+        raw = body[sm.end() : sm.end() + int(lm.group(1))]
+    else:
+        m = _STREAM_RE.search(body)
+        if not m:
+            return None
+        raw = m.group(1)
+    if b"/FlateDecode" in body[: sm.start()]:
         try:
             return zlib.decompress(raw)
         except zlib.error as e:
