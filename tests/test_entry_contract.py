@@ -1,0 +1,62 @@
+"""Driver-contract tests for __spark_entry__: entry() runs, queries() and
+oracle_sql() stay aligned, and a fast oracle subset matches DuckDB at
+sf0.001 (the full sweep runs in scripts_check_oracles.py / driver rounds)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+FAST_ORACLE_SUBSET = [
+    "exact_dedup_stats",
+    "token_count_rollup",
+    "goal_regex_rollup",
+    "pricing_summary",
+    "snapshot_diff",
+    "latest_event_per_user",
+    "ann_topk_cosine",
+]
+
+
+def test_entry_returns_stable_schema(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(df.columns) >= {"lang", "docs", "goals", "bmps"}
+
+
+def test_queries_and_oracles_aligned():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 20
+    # every oracle key must have a query; extraction queries may be rows-only
+    missing = set(oracles) - set(qs)
+    assert not missing, f"oracle_sql keys without queries(): {missing}"
+    assert len(oracles) >= 14
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", FAST_ORACLE_SUBSET)
+def test_oracle_match(spark, sf_dir, duck, name):
+    """Mimics the driver's compare: sorted columns, stringified sorted rows."""
+    sdf = entry_mod.queries()[name](spark, sf_dir)
+    oracle = entry_mod.oracle_sql()[name]
+    spark_rows = sdf.collect()
+    ddf = duck.execute(oracle).fetchdf()
+    scols = sorted(sdf.columns)
+    dcols = sorted(ddf.columns.tolist())
+    assert scols == dcols, f"schema mismatch: {scols} vs {dcols}"
+    s_vals = sorted(tuple(str(r[c]) for c in scols) for r in spark_rows)
+    d_vals = sorted(tuple(str(v) for v in row) for row in ddf[scols].itertuples(index=False))
+    assert len(s_vals) == len(d_vals)
+    assert s_vals == d_vals

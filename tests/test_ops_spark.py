@@ -1,0 +1,158 @@
+"""Training-data ops tests: dedup (exact/minhash-LSH/simhash/jaccard),
+similarity (brute cosine + sign-LSH), text stats, multimodal plumbing."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from pdfextractor_spark.ops.dedup import (
+    exact_dedup,
+    exact_dup_stats,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_dup_pairs,
+)
+from pdfextractor_spark.ops.multimodal import decode_media, sample_frames
+from pdfextractor_spark.ops.similarity import cosine_topk, lsh_topk
+from pdfextractor_spark.ops.textstats import (
+    langid_confusion,
+    with_fingerprint,
+    with_lang_guess,
+    with_quality,
+    with_token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog", "en"),  # near dup
+        (4, "el rapido zorro marron salta sobre el perro que es perezoso", "es"),
+        (5, "completely different text about watershed management plans", "en"),
+        (6, "The Quick Brown Fox Jumps Over The Lazy Dog!", "en"),  # case/punct variant
+    ]
+    return spark.createDataFrame(
+        [(i, t, l, len(t)) for i, t, l in rows],
+        "doc_id long, text string, lang string, n_chars long",
+    ).cache()
+
+
+def test_exact_dedup(docs):
+    kept = exact_dedup(docs)
+    assert kept.count() == 5  # doc 2 dropped
+    assert kept.where("doc_id = 2").count() == 0  # min doc_id kept
+
+
+def test_exact_dup_stats(docs):
+    stats = {r["lang"]: r for r in exact_dup_stats(docs).collect()}
+    assert stats["en"]["total_docs"] == 5
+    assert stats["en"]["duplicate_docs"] == 1
+    assert stats["es"]["duplicate_docs"] == 0
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_k=3)
+    assert sigs.count() == 6
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(sigs, num_bands=8).collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    assert all(a < b for a, b in pairs)  # canonical ordering, no self-pairs
+
+
+def test_ngram_jaccard_verification(docs):
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_k=3)
+    cand = minhash_lsh_pairs(sigs, num_bands=8)
+    verified = ngram_jaccard_pairs(docs, cand, n=3, threshold=0.9)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert rows.get((1, 2)) == 1.0  # exact dup -> jaccard 1
+
+
+def test_simhash_near_dups(docs):
+    hashed = simhash64(docs)
+    assert hashed.count() == 6
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_dup_pairs(hashed, max_hamming=3, num_blocks=4).collect()}
+    assert (1, 2) in pairs  # identical text -> hamming 0
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(20)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = cosine_topk(emb, emb.where("vec_id = 0"), k=3).collect()
+    assert len(out) == 3
+    # numpy brute-force reference
+    q = vecs[0]
+    cos = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    cos[0] = -2  # exclude self
+    expect = list(np.argsort(np.round(-cos, 6), kind="stable")[:3])
+    got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [int(x) for x in expect]
+
+
+def test_lsh_topk_returns_bucket_ranked(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(50, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(50)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = lsh_topk(emb, emb.where("vec_id < 2"), k=3, bits=4, num_tables=3).collect()
+    assert out  # buckets non-empty
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+        assert -1.0001 <= r["cosine"] <= 1.0001
+
+
+def test_token_counts(docs):
+    r = with_token_count(docs).where("doc_id = 1").first()
+    assert r["ws_tokens"] == 9
+    assert r["approx_bpe_tokens"] == math.ceil(len("the quick brown fox jumps over the lazy dog") / 4)
+
+
+def test_quality_and_lang_guess(docs):
+    q = with_quality(docs).where("doc_id = 1").first()
+    assert 0.0 <= q["quality_score"] <= 1.0
+    g = with_lang_guess(docs).collect()
+    by = {r["doc_id"]: r["lang_guess"] for r in g}
+    assert by[1] == "en"
+
+
+def test_langid_confusion_shape(docs):
+    rows = langid_confusion(docs).collect()
+    assert sum(r["docs"] for r in rows) == 6
+
+
+def test_fingerprint_case_punct_invariant(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(docs).collect()}
+    assert fp[1] == fp[2]  # exact dups share fingerprint
+    assert fp[1] == fp[6]  # case/punctuation variant collapses too
+    assert fp[1] != fp[5]
+
+
+def test_multimodal_decode_plumbing(spark):
+    media = spark.createDataFrame(
+        [(1, "image", b"\x00\x01\x02\x03" * 10, "image/png"),
+         (2, "audio", b"\x10" * 100, "audio/wav"),
+         (3, "video", b"", "video/mp4")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    out = decode_media(media, num_partitions=2).collect()
+    by = {r["media_id"]: r for r in out}
+    assert by[1]["n_bytes"] == 40
+    assert len(by[1]["feature"]) > 0  # deterministic fake features
+    assert by[3]["error"] is not None  # empty payload -> error row, no crash
+
+    frames = sample_frames(media.where("kind = 'video'"), every_nth=10)
+    assert frames.columns  # plumbing exists; schema stable
