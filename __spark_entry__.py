@@ -261,9 +261,183 @@ def q_ann_topk_cosine(spark, sf_dir):
     )
 
 
+def q_tumbling_event_windows(spark, sf_dir):
+    """Tumbling 1-hour event-time windows per event type (streaming-agg
+    analog expressed as a batch date_trunc group)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_top_parts_per_brand(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+    joined = rev.join(F.broadcast(part), rev["l_partkey"] == part["p_partkey"])
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where("rank <= 3")
+        .select("p_brand", "p_partkey", "p_name", "revenue", "rank")
+        .orderBy("p_brand", "rank")
+    )
+
+
+def q_nation_setops(spark, sf_dir):
+    """Set-operation family (§2.7): nations with customers vs suppliers."""
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    c_n = customer.select(F.col("c_nationkey").alias("nk")).distinct()
+    s_n = supplier.select(F.col("s_nationkey").alias("nk")).distinct()
+    only_customers = c_n.exceptAll(s_n).distinct()
+    both = c_n.intersect(s_n)
+    return spark.createDataFrame(
+        [(only_customers.count(), both.count())],
+        "customers_only long, both long",
+    )
+
+
+def q_order_priority_returns(spark, sf_dir):
+    """Semi-join family: orders having >=1 returned lineitem, by priority."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    returned = li.where("l_returnflag = 'R'").select("l_orderkey").distinct()
+    return (
+        orders.join(returned, orders["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("orders_with_returns"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_doclen_percentiles(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.expr("round(percentile(n_chars, 0.5), 4)").alias("median_chars"),
+            F.expr("round(percentile(n_chars, 0.9), 4)").alias("p90_chars"),
+            F.count(F.lit(1)).cast("long").alias("docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_keyword_presence(spark, sf_dir):
+    """P4 presence-marking analog at corpus level: per-lang share of docs
+    mentioning a keyword (substring containment, case-insensitive)."""
+    docs = _t(spark, sf_dir, "documents")
+    has = F.when(F.lower(F.col("text")).contains("data"), 1).otherwise(0)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum(has).cast("long").alias("docs_with_keyword"),
+            F.round(F.avg(has), 6).alias("presence_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_json_props_stats(spark, sf_dir):
+    """Semi-structured extraction: JSON props ->> k, typed agg per event."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("events"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+            F.max(k).cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection, brute-force oracle-checked
+    (the LSH-bucketed variant is the 100 TB scale path)."""
+    from pdfextractor_spark.ops.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6
+    )
+    near = pairs.select(cos.alias("cosine")).where("cosine >= 0.95")
+    return near.agg(
+        F.count(F.lit(1)).cast("long").alias("near_dup_pairs"),
+        F.round(F.coalesce(F.avg("cosine"), F.lit(0.0)), 6).alias("avg_cosine"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extraction-engine queries (pandas-UDF semantics -> rows-only checks)
 # ---------------------------------------------------------------------------
+
+
+def q_gold_cost_summary(spark, sf_dir):
+    """A4 flagship gold rollup over the synthetic extraction corpus."""
+    from pdfextractor_spark.corpus import generate_pages
+    from pdfextractor_spark.pipeline.fused import extract_fused
+    from pdfextractor_spark.pipeline.gold import gold_cost_summary
+    from pdfextractor_spark.pipeline.schema import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(generate_pages(150), schema=PAGES_SCHEMA)
+    return gold_cost_summary(extract_fused(pages, num_partitions=8))
+
+
+def q_gold_report_costs(spark, sf_dir):
+    """A5 per-report cost rollup over the synthetic extraction corpus."""
+    from pdfextractor_spark.corpus import generate_pages
+    from pdfextractor_spark.pipeline.fused import extract_fused
+    from pdfextractor_spark.pipeline.gold import gold_report_costs
+    from pdfextractor_spark.pipeline.schema import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(generate_pages(150), schema=PAGES_SCHEMA)
+    return gold_report_costs(extract_fused(pages, num_partitions=8)).orderBy("url")
+
+
+def q_gold_bmp_dedupe(spark, sf_dir):
+    """W3 cross-report BMP dedupe keep-best over the synthetic corpus."""
+    from pdfextractor_spark.corpus import generate_pages
+    from pdfextractor_spark.pipeline.fused import extract_fused
+    from pdfextractor_spark.pipeline.gold import gold_bmp_dedupe
+    from pdfextractor_spark.pipeline.schema import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(generate_pages(150), schema=PAGES_SCHEMA)
+    return gold_bmp_dedupe(extract_fused(pages, num_partitions=8))
 
 
 def q_extract_reports(spark, sf_dir):
@@ -407,15 +581,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "customers_without_orders": q_customers_without_orders,
         "snapshot_diff": q_snapshot_diff,
+        # relational operator families (joins/semi/set-ops/percentiles/json)
+        "tumbling_event_windows": q_tumbling_event_windows,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "nation_setops": q_nation_setops,
+        "order_priority_returns": q_order_priority_returns,
+        "doclen_percentiles": q_doclen_percentiles,
+        "keyword_presence": q_keyword_presence,
+        "json_props_stats": q_json_props_stats,
         # similarity search
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         # extraction engine (rows-only)
         "extract_reports": q_extract_reports,
         "extract_pattern_usage": q_extract_pattern_usage,
         "pages_pipeline_smoke": q_pages_pipeline_smoke,
         "bmp_filter_impact": q_bmp_filter_impact,
         "multimodal_decode": q_multimodal_decode,
+        # gold layer over the synthetic extraction corpus (rows-only)
+        "gold_cost_summary": q_gold_cost_summary,
+        "gold_report_costs": q_gold_report_costs,
+        "gold_bmp_dedupe": q_gold_bmp_dedupe,
     }
 
 
@@ -583,6 +771,73 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n_a <> n_b THEN 'CHANGED' ELSE 'UNCHANGED' END AS status,
                    CAST(count(*) AS BIGINT) AS customers
             FROM j GROUP BY 1 ORDER BY status
+        """,
+        "tumbling_event_windows": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(count(*) AS BIGINT) AS events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name, round(sum(o.o_totalprice), 4) AS revenue,
+                   CAST(count(*) AS BIGINT) AS orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "top_parts_per_brand": """
+            WITH rev AS (
+              SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+              FROM lineitem GROUP BY l_partkey),
+            ranked AS (
+              SELECT p.p_brand, p.p_partkey, p.p_name, r.revenue,
+                     row_number() OVER (PARTITION BY p.p_brand
+                                        ORDER BY r.revenue DESC, p.p_partkey) AS rank
+              FROM rev r JOIN part p ON r.l_partkey = p.p_partkey)
+            SELECT p_brand, p_partkey, p_name, revenue, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3 ORDER BY p_brand, rank
+        """,
+        "nation_setops": """
+            WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+                 s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+            SELECT CAST((SELECT count(*) FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)) AS BIGINT) AS customers_only,
+                   CAST((SELECT count(*) FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)) AS BIGINT) AS both
+        """,
+        "order_priority_returns": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS orders_with_returns
+            FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "doclen_percentiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+                   CAST(count(*) AS BIGINT) AS docs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "keyword_presence": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(CASE WHEN lower(text) LIKE '%data%' THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_keyword,
+                   round(avg(CASE WHEN lower(text) LIKE '%data%' THEN 1 ELSE 0 END), 6) AS presence_rate
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "json_props_stats": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS events,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+                   CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "embedding_near_dups": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+                 pairs AS (
+                   SELECT round(list_cosine_similarity(a.vec, b.vec), 6) AS cosine
+                   FROM v a JOIN v b ON a.vec_id < b.vec_id)
+            SELECT CAST(count(*) AS BIGINT) AS near_dup_pairs,
+                   round(coalesce(avg(cosine), 0.0), 6) AS avg_cosine
+            FROM pairs WHERE cosine >= 0.95
         """,
         "ann_topk_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
