@@ -53,32 +53,36 @@ def exact_dup_stats(df: DataFrame, text_col: str = "text", group_col: str = "lan
 # MinHash + LSH near-dup: shingle -> minhash -> band -> bucket self-join
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
-
-
 def _minhash_params(num_hashes: int, seed: int = 7):
+    """Random odd 64-bit multipliers for multiply-shift universal hashing
+    (numpy-vectorizable: uint64 multiply wraps mod 2^64)."""
     import random
 
     rng = random.Random(seed)
-    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    return [rng.randrange(1, 1 << 64) | 1 for _ in range(num_hashes)]
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        num_hashes: int = 64, shingle_k: int = 5) -> DataFrame:
     """(id, signature array<long>) via a vectorized Pandas UDF.
 
-    Word-level k-shingles hashed with Python's stable ``zlib.crc32`` over
-    utf-8, min-hashed under ``num_hashes`` universal-hash draws (fixed seed)."""
-    params = _minhash_params(num_hashes)
+    Word-level k-shingles hashed with the stable ``zlib.crc32`` over utf-8,
+    min-hashed under ``num_hashes`` multiply-shift draws (fixed seed). The
+    per-document min over all shingles x hashes is one numpy uint64
+    broadcast-multiply — no Python inner loop."""
+    import numpy as np
+
+    params = np.array(_minhash_params(num_hashes), dtype=np.uint64)
 
     @pandas_udf(ArrayType(LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
         import zlib
 
+        zeros = [0] * num_hashes
         out = []
         for t in texts:
             if not isinstance(t, str) or not t:
-                out.append([0] * num_hashes)
+                out.append(zeros)
                 continue
             words = t.lower().split()
             shingles = (
@@ -86,12 +90,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
                 if len(words) >= shingle_k
                 else {" ".join(words)}
             )
-            hashes = [zlib.crc32(s.encode("utf-8")) for s in shingles]
-            sig = []
-            for a, b in params:
-                m = min(((a * h + b) % _MERSENNE) for h in hashes) if hashes else 0
-                sig.append(m & 0x7FFFFFFFFFFFFFFF)
-            out.append(sig)
+            h = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) for s in shingles),
+                dtype=np.uint64, count=len(shingles),
+            )
+            # (num_hashes, n_shingles) wrap-around multiply, min per row;
+            # >>1 keeps the value in the positive signed-long range
+            sig = (params[:, None] * h[None, :]).min(axis=1) >> np.uint64(1)
+            out.append(sig.astype(np.int64).tolist())
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("signature"))
@@ -129,24 +135,34 @@ def minhash_lsh_pairs(signatures: DataFrame, num_bands: int = 16) -> DataFrame:
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word features. Bit accumulation is a single numpy
+    unpack + weighted sum per document (the naive per-word x per-bit Python
+    loop is ~20x slower at corpus scale)."""
+    import numpy as np
+
+    bit_idx = np.arange(64, dtype=np.uint64)
+
     @pandas_udf(LongType())
     def _sim(texts: pd.Series) -> pd.Series:
         import zlib
+        from collections import Counter
 
         out = []
         for t in texts:
             if not isinstance(t, str) or not t:
                 out.append(0)
                 continue
-            acc = [0] * 64
-            for w in t.lower().split():
-                h = zlib.crc32(w.encode("utf-8")) | (zlib.crc32(w[::-1].encode("utf-8")) << 32)
-                for bit in range(64):
-                    acc[bit] += 1 if (h >> bit) & 1 else -1
-            v = 0
-            for bit in range(64):
-                if acc[bit] > 0:
-                    v |= 1 << bit
+            counts = Counter(t.lower().split())
+            words = list(counts.keys())
+            h = np.fromiter(
+                (zlib.crc32(w.encode("utf-8"))
+                 | (zlib.crc32(w[::-1].encode("utf-8")) << 32) for w in words),
+                dtype=np.uint64, count=len(words),
+            )
+            w8 = np.fromiter(counts.values(), dtype=np.int64, count=len(words))
+            bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+            acc = ((2 * bits - 1) * w8[:, None]).sum(axis=0)
+            v = int(((acc > 0).astype(np.uint64) << bit_idx).sum())
             out.append(v - (1 << 64) if v >= (1 << 63) else v)
         return pd.Series(out)
 
