@@ -407,6 +407,34 @@ def q_embedding_near_dups(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_streaming_extract_smoke(spark, sf_dir):
+    """Structured Streaming extraction end-to-end: stage a pages corpus,
+    drain it with an availableNow file-stream through the fused UDF into a
+    checkpointed parquet sink, return the per-parser rollup of the sink."""
+    import tempfile
+
+    from pdfextractor_spark.corpus import generate_pages
+    from pdfextractor_spark.pipeline.schema import PAGES_SCHEMA
+    from pdfextractor_spark.streaming.stream import stream_extract, stream_pages, write_stream
+
+    tmp = tempfile.mkdtemp(prefix="stream_smoke_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    spark.createDataFrame(generate_pages(80), schema=PAGES_SCHEMA).coalesce(2) \
+        .write.mode("overwrite").parquet(src)
+    q = write_stream(stream_extract(stream_pages(spark, src)), out, ckpt)
+    q.awaitTermination(300)
+    silver = spark.read.parquet(out)
+    return (
+        silver.groupBy("parser")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("total_goals").alias("goals"),
+            F.sum(F.when(F.col("text_match"), 1).otherwise(0)).alias("byte_identical"),
+        )
+        .orderBy("parser")
+    )
+
+
 def q_gold_cost_summary(spark, sf_dir):
     """A4 flagship gold rollup over the synthetic extraction corpus."""
     from pdfextractor_spark.corpus import generate_pages
@@ -600,6 +628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_pipeline_smoke": q_pages_pipeline_smoke,
         "bmp_filter_impact": q_bmp_filter_impact,
         "multimodal_decode": q_multimodal_decode,
+        # streaming (rows-only)
+        "streaming_extract_smoke": q_streaming_extract_smoke,
         # gold layer over the synthetic extraction corpus (rows-only)
         "gold_cost_summary": q_gold_cost_summary,
         "gold_report_costs": q_gold_report_costs,
