@@ -117,8 +117,8 @@ def main() -> None:
     # have, since each executor brings its own memory bus. The 2->8 pair is
     # below that ceiling, so it is the faithful stand-in for N vs 4N
     # executors. Pair B (8 vs 32) is reported for transparency.
-    a_low = _pinned_extraction(small_path, 2, reps=1)
-    a_high = _pinned_extraction(small_path, 8)
+    a_low = _pinned_extraction(small_path, 2, reps=2)
+    a_high = _pinned_extraction(small_path, 8, reps=2)
     eff_a = (a_high["docs_per_sec"] / a_low["docs_per_sec"]) / 4.0
 
     b_low = _pinned_extraction(corpus_path, LOW_CORES)

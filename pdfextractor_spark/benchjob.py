@@ -17,9 +17,14 @@ import time
 
 
 def main() -> None:
+    import os
+
     corpus_path = sys.argv[1]
     cores = int(sys.argv[2])
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    # partitions per core (measured: 4 beats 8 here — task overhead exceeds
+    # the straggler savings at this corpus size)
+    parts_mult = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS_MULT", "4"))
 
     from pyspark.sql import functions as F
 
@@ -31,7 +36,7 @@ def main() -> None:
 
     def run() -> tuple[float, int]:
         t0 = time.perf_counter()
-        silver = extract_fused(pages, num_partitions=cores * 4)
+        silver = extract_fused(pages, num_partitions=cores * parts_mult)
         out = silver.agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("total_goals").alias("goals"),
