@@ -541,6 +541,19 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, k=3, bits=6, num_tables=3)
 
 
+def q_winnow_overlap(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints -> partial-overlap pairs."""
+    from pdfextractor_spark.ops.fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k=7, window=4)
+    pairs = fingerprint_overlap_pairs(fps, min_overlap=0.8)
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("overlap_pairs"),
+        F.round(F.coalesce(F.avg("overlap"), F.lit(0.0)), 6).alias("avg_overlap"),
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Binary media plumbing over synthetic payloads derived from documents."""
     from pdfextractor_spark.ops.multimodal import decode_media
@@ -597,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
+        "winnow_overlap": q_winnow_overlap,
         # text analysis family
         "token_count_rollup": q_token_count_rollup,
         "quality_rollup": q_quality_rollup,
