@@ -541,6 +541,24 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, k=3, bits=6, num_tables=3)
 
 
+def q_ngram_jaccard_allpairs(spark, sf_dir):
+    """Exact all-pairs trigram Jaccard (brute-force oracle twin of the
+    LSH-candidate path in q_ngram_jaccard_verify)."""
+    from pdfextractor_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    a, b = ids.alias("a"), ids.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    )
+    verified = ngram_jaccard_pairs(docs, pairs, n=3, threshold=0.5)
+    return verified.agg(
+        F.count(F.lit(1)).cast("long").alias("pairs_ge_05"),
+        F.round(F.coalesce(F.avg("jaccard"), F.lit(0.0)), 6).alias("avg_j"),
+    )
+
+
 def q_winnow_overlap(spark, sf_dir):
     """Rolling-hash winnowing fingerprints -> partial-overlap pairs."""
     from pdfextractor_spark.ops.fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
@@ -610,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
+        "ngram_jaccard_allpairs": q_ngram_jaccard_allpairs,
         "winnow_overlap": q_winnow_overlap,
         # text analysis family
         "token_count_rollup": q_token_count_rollup,
@@ -873,6 +892,26 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
                    CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "ngram_jaccard_allpairs": r"""
+            WITH w AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) >= 3
+                          THEN list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                              for i in range(1, len(words) - 1)])
+                          ELSE [array_to_string(words, ' ')] END AS grams
+              FROM w),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.grams, b.grams))::DOUBLE
+                       / greatest(len(list_distinct(a.grams || b.grams)), 1) AS jac
+              FROM g a JOIN g b ON a.doc_id < b.doc_id)
+            SELECT CAST(count(*) AS BIGINT) AS pairs_ge_05,
+                   round(coalesce(avg(round(jac, 6)), 0.0), 6) AS avg_j
+            FROM pairs WHERE jac >= 0.5
         """,
         "embedding_near_dups": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),

@@ -54,7 +54,9 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "do
             else:
                 wins = sliding_window_view(hashes, window)
                 sel = wins.min(axis=1)
-            fps = np.unique(sel) >> np.uint64(1)  # fit positive signed long
+            # shift BEFORE unique: two values differing only in the low bit
+            # would otherwise collide into in-array duplicates after >>1
+            fps = np.unique(sel >> np.uint64(1))  # fit positive signed long
             out.append(fps.astype(np.int64).tolist())
         return pd.Series(out)
 
