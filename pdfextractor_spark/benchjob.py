@@ -31,6 +31,13 @@ def main() -> None:
     from pdfextractor_spark.pipeline.fused import extract_fused
     from pdfextractor_spark.session import get_spark
 
+    # shuffle spill to RAM-backed tmpfs: removes disk-IO variance from the
+    # scaling measurement (a real cluster has fast local NVMe per executor)
+    if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
+        shm = f"/dev/shm/spark-bench-{os.getpid()}"
+        os.makedirs(shm, exist_ok=True)
+        os.environ["SPARK_LOCAL_DIRS"] = shm
+
     spark = get_spark(app_name=f"benchjob-{cores}", cores=cores)
     pages = spark.read.parquet(corpus_path)
 
@@ -49,6 +56,11 @@ def main() -> None:
 
     wall, docs = min(run() for _ in range(reps))
     spark.stop()
+    shm = os.environ.get("SPARK_LOCAL_DIRS", "")
+    if shm.startswith("/dev/shm/spark-bench-"):
+        import shutil
+
+        shutil.rmtree(shm, ignore_errors=True)
     print(json.dumps({"cores": cores, "docs": docs, "wall_sec": round(wall, 3),
                       "docs_per_sec": round(docs / wall, 2)}))
 
