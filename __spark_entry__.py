@@ -541,6 +541,28 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, k=3, bits=6, num_tables=3)
 
 
+def q_near_dedup_clusters(spark, sf_dir):
+    """Full near-dedup chain: minhash -> LSH candidates -> exact Jaccard
+    verify -> connected components -> keep one representative per cluster."""
+    from pdfextractor_spark.ops.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        near_dedup,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_k=3)
+    cand = minhash_lsh_pairs(sigs, num_bands=8)
+    verified = ngram_jaccard_pairs(docs, cand, n=3, threshold=0.8).select("id_a", "id_b")
+    kept = near_dedup(docs, verified)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("kept_docs"))
+        .orderBy("lang")
+    )
+
+
 def q_ngram_jaccard_allpairs(spark, sf_dir):
     """Exact all-pairs trigram Jaccard (brute-force oracle twin of the
     LSH-candidate path in q_ngram_jaccard_verify)."""
@@ -629,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
         "ngram_jaccard_allpairs": q_ngram_jaccard_allpairs,
+        "near_dedup_clusters": q_near_dedup_clusters,
         "winnow_overlap": q_winnow_overlap,
         # text analysis family
         "token_count_rollup": q_token_count_rollup,

@@ -22,6 +22,8 @@ __all__ = [
     "simhash64",
     "simhash_dup_pairs",
     "ngram_jaccard_pairs",
+    "connected_components",
+    "near_dedup",
 ]
 
 # ---------------------------------------------------------------------------
@@ -236,3 +238,53 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: pairs -> connected components -> keep one per cluster
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs`` (id_a, id_b).
+
+    Iterative min-label propagation: each round every node takes the minimum
+    label among itself and its neighbors; stops at fixed point. Near-dup
+    clusters have tiny diameters, so this converges in a handful of rounds;
+    each round is one join + one groupBy (both keyed on uniform ids), with
+    ``localCheckpoint`` truncating the growing plan lineage."""
+    edges = pairs.select("id_a", "id_b")
+    sym = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("id_a").alias("id")).distinct().withColumn("component", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["id_b"] == labels["id"])
+            .groupBy(F.col("id_a").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"),
+                (F.col("nbr_min").isNotNull() & (F.col("nbr_min") < F.col("component"))).alias("changed"),
+            )
+        ).localCheckpoint()
+        n_changed = updated.where("changed").count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def near_dedup(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop near-duplicates: for every connected component of the pair graph
+    keep only the minimum-id representative. Rows never appearing in a pair
+    pass through untouched (left_anti against non-representatives)."""
+    comp = connected_components(pairs)
+    drop = comp.where(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
+    return df.join(drop, on=id_col, how="left_anti")

@@ -156,3 +156,35 @@ def test_multimodal_decode_plumbing(spark):
 
     frames = sample_frames(media.where("kind = 'video'"), every_nth=10)
     assert frames.columns  # plumbing exists; schema stable
+
+
+def test_connected_components_and_near_dedup(spark, docs):
+    from pdfextractor_spark.ops.dedup import connected_components, near_dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+    all_docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(12)], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in near_dedup(all_docs, pairs).collect())
+    # one representative (min id) per component; untouched ids pass through
+    assert kept == [0, 1, 5, 7, 8, 11]
+
+
+def test_minhash_to_cluster_dedup_end_to_end(spark, docs):
+    from pdfextractor_spark.ops.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        near_dedup,
+        ngram_jaccard_pairs,
+    )
+
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_k=3)
+    cand = minhash_lsh_pairs(sigs, num_bands=8)
+    verified = ngram_jaccard_pairs(docs, cand, n=3, threshold=0.9).select("id_a", "id_b")
+    kept = near_dedup(docs, verified)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 1 in ids and 2 not in ids  # exact dup cluster keeps min id
