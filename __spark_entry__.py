@@ -477,9 +477,17 @@ def q_extract_reports(spark, sf_dir):
 
 
 def q_extract_pattern_usage(spark, sf_dir):
+    """Per-patternId cost-table rollup over the synthetic pages corpus (the
+    sf documents table is generic webtext with no cost tables, which made
+    this query trivially empty; the generated corpus exercises every
+    registered pattern family)."""
+    from pdfextractor_spark.corpus import generate_pages
+    from pdfextractor_spark.pipeline.fused import extract_fused
     from pdfextractor_spark.pipeline.gold import gold_pattern_usage
+    from pdfextractor_spark.pipeline.schema import PAGES_SCHEMA
 
-    return gold_pattern_usage(_silver_from_documents(spark, sf_dir))
+    pages = spark.createDataFrame(generate_pages(300), schema=PAGES_SCHEMA)
+    return gold_pattern_usage(extract_fused(pages, num_partitions=8))
 
 
 def q_pages_pipeline_smoke(spark, sf_dir):

@@ -156,6 +156,7 @@ def main() -> None:
 
     extraction = {
         "docs": n_docs,
+        "byte_match_rate": a_high.get("byte_match_rate"),
         "docs_per_sec@2": a_low["docs_per_sec"],
         "docs_per_sec@8": a_high["docs_per_sec"],
         "wall_sec@2": a_low["wall_sec"],

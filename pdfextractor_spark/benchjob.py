@@ -41,20 +41,23 @@ def main() -> None:
     spark = get_spark(app_name=f"benchjob-{cores}", cores=cores)
     pages = spark.read.parquet(corpus_path)
 
-    def run() -> tuple[float, int]:
+    def run() -> tuple[float, int, float | None]:
         t0 = time.perf_counter()
         silver = extract_fused(pages, num_partitions=cores * parts_mult)
         out = silver.agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("total_goals").alias("goals"),
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("failures"),
+            F.sum(F.when(F.col("text_match"), 1).otherwise(0)).alias("matched"),
+            F.sum(F.when(F.col("text_match").isNotNull(), 1).otherwise(0)).alias("parity_rows"),
         ).collect()[0]
-        return time.perf_counter() - t0, int(out["docs"])
+        rate = (out["matched"] / out["parity_rows"]) if out["parity_rows"] else None
+        return time.perf_counter() - t0, int(out["docs"]), rate
 
     # warm-up on a slice: JVM JIT, python worker fork + imports
     extract_fused(pages.limit(400), num_partitions=cores).agg(F.count(F.lit(1))).collect()
 
-    wall, docs = min(run() for _ in range(reps))
+    wall, docs, match_rate = min(run() for _ in range(reps))
     spark.stop()
     shm = os.environ.get("SPARK_LOCAL_DIRS", "")
     if shm.startswith("/dev/shm/spark-bench-"):
@@ -62,7 +65,8 @@ def main() -> None:
 
         shutil.rmtree(shm, ignore_errors=True)
     print(json.dumps({"cores": cores, "docs": docs, "wall_sec": round(wall, 3),
-                      "docs_per_sec": round(docs / wall, 2)}))
+                      "docs_per_sec": round(docs / wall, 2),
+                      "byte_match_rate": round(match_rate, 6) if match_rate is not None else None}))
 
 
 if __name__ == "__main__":
