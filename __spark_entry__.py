@@ -516,7 +516,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, num_hashes=32, shingle_k=3)
-    pairs = minhash_lsh_pairs(sigs, num_bands=8)
+    pairs = minhash_lsh_pairs(sigs, num_bands=8, sig_len=32)
     return pairs.agg(F.count(F.lit(1)).cast("long").alias("candidate_pairs"))
 
 
@@ -533,7 +533,7 @@ def q_ngram_jaccard_verify(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, num_hashes=32, shingle_k=3)
-    pairs = minhash_lsh_pairs(sigs, num_bands=8)
+    pairs = minhash_lsh_pairs(sigs, num_bands=8, sig_len=32)
     verified = ngram_jaccard_pairs(docs, pairs, n=3, threshold=0.5)
     return verified.agg(
         F.count(F.lit(1)).cast("long").alias("verified_pairs"),
@@ -561,7 +561,7 @@ def q_near_dedup_clusters(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, num_hashes=32, shingle_k=3)
-    cand = minhash_lsh_pairs(sigs, num_bands=8)
+    cand = minhash_lsh_pairs(sigs, num_bands=8, sig_len=32)
     verified = ngram_jaccard_pairs(docs, cand, n=3, threshold=0.8).select("id_a", "id_b")
     kept = near_dedup(docs, verified)
     return (

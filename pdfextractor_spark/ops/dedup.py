@@ -105,11 +105,24 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return df.select(F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("signature"))
 
 
-def minhash_lsh_pairs(signatures: DataFrame, num_bands: int = 16) -> DataFrame:
-    """Candidate near-dup pairs via banding: equal band-hash -> bucket
-    self-join. The heavy cross-product only happens inside buckets."""
-    sig_len_row = signatures.select(F.size("signature").alias("n")).limit(1).collect()
-    sig_len = sig_len_row[0]["n"] if sig_len_row else 0
+def minhash_lsh_pairs(signatures: DataFrame, num_bands: int = 16,
+                      sig_len: int | None = None, max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-dup pairs via banding: equal band-hash -> bucket ->
+    in-bucket pair expansion.
+
+    Single pass over the (expensive) signature input: ONE shuffle keyed on
+    (band, band_hash), pairs generated map-side from the collected bucket.
+    The previous self-join formulation evaluated the signature UDF twice
+    (once per join side) and shuffled both sides.
+
+    ``sig_len`` skips the probe job when the caller knows ``num_hashes``.
+    ``max_bucket`` is an explicit skew guard: a bucket of b ids emits
+    b(b-1)/2 pairs, so a degenerate flood (e.g. near-empty boilerplate all
+    sharing one band) is dropped rather than exploding quadratically — run
+    exact dedup first, which removes identical-text floods."""
+    if sig_len is None:
+        sig_len_row = signatures.select(F.size("signature").alias("n")).limit(1).collect()
+        sig_len = sig_len_row[0]["n"] if sig_len_row else 0
     rows_per_band = max(1, sig_len // num_bands)
     banded = signatures.select(
         "id",
@@ -120,13 +133,18 @@ def minhash_lsh_pairs(signatures: DataFrame, num_bands: int = 16) -> DataFrame:
             ])
         ).alias("band", "band_hash"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pos = buckets.select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
     return (
-        left.join(right, (F.col("l.band") == F.col("r.band"))
-                  & (F.col("l.band_hash") == F.col("r.band_hash"))
-                  & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        pos.select(
+            "id_a",
+            F.explode(F.slice(F.col("ids"), F.col("i") + F.lit(2),
+                              F.greatest(F.size("ids") - F.col("i") - 1, F.lit(0)))).alias("id_b"),
+        )
         .distinct()
     )
 
@@ -183,18 +201,28 @@ def simhash_dup_pairs(hashes: DataFrame, max_hamming: int = 3, num_blocks: int =
             for b in range(num_blocks)
         ])).alias("block", "block_val"),
     )
-    l, r = blocked.alias("l"), blocked.alias("r")
-    cand = (
-        l.join(r, (F.col("l.block") == F.col("r.block"))
-               & (F.col("l.block_val") == F.col("r.block_val"))
-               & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                F.col("l.simhash").alias("h_a"), F.col("r.simhash").alias("h_b"))
-        .distinct()
+    # bucket-group + in-bucket expansion: the simhash UDF is evaluated once
+    # and shuffled once (the self-join form computed it per join side).
+    # array_sort on struct(id, simhash) orders by id, so pairs come out
+    # id_a < id_b; max bucket width 2^16 per block value keeps expansion
+    # bounded, and hamming filtering happens map-side before the distinct.
+    buckets = (
+        blocked.groupBy("block", "block_val")
+        .agg(F.array_sort(F.collect_set(F.struct("id", "simhash"))).alias("xs"))
+        .where(F.size("xs") >= 2)
     )
+    pos = buckets.select(F.posexplode("xs").alias("i", "a"), F.col("xs"))
+    cand = pos.select(
+        F.col("a.id").alias("id_a"), F.col("a.simhash").alias("h_a"),
+        F.explode(F.slice(F.col("xs"), F.col("i") + F.lit(2),
+                          F.greatest(F.size("xs") - F.col("i") - 1, F.lit(0)))).alias("b"),
+    ).select("id_a", "h_a", F.col("b.id").alias("id_b"), F.col("b.simhash").alias("h_b"))
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return cand.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

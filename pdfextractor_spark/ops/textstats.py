@@ -48,9 +48,13 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + a BPE-ish proxy (ceil(chars/4)) used by training
-    pipelines for budget estimates."""
+    pipelines for budget estimates.
+
+    ``regexp_count(\\S+)`` == count of non-empty split(\\s+) pieces, but stays
+    inside whole-stage codegen and never materializes a token array (the
+    split+higher-order-filter form is ~2x slower at equal semantics)."""
     c = F.col(text_col)
-    ws_tokens = F.size(F.filter(F.split(c, r"\s+"), lambda w: w != ""))
+    ws_tokens = F.regexp_count(c, F.lit(r"\S+"))
     return (
         df.withColumn("ws_tokens", ws_tokens)
         .withColumn("approx_bpe_tokens", F.ceil(F.length(c) / F.lit(4.0)).cast("int"))
@@ -63,13 +67,14 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     score = 0.4*stopword_share + 0.3*(1-digit_ratio) + 0.3*min(1, chars/500)."""
     c = F.col(text_col)
     n = F.greatest(F.length(c), F.lit(1))
-    digits = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    # translate is a plain char-map (no regex engine) — same count, ~2x faster
+    digits = F.length(c) - F.length(F.translate(c, "0123456789", ""))
     punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
     padded = _padded(c)
     stop_hits = F.lit(0)
     for m in _LANG_MARKERS["en"]:
         stop_hits = stop_hits + (F.length(padded) - F.length(F.replace(padded, F.lit(m)))) / F.lit(len(m))
-    words = F.greatest(F.size(F.filter(F.split(c, r"\s+"), lambda w: w != "")), F.lit(1))
+    words = F.greatest(F.regexp_count(c, F.lit(r"\S+")), F.lit(1))
     digit_ratio = digits / n
     punct_ratio = punct / n
     stop_share = F.least(stop_hits / words, F.lit(1.0))
