@@ -649,6 +649,166 @@ def q_bmp_filter_impact(spark, sf_dir):
     )
 
 
+def q_asof_last_order(spark, sf_dir):
+    """As-of join (events -> latest order at/before event ts per user) via the
+    scalable union+window formulation in ops/joins.py — one shuffle on the
+    key, no per-key candidate explosion."""
+    from pdfextractor_spark.ops.joins import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    joined = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+        right_order=["o_orderdate", "o_orderkey"],
+        how="inner",
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.col("asof_o_orderkey").alias("last_orderkey"),
+        F.datediff(F.col("ts").cast("date"), F.col("asof_o_orderdate").cast("date")).alias("days_since"),
+    )
+
+
+def q_order_status_pivot(spark, sf_dir):
+    """Pivot: order counts per year x status (missing combos coalesce to 0)."""
+    orders = _t(spark, sf_dir, "orders")
+    p = (
+        orders.withColumn("year", F.year("o_orderdate"))
+        .groupBy("year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "year",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s) for s in ["F", "O", "P"]],
+    ).orderBy("year")
+
+
+def q_revenue_rollup(spark, sf_dir):
+    """ROLLUP (nation, year) with grouping_id; dims broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    base = (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .select(F.col("n_name"), F.year("o_orderdate").alias("yr"), "o_totalprice")
+    )
+    return (
+        base.rollup("n_name", "yr")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("orders"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            F.coalesce("yr", F.lit(0)).cast("long").alias("yr"),
+            "revenue", "orders", "gid",
+        )
+        .orderBy("gid", "n_name", "yr")
+    )
+
+
+def q_cumulative_monthly_revenue(spark, sf_dir):
+    """Running (cumulative) monthly revenue per order priority — partitioned
+    window, explicit ROWS frame on both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("priority").orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "priority", "month",
+        F.round("rev", 4).alias("month_revenue"),
+        F.round(F.sum("rev").over(w), 4).alias("cum_revenue"),
+    ).orderBy("priority", "month")
+
+
+def q_pending_orders_by_priority(spark, sf_dir):
+    """EXISTS-style left-semi join: orders having >=1 returned lineitem."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, orders["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("orders_with_returns"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share, part dim broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+            / F.sum(disc),
+            6,
+        ).alias("promo_share_pct"),
+        F.round(F.sum(disc), 4).alias("total_revenue"),
+    )
+
+
+def q_part_size_bands(spark, sf_dir):
+    """Broadcast range (band) join: p_size BETWEEN lo AND hi against an
+    inline band dim -> BroadcastNestedLoopJoin, never a shuffled cartesian."""
+    from pdfextractor_spark.ops.joins import range_join_broadcast
+
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("small", 1, 10), ("medium", 11, 25), ("large", 26, 50)],
+        "band string, lo int, hi int",
+    )
+    return (
+        range_join_broadcast(part, bands, "p_size")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+def q_embedding_norm_stats(spark, sf_dir):
+    """Higher-order array functions: per-label L2-norm rollup over the
+    embeddings table (aggregate fold stays JVM-side, no UDF)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return (
+        emb.select("label", F.sqrt(sq_sum).alias("norm"), F.size("embedding").alias("dim"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vecs"),
+            F.round(F.sum("norm"), 4).alias("sum_norm"),
+            F.min("dim").cast("long").alias("min_dim"),
+            F.max("dim").cast("long").alias("max_dim"),
+        )
+        .orderBy("label")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # dedup family
@@ -682,6 +842,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclen_percentiles": q_doclen_percentiles,
         "keyword_presence": q_keyword_presence,
         "json_props_stats": q_json_props_stats,
+        "asof_last_order": q_asof_last_order,
+        "order_status_pivot": q_order_status_pivot,
+        "revenue_rollup": q_revenue_rollup,
+        "cumulative_monthly_revenue": q_cumulative_monthly_revenue,
+        "pending_orders_by_priority": q_pending_orders_by_priority,
+        "promo_revenue_share": q_promo_revenue_share,
+        "part_size_bands": q_part_size_bands,
+        "embedding_norm_stats": q_embedding_norm_stats,
         # similarity search
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -965,5 +1133,79 @@ def oracle_sql() -> dict[str, str]:
                    FROM scored)
             SELECT query_id, neighbor_id, round(cos, 4) AS cosine, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "asof_last_order": """
+            WITH cand AS (
+              SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+                     row_number() OVER (PARTITION BY e.event_id
+                                        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+            SELECT event_id, user_id, o_orderkey AS last_orderkey,
+                   CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(ts AS DATE)) AS INT) AS days_since
+            FROM cand WHERE rn = 1
+        """,
+        "order_status_pivot": """
+            SELECT CAST(year(o_orderdate) AS INT) AS year,
+                   CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS "F",
+                   CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O",
+                   CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P"
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "revenue_rollup": """
+            SELECT coalesce(n_name, 'ALL') AS n_name,
+                   CAST(coalesce(yr, 0) AS BIGINT) AS yr,
+                   round(sum(o_totalprice), 4) AS revenue,
+                   CAST(count(*) AS BIGINT) AS orders,
+                   CAST(grouping(n_name, yr) AS BIGINT) AS gid
+            FROM (SELECT n.n_name, year(o.o_orderdate) AS yr, o.o_totalprice
+                  FROM orders o
+                  JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+            GROUP BY ROLLUP (n_name, yr)
+            ORDER BY gid, n_name, yr
+        """,
+        "cumulative_monthly_revenue": """
+            WITH monthly AS (
+              SELECT o_orderpriority AS priority,
+                     strftime(o_orderdate, '%Y-%m') AS month,
+                     sum(o_totalprice) AS rev
+              FROM orders GROUP BY 1, 2)
+            SELECT priority, month,
+                   round(rev, 4) AS month_revenue,
+                   round(sum(rev) OVER (PARTITION BY priority ORDER BY month
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_revenue
+            FROM monthly ORDER BY priority, month
+        """,
+        "pending_orders_by_priority": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS orders_with_returns
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "promo_revenue_share": """
+            SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                          THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)
+                         / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share_pct,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        """,
+        "part_size_bands": """
+            SELECT band, CAST(count(*) AS BIGINT) AS parts,
+                   round(avg(p_retailprice), 4) AS avg_price
+            FROM part
+            JOIN (VALUES ('small', 1, 10), ('medium', 11, 25), ('large', 26, 50)) AS b(band, lo, hi)
+              ON p_size BETWEEN lo AND hi
+            GROUP BY band ORDER BY band
+        """,
+        "embedding_norm_stats": """
+            SELECT label, CAST(count(*) AS BIGINT) AS vecs,
+                   round(sum(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sum_norm,
+                   CAST(min(length(embedding)) AS BIGINT) AS min_dim,
+                   CAST(max(length(embedding)) AS BIGINT) AS max_dim
+            FROM embeddings GROUP BY label ORDER BY label
         """,
     }
