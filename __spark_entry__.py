@@ -549,6 +549,16 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, k=3, bits=6, num_tables=3)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN scale path: kmeans|| coarse quantizer, nprobe nearest buckets
+    probed per query, exact cosine re-rank inside them (rows-only: the
+    trained quantizer is not ANSI-SQL-expressible)."""
+    from pdfextractor_spark.ops.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where("vec_id < 5"), k=5, num_centroids=10, nprobe=4)
+
+
 def q_near_dedup_clusters(spark, sf_dir):
     """Full near-dedup chain: minhash -> LSH candidates -> exact Jaccard
     verify -> connected components -> keep one representative per cluster."""
@@ -853,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         # extraction engine (rows-only)
         "extract_reports": q_extract_reports,
