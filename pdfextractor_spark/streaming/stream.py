@@ -42,6 +42,7 @@ from ..pipeline.schema import PAGES_SCHEMA
 __all__ = [
     "stream_pages",
     "stream_extract",
+    "dedup_stream",
     "windowed_event_counts",
     "sessionize_events",
     "write_stream",
@@ -66,6 +67,18 @@ def stream_extract(pages_stream: DataFrame, mode: str = "exact",
     is bounded by maxFilesPerTrigger instead."""
     cols = pages_stream.select("url", "html", "text", "lang")
     return cols.mapInPandas(_fused_batches_factory(mode, bmp_filter), schema=FUSED_SCHEMA)
+
+
+def dedup_stream(stream: DataFrame, key_cols: tuple[str, ...] = ("url",),
+                 ts_col: str = "warc_ts", watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup: drop re-crawls/replays of the same key arriving
+    within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    Unlike plain ``dropDuplicates`` on a stream, state for a key is evicted
+    once the watermark passes it — bounded state at 10^12-doc scale instead
+    of an ever-growing seen-set. Cross-horizon duplicates are handled by the
+    batch exact/near dedup layer downstream (ops/dedup.py)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
 
 
 def windowed_event_counts(events_stream: DataFrame, window: str = "1 hour",

@@ -101,3 +101,20 @@ def test_sessionize_events_stateful(spark, tmp_path):
     # the operator must still run cleanly end-to-end with a stable schema
     got = spark.read.parquet(out)
     assert set(got.columns) == {"user_id", "session_start", "session_end", "events", "status"}
+
+
+def test_dedup_stream_drops_replayed_urls(spark, tmp_path, pages_dir):
+    from pdfextractor_spark.streaming.stream import dedup_stream
+
+    # replay the same 60 urls a second time (duplicate files in the source)
+    dup = spark.read.parquet(pages_dir)
+    dup.coalesce(1).write.mode("append").parquet(pages_dir)
+    assert spark.read.parquet(pages_dir).count() == 120
+
+    out = str(tmp_path / "dedup_out")
+    q = write_stream(dedup_stream(stream_pages(spark, pages_dir)), out,
+                     str(tmp_path / "dedup_ckpt"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 60
+    assert got.select("url").distinct().count() == 60
