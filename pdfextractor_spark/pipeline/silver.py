@@ -112,7 +112,9 @@ _EMPTY = {
 
 
 def build_report_row(url: str, lang: str | None, raw_text: str | None,
-                     mode: str = "exact", bmp_filter: bool = False) -> dict:
+                     mode: str = "exact", bmp_filter: bool = False,
+                     classify: bool = False) -> dict:
+    from ..extraction.classifier import classify_ambiguous
     from ..extraction.report import build_structured_report
     from ..extraction.sections import extract_sections, naive_sectionize
     from ..extraction.textutil import slugify
@@ -121,6 +123,10 @@ def build_report_row(url: str, lang: str | None, raw_text: str | None,
         return {"url": url, "lang": lang, **_EMPTY, "error": "no raw text"}
     try:
         sections = naive_sectionize(raw_text) if mode == "naive" else extract_sections(raw_text)
+        if classify:
+            # opt-in, mirroring the reference's key-gated hook between
+            # sectionize and build (routes/process.js:66)
+            sections = classify_ambiguous(sections)
         rep = build_structured_report(
             sections, source_id=slugify(url), source_file=url, raw_text=raw_text, bmp_filter=bmp_filter
         )
@@ -129,18 +135,19 @@ def build_report_row(url: str, lang: str | None, raw_text: str | None,
         return {"url": url, "lang": lang, **_EMPTY, "error": f"{type(e).__name__}: {e}"}
 
 
-def _silver_batches_factory(mode: str, bmp_filter: bool):
+def _silver_batches_factory(mode: str, bmp_filter: bool, classify: bool = False):
     def _silver_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
                 build_report_row(url, lang, raw_text if isinstance(raw_text, str) else None,
-                                 mode=mode, bmp_filter=bmp_filter)
+                                 mode=mode, bmp_filter=bmp_filter, classify=classify)
                 for url, lang, raw_text in zip(pdf["url"], pdf["lang"], pdf["raw_text"])
             ]
             yield pd.DataFrame(rows, columns=[f.name for f in SILVER_SCHEMA.fields])
     return _silver_batches
 
 
-def extract_silver(bronze_df: DataFrame, mode: str = "exact", bmp_filter: bool = False) -> DataFrame:
+def extract_silver(bronze_df: DataFrame, mode: str = "exact", bmp_filter: bool = False,
+                   classify: bool = False) -> DataFrame:
     cols = bronze_df.select("url", "lang", "raw_text")
-    return cols.mapInPandas(_silver_batches_factory(mode, bmp_filter), schema=SILVER_SCHEMA)
+    return cols.mapInPandas(_silver_batches_factory(mode, bmp_filter, classify), schema=SILVER_SCHEMA)
