@@ -556,7 +556,9 @@ def q_ann_ivf_topk(spark, sf_dir):
     from pdfextractor_spark.ops.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.where("vec_id < 5"), k=5, num_centroids=10, nprobe=4)
+    # max_iter=5: quantizer training is a build-once cost at scale; the
+    # per-round bench re-trains every run, so keep it lean here
+    return ivf_topk(emb, emb.where("vec_id < 5"), k=5, num_centroids=10, nprobe=4, max_iter=5)
 
 
 def q_near_dedup_clusters(spark, sf_dir):
@@ -696,6 +698,16 @@ def q_order_status_pivot(spark, sf_dir):
         "year",
         *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s) for s in ["F", "O", "P"]],
     ).orderBy("year")
+
+
+def q_order_status_unpivot(spark, sf_dir):
+    """Unpivot (melt) the year x status pivot back to long form — the
+    round-trip pins both wide->long operators."""
+    p = q_order_status_pivot(spark, sf_dir)
+    return (
+        p.unpivot(["year"], ["F", "O", "P"], "status", "orders")
+        .orderBy("year", "status")
+    )
 
 
 def q_revenue_rollup(spark, sf_dir):
@@ -854,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "asof_last_order": q_asof_last_order,
         "order_status_pivot": q_order_status_pivot,
+        "order_status_unpivot": q_order_status_unpivot,
         "revenue_rollup": q_revenue_rollup,
         "cumulative_monthly_revenue": q_cumulative_monthly_revenue,
         "pending_orders_by_priority": q_pending_orders_by_priority,
@@ -1162,6 +1175,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O",
                    CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P"
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "order_status_unpivot": """
+            WITH p AS (
+              SELECT CAST(year(o_orderdate) AS INT) AS year,
+                     CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS "F",
+                     CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O",
+                     CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P"
+              FROM orders GROUP BY 1)
+            SELECT year, status, orders
+            FROM p UNPIVOT (orders FOR status IN ("F", "O", "P"))
+            ORDER BY year, status
         """,
         "revenue_rollup": """
             SELECT coalesce(n_name, 'ALL') AS n_name,

@@ -39,9 +39,13 @@ HEADLINE = [
     "token_count_rollup",
     "quality_rollup",
     "ann_topk_cosine",
+    "ann_ivf_topk",
     "pricing_summary",
     "top_customers",
     "event_sessions",
+    "asof_last_order",
+    "revenue_rollup",
+    "part_size_bands",
 ]
 
 

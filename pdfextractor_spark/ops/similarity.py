@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "lsh_topk", "embedding_norms"]
+__all__ = ["cosine_topk", "lsh_topk", "embedding_norms", "ivf_build", "ivf_topk"]
 
 
 def _dot(a, b):
@@ -151,7 +151,7 @@ def ivf_build(corpus: DataFrame, num_centroids: int = 16, id_col: str = "vec_id"
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              num_centroids: int = 16, nprobe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding", seed: int = 13) -> DataFrame:
+             vec_col: str = "embedding", seed: int = 13, max_iter: int = 10) -> DataFrame:
     """Approximate top-k cosine via IVF: per query, rank centroids by cosine
     natively (the centroid table is a literal array — no shuffle, no UDF),
     probe the ``nprobe`` nearest buckets, exact re-rank inside them.
@@ -159,7 +159,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Cost per query ~ nprobe/num_centroids of the corpus instead of all of
     it; recall is tunable via nprobe. Output matches ``cosine_topk``:
     (query_id, neighbor_id, cosine, rank)."""
-    assigned, centroids = ivf_build(corpus, num_centroids, id_col, vec_col, seed)
+    assigned, centroids = ivf_build(corpus, num_centroids, id_col, vec_col, seed, max_iter)
     n_cent = len(centroids)
 
     cent_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])

@@ -82,3 +82,35 @@ def test_range_join_broadcasts_band_table(spark):
     assert "BroadcastNestedLoopJoin" in plan
     counts = {r["band"]: r["n"] for r in out.groupBy("band").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {"small": 20, "medium": 30, "large": 50}
+
+
+def test_asof_matches_naive_reference_on_random_input(spark):
+    """Randomized cross-check: asof_join == per-row argmax over the naive
+    inequality join, on 3 seeded random datasets with heavy ts ties."""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        # coarse ts grid (0..19) forces many exact ties on both sides
+        events = [(i, rng.randrange(5), rng.randrange(20)) for i in range(120)]
+        orders = [(100 + j, rng.randrange(5), rng.randrange(20)) for j in range(60)]
+
+        def expected(u, t):
+            cand = [(ts, k) for k, ou, ts in orders if ou == u and ts <= t]
+            return max(cand)[1] if cand else None
+
+        want = {eid: expected(u, t) for eid, u, t in events}
+
+        edf = spark.createDataFrame(
+            [(e, u, t) for e, u, t in events], "event_id long, user_id long, ts long")
+        odf = spark.createDataFrame(
+            [(k, u, t) for k, u, t in orders], "o_orderkey long, o_custkey long, o_ts long")
+        got = {
+            r["event_id"]: r["asof_o_orderkey"]
+            for r in asof_join(
+                edf, odf, left_key="user_id", right_key="o_custkey",
+                left_ts="ts", right_ts="o_ts", payload_cols=["o_orderkey"],
+                right_order=["o_ts", "o_orderkey"], how="left",
+            ).collect()
+        }
+        assert got == want, f"seed {seed}"
