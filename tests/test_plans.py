@@ -88,3 +88,26 @@ def test_queries_avoid_cartesian_joins(spark, sf_dir, qs):
         df = qs[name](spark, sf_dir)
         joins = join_strategies(df)
         assert "BroadcastNestedLoopJoin" not in joins, f"{name}: {joins}"
+
+
+def test_lsh_pair_generation_is_join_free(spark, sf_dir):
+    """minhash/simhash candidate pairs: bucket groupBy + in-bucket explode —
+    the plan must contain NO join operator and exactly one exchange (the
+    band/block key shuffle), so the signature UDF is evaluated once."""
+    from pdfextractor_spark.ops.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        simhash64,
+        simhash_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for pairs in (
+        minhash_lsh_pairs(minhash_signatures(docs, num_hashes=32, shingle_k=3),
+                          num_bands=8, sig_len=32),
+        simhash_dup_pairs(simhash64(docs), max_hamming=3, num_blocks=4),
+    ):
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        # one shuffle for the bucket groupBy + one for the final distinct
+        assert plan.count("Exchange hashpartitioning") <= 2
