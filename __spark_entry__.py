@@ -661,6 +661,41 @@ def q_bmp_filter_impact(spark, sf_dir):
     )
 
 
+def q_sketch_cardinality(spark, sf_dir):
+    """HLL cardinality sketch vs exact, reported as a bound check: the
+    oracle pins within_bound == TRUE, so a drifting sketch fails the gate
+    even though the raw HLL estimate is engine-specific."""
+    from pdfextractor_spark.ops.sketches import cardinality_rollup
+
+    li = _t(spark, sf_dir, "lineitem")
+    r = cardinality_rollup(li, "l_orderkey", "l_returnflag", rsd=0.02)
+    return r.select(
+        "l_returnflag",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (F.col("rel_error") <= 0.06).alias("within_bound"),
+    )
+
+
+def q_sketch_quantiles(spark, sf_dir):
+    """Approximate quantiles vs exact within 1%, same bound-flag scheme."""
+    from pdfextractor_spark.ops.sketches import quantile_rollup
+
+    li = _t(spark, sf_dir, "lineitem")
+    approx = quantile_rollup(li, "l_extendedprice", "l_returnflag",
+                             quantiles=(0.5, 0.9), accuracy=10000)
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("e90"),
+    )
+    j = approx.join(exact, "l_returnflag")
+    return j.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        ((F.abs(F.col("p50") - F.col("e50")) / F.col("e50")) < 0.01).alias("p50_within_1pct"),
+        ((F.abs(F.col("p90") - F.col("e90")) / F.col("e90")) < 0.01).alias("p90_within_1pct"),
+    ).orderBy("l_returnflag")
+
+
 def q_asof_last_order(spark, sf_dir):
     """As-of join (events -> latest order at/before event ts per user) via the
     scalable union+window formulation in ops/joins.py — one shuffle on the
@@ -865,6 +900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_presence": q_keyword_presence,
         "json_props_stats": q_json_props_stats,
         "asof_last_order": q_asof_last_order,
+        "sketch_cardinality": q_sketch_cardinality,
+        "sketch_quantiles": q_sketch_quantiles,
         "order_status_pivot": q_order_status_pivot,
         "order_status_unpivot": q_order_status_unpivot,
         "revenue_rollup": q_revenue_rollup,
@@ -1157,6 +1194,17 @@ def oracle_sql() -> dict[str, str]:
                    FROM scored)
             SELECT query_id, neighbor_id, round(cos, 4) AS cosine, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "sketch_cardinality": """
+            SELECT l_returnflag,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+                   TRUE AS within_bound
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "sketch_quantiles": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   TRUE AS p50_within_1pct, TRUE AS p90_within_1pct
+            FROM lineitem GROUP BY 1 ORDER BY 1
         """,
         "asof_last_order": """
             WITH cand AS (
