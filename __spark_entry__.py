@@ -696,6 +696,24 @@ def q_sketch_quantiles(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+_MIX = {"en": 0.5, "es": 1.0, "fr": 1.0, "de": 1.0, "zh": 0.4}
+
+
+def q_stratified_mixture(spark, sf_dir):
+    """Exact stratified sample (hash-rank cut) for a target language
+    mixture; the oracle recomputes kept = ceil(frac * n) exactly."""
+    from pdfextractor_spark.ops.sampling import exact_stratified_sample, mixture_report
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = exact_stratified_sample(docs, "lang", _MIX, id_col="doc_id")
+    return mixture_report(docs, sampled, "lang", _MIX).select(
+        "lang",
+        F.col("total").cast("long").alias("total"),
+        F.col("kept").cast("long").alias("kept"),
+        "achieved", "target",
+    )
+
+
 def q_asof_last_order(spark, sf_dir):
     """As-of join (events -> latest order at/before event ts per user) via the
     scalable union+window formulation in ops/joins.py — one shuffle on the
@@ -901,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "asof_last_order": q_asof_last_order,
         "sketch_cardinality": q_sketch_cardinality,
+        "stratified_mixture": q_stratified_mixture,
         "sketch_quantiles": q_sketch_quantiles,
         "order_status_pivot": q_order_status_pivot,
         "order_status_unpivot": q_order_status_unpivot,
@@ -1194,6 +1213,17 @@ def oracle_sql() -> dict[str, str]:
                    FROM scored)
             SELECT query_id, neighbor_id, round(cos, 4) AS cosine, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "stratified_mixture": """
+            WITH t AS (SELECT lang, count(*) AS total FROM documents GROUP BY lang),
+                 m AS (SELECT * FROM (VALUES ('en', 0.5), ('es', 1.0), ('fr', 1.0),
+                                             ('de', 1.0), ('zh', 0.4)) AS v(lang, target))
+            SELECT t.lang,
+                   CAST(t.total AS BIGINT) AS total,
+                   CAST(ceil(m.target * t.total) AS BIGINT) AS kept,
+                   round(ceil(m.target * t.total) / t.total, 6) AS achieved,
+                   m.target AS target
+            FROM t JOIN m ON t.lang = m.lang ORDER BY t.lang
         """,
         "sketch_cardinality": """
             SELECT l_returnflag,

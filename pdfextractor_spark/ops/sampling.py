@@ -1,0 +1,63 @@
+"""Stratified sampling: the data-mixing primitive of training pipelines
+(per-language / per-source downsampling to hit a target mixture).
+
+``sampleBy`` is a map-only Bernoulli filter — no shuffle, no collect; each
+row flips a seeded coin keyed by its stratum, so the plan is a pure
+filter over the scan and parallelizes trivially at 10^12 docs. Achieved
+fractions concentrate around the targets at rate O(1/sqrt(n_stratum));
+callers that need EXACT counts per stratum should instead rank with
+row_number over a hash order and cut (exact but costs one shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["stratified_sample", "exact_stratified_sample", "mixture_report"]
+
+
+def stratified_sample(df: DataFrame, group_col: str, fractions: dict[str, float],
+                      seed: int = 29) -> DataFrame:
+    """Bernoulli per-stratum sample (map-only; approximate counts)."""
+    return df.sampleBy(group_col, fractions, seed)
+
+
+def exact_stratified_sample(df: DataFrame, group_col: str, fractions: dict[str, float],
+                            id_col: str, seed: int = 29) -> DataFrame:
+    """Exact per-stratum fractions: deterministic hash-order rank within the
+    stratum, keep the first ceil(frac * n). One shuffle on the stratum key;
+    reproducible for any seed regardless of partitioning."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+    n_w = Window.partitionBy(group_col)
+    frac = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])[F.col(group_col)],
+        F.lit(0.0),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(n_w))
+        .where(F.col("_rn") <= F.ceil(frac * F.col("_n")))
+        .drop("_rn", "_n")
+    )
+
+
+def mixture_report(full: DataFrame, sampled: DataFrame, group_col: str,
+                   fractions: dict[str, float]) -> DataFrame:
+    """Per-stratum achieved vs target fraction (for bound checking)."""
+    tgt = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
+    a = full.groupBy(group_col).agg(F.count(F.lit(1)).alias("total"))
+    b = sampled.groupBy(group_col).agg(F.count(F.lit(1)).alias("kept"))
+    return (
+        a.join(b, group_col, "left")
+        .select(
+            group_col,
+            "total",
+            F.coalesce("kept", F.lit(0)).alias("kept"),
+            F.round(F.coalesce("kept", F.lit(0)) / F.col("total"), 6).alias("achieved"),
+            F.coalesce(tgt[F.col(group_col)], F.lit(0.0)).alias("target"),
+        )
+        .orderBy(group_col)
+    )
