@@ -50,7 +50,10 @@ def test_slugify_idempotent_and_shape(s):
        st.integers(min_value=0, max_value=99))
 def test_money_roundtrip(dollars, cents):
     s = f"${dollars:,}.{cents:02d}"
-    assert money_to_number(s) == dollars + cents / 100
+    # expected must be built the same way JS Number(...) parses — via the
+    # decimal string — not as dollars + cents/100, whose double rounding can
+    # differ in the last ulp (e.g. float("1.82") != 1 + 82/100)
+    assert money_to_number(s) == float(f"{dollars}.{cents:02d}")
 
 
 @given(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False))
