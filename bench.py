@@ -46,6 +46,8 @@ HEADLINE = [
     "asof_last_order",
     "revenue_rollup",
     "part_size_bands",
+    "sketch_cardinality",
+    "stratified_mixture",
 ]
 
 
