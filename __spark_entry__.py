@@ -193,10 +193,14 @@ def q_top_customers(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("orders"),
     )
     joined = revenue.join(F.broadcast(customer), revenue["o_custkey"] == customer["c_custkey"])
+    # Global top-k via orderBy().limit(k): TakeOrderedAndProject computes a
+    # per-partition top-10 then merges 10-row heaps on the driver — never a
+    # partition-less WindowExec funneling every customer to one task. The
+    # rank is attached afterwards on the 10-row result (trivially cheap).
+    top = joined.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
     return (
-        joined.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where("rank <= 10")
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "c_custkey", "c_name", "revenue", "orders")
     )
 

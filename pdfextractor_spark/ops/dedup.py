@@ -106,7 +106,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def minhash_lsh_pairs(signatures: DataFrame, num_bands: int = 16,
-                      sig_len: int | None = None, max_bucket: int = 1000) -> DataFrame:
+                      sig_len: int | None = None, max_bucket: int = 1000,
+                      log_dropped: bool = False) -> DataFrame:
     """Candidate near-dup pairs via banding: equal band-hash -> bucket ->
     in-bucket pair expansion.
 
@@ -119,7 +120,13 @@ def minhash_lsh_pairs(signatures: DataFrame, num_bands: int = 16,
     ``max_bucket`` is an explicit skew guard: a bucket of b ids emits
     b(b-1)/2 pairs, so a degenerate flood (e.g. near-empty boilerplate all
     sharing one band) is dropped rather than exploding quadratically — run
-    exact dedup first, which removes identical-text floods."""
+    exact dedup first, which removes identical-text floods.
+
+    ``log_dropped=True`` makes the guard observable instead of silent: the
+    bucket aggregate is persisted (so the signature UDF still runs once),
+    oversized buckets are counted eagerly, and a warning with the dropped
+    bucket count + max size is emitted so callers can detect degraded
+    recall (e.g. a boilerplate flood) rather than discovering it later."""
     if sig_len is None:
         sig_len_row = signatures.select(F.size("signature").alias("n")).limit(1).collect()
         sig_len = sig_len_row[0]["n"] if sig_len_row else 0
@@ -133,11 +140,25 @@ def minhash_lsh_pairs(signatures: DataFrame, num_bands: int = 16,
             ])
         ).alias("band", "band_hash"),
     )
-    buckets = (
-        banded.groupBy("band", "band_hash")
-        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-    )
+    buckets_all = banded.groupBy("band", "band_hash").agg(
+        F.array_sort(F.collect_set("id")).alias("ids")
+    ).where(F.size("ids") >= 2)
+    if log_dropped:
+        buckets_all = buckets_all.persist()
+        over = buckets_all.where(F.size("ids") > max_bucket).agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.size("ids")).alias("biggest")
+        ).collect()[0]
+        if over["n"]:
+            import warnings
+
+            warnings.warn(
+                f"minhash_lsh_pairs: dropped {over['n']} LSH bucket(s) larger than "
+                f"max_bucket={max_bucket} (largest={over['biggest']}); near-dup recall "
+                "is degraded for those documents — run exact_dedup first or raise "
+                "max_bucket",
+                stacklevel=2,
+            )
+    buckets = buckets_all.where(F.size("ids") <= max_bucket)
     pos = buckets.select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
     return (
         pos.select(
@@ -276,11 +297,15 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """(id, component) for every id appearing in ``pairs`` (id_a, id_b).
 
-    Iterative min-label propagation: each round every node takes the minimum
-    label among itself and its neighbors; stops at fixed point. Near-dup
-    clusters have tiny diameters, so this converges in a handful of rounds;
-    each round is one join + one groupBy (both keyed on uniform ids), with
-    ``localCheckpoint`` truncating the growing plan lineage."""
+    Iterative min-label propagation with pointer jumping: each round every
+    node takes the minimum label among itself and its neighbors, then labels
+    are compressed one hop (``component <- component[component]``), doubling
+    the propagation reach per round so a component of diameter d converges
+    in O(log d) rounds instead of O(d). Each round is two joins + one
+    groupBy (all keyed on uniform ids), with ``localCheckpoint`` truncating
+    the growing plan lineage. If ``max_iter`` is exhausted before the fixed
+    point (astronomically unlikely at 2^max_iter reach) a warning is raised
+    so callers never silently consume split components."""
     edges = pairs.select("id_a", "id_b")
     sym = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -288,6 +313,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = (
         sym.select(F.col("id_a").alias("id")).distinct().withColumn("component", F.col("id"))
     ).localCheckpoint()
+    n_changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["id_b"] == labels["id"])
@@ -301,11 +327,31 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"),
                 (F.col("nbr_min").isNotNull() & (F.col("nbr_min") < F.col("component"))).alias("changed"),
             )
+        )
+        # pointer jump: relabel through the parent's label (component is
+        # always an id present in `labels`, so the self-join resolves)
+        parent = updated.select(F.col("id").alias("p_id"), F.col("component").alias("p_comp"))
+        updated = (
+            updated.join(parent, updated["component"] == parent["p_id"], "left")
+            .select(
+                "id",
+                F.coalesce(F.col("p_comp"), F.col("component")).alias("component"),
+                "changed",
+            )
         ).localCheckpoint()
         n_changed = updated.where("changed").count()
         labels = updated.drop("changed")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: max_iter={max_iter} exhausted before the fixed "
+            f"point ({n_changed} labels still changing) — returned components may be "
+            "split; raise max_iter",
+            stacklevel=2,
+        )
     return labels
 
 

@@ -40,15 +40,24 @@ def asof_join(
     left columns + ``asof_<payload>`` columns. ``how='left'`` keeps left
     rows with no prior right row (null payloads); ``'inner'`` drops them.
     """
+    from pyspark.sql.types import StructField, StructType
+
     right_order = right_order or payload_cols
     lcols = left.columns
-    payload_types = {c: right.schema[c].dataType for c in payload_cols}
+    # ONE struct holds every payload field: a right row whose individual
+    # payload fields are NULL still produces a non-null struct, so (a) all
+    # asof_* fields always come from the SAME right row (no cross-row
+    # splicing from per-column last()), and (b) inner-match detection does
+    # not depend on any payload field being non-null.
+    payload_struct_t = StructType(
+        [StructField(c, right.schema[c].dataType) for c in payload_cols]
+    )
 
     l_tagged = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias("_asof_side"),
-        *[F.lit(None).cast(payload_types[c]).alias(f"_asof_{c}") for c in payload_cols],
+        F.lit(None).cast(payload_struct_t).alias("_asof_payload"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_asof_ord_{i}")
           for i, c in enumerate(right_order)],
     )
@@ -59,7 +68,7 @@ def asof_join(
         ],
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),
-        *[F.col(c).alias(f"_asof_{c}") for c in payload_cols],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_asof_payload"),
         *[F.col(c).alias(f"_asof_ord_{i}") for i, c in enumerate(right_order)],
     )
     unioned = l_tagged.unionByName(r_tagged)
@@ -74,11 +83,15 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         F.col("_asof_side").alias("_side"),
-        *[F.last(f"_asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in payload_cols],
+        F.last("_asof_payload", ignorenulls=True).over(w).alias("_asof_p"),
     )
     out = filled.where(F.col("_side") == 1).drop("_side")
     if how == "inner":
-        out = out.where(F.col(f"asof_{payload_cols[0]}").isNotNull())
+        out = out.where(F.col("_asof_p").isNotNull())
+    out = out.select(
+        *lcols,
+        *[F.col(f"_asof_p.{c}").alias(f"asof_{c}") for c in payload_cols],
+    )
     return out
 
 

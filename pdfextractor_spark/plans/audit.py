@@ -73,6 +73,65 @@ def codegen_span_count(df: DataFrame) -> int:
     return len(set(re.findall(r"\[codegen id : (\d+)\]", text)))
 
 
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """Split ``[a], [b [c]], [d]`` into top-level bracket groups."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start >= 0:
+                groups.append(s[start + 1 : i])
+                start = -1
+    return groups
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Window operators with NO partitioning whose input is unbounded.
+
+    A ``Window`` node prints 2 top-level bracket groups (functions, order)
+    when partition-less and 3 (functions, partition, order) when
+    partitioned. A partition-less window funnels its entire input to a
+    single task — the classic scale-killer — UNLESS its subtree contains a
+    limit (TakeOrderedAndProject / GlobalLimit / CollectLimit), which bounds
+    the single partition to k rows. Returns the offending plan lines (empty
+    list = plan is scale-safe)."""
+    lines = explain_str(df, "simple").splitlines()
+
+    def indent_of(line: str) -> int:
+        # operator depth = column of the first letter (tree prefixes are
+        # made of spaces, ':', '+', '-' only)
+        m = re.search(r"[A-Za-z]", line)
+        return m.start() if m else len(line)
+
+    bad = []
+    for i, line in enumerate(lines):
+        m = re.search(r"\bWindow\b\s*(\[.*)$", line)
+        if not m:
+            continue
+        groups = _top_level_bracket_groups(m.group(1))
+        # 3 groups = (funcs, partition, order): partitioned, fine.
+        # 2 groups = (funcs, partition) for an unordered window — fine — or
+        # (funcs, order) for a partition-less one; order specs always print
+        # sort directions, partition specs never do.
+        if len(groups) != 2 or not re.search(r"\b(?:ASC|DESC) NULLS\b", groups[1]):
+            continue
+        ind = indent_of(line)
+        bounded = False
+        for sub in lines[i + 1 :]:
+            if sub.strip() and indent_of(sub) <= ind:
+                break
+            if re.search(r"TakeOrderedAndProject|GlobalLimit|CollectLimit", sub):
+                bounded = True
+                break
+        if not bounded:
+            bad.append(line.strip())
+    return bad
+
+
 def plan_summary(df: DataFrame) -> dict:
     return {
         "pushed_filters": pushed_filters(df),

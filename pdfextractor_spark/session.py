@@ -1,8 +1,12 @@
 """SparkSession factory tuned for the extraction workload.
 
 Key choices (SURVEY §4):
-- Arrow enabled with a *small* ``maxRecordsPerBatch`` so a batch of multi-MB
-  documents fits executor memory (huge text cells).
+- Arrow enabled with ``maxRecordsPerBatch`` defaulting to 1024 (override via
+  ``SPARK_GRAFT_ARROW_BATCH``): large enough to amortize Arrow transfer +
+  UDF dispatch overhead on the ~kB synthetic documents (raised from the
+  initial 256 after measurement), small enough that a batch of multi-MB
+  documents still fits executor memory — drop the env var for corpora with
+  much bigger text cells.
 - AQE on: coalesces post-shuffle partitions and splits skewed ones at runtime.
 - ``spark.sql.shuffle.partitions`` sized to cores (local mode); on a real
   cluster this scales with executor count.

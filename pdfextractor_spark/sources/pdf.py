@@ -97,7 +97,10 @@ def make_pdf(pages: list[list[tuple[float, float, str]]], compress: bool = True)
 _OBJ_HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj")
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+# negative lookahead rejects indirect references like "/Length 5 0 R" (the
+# first integer is an object number, not a byte count); when no literal
+# length is present callers fall back to the endstream scan
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 
 

@@ -13,6 +13,7 @@ from pdfextractor_spark.plans.audit import (
     plan_summary,
     pushed_filters,
     read_schemas,
+    unbounded_global_windows,
 )
 
 
@@ -88,6 +89,28 @@ def test_queries_avoid_cartesian_joins(spark, sf_dir, qs):
         df = qs[name](spark, sf_dir)
         joins = join_strategies(df)
         assert "BroadcastNestedLoopJoin" not in joins, f"{name}: {joins}"
+
+
+def test_no_unbounded_global_window_in_headline_queries(spark, sf_dir, qs):
+    """Global invariant: no headline query may contain a partition-less
+    WindowExec over unbounded input (all rows funneled to ONE task — the
+    scale-killer the driver's r01 stderr warned about). A global window is
+    allowed only above a limit (e.g. rank attach on a top-k result)."""
+    from bench import HEADLINE
+
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        bad = unbounded_global_windows(df)
+        assert not bad, f"{name}: unbounded global window(s): {bad}"
+
+
+def test_top_customers_is_take_ordered(spark, sf_dir, qs):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition top-10
+    heaps merged), never a full sort or global window over all customers."""
+    from pdfextractor_spark.plans.audit import explain_str
+
+    df = qs["top_customers"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(df, "simple")
 
 
 def test_lsh_pair_generation_is_join_free(spark, sf_dir):
