@@ -707,3 +707,791 @@ class PdfDocument:
         elif isinstance(c, StreamObj):
             parts.append(_decode_stream_data(self, c.dict, c.raw))
         return b"\n".join(parts)
+
+# ---------------------------------------------------------------------------
+# Encodings / glyph lists (PDF 1.7 Annex D; Adobe Glyph List subset)
+# ---------------------------------------------------------------------------
+
+# WinAnsiEncoding -> unicode. Matches the pdf.js encoding table: cp1252 with
+# code 0xA0 mapped to the 'space' glyph (U+0020, NOT nbsp) and 0xAD to
+# 'hyphen' (U+002D); unassigned cp1252 codes fall back to chr(code).
+def _build_winansi() -> dict[int, str]:
+    table = {}
+    for c in range(32, 256):
+        try:
+            table[c] = bytes([c]).decode("cp1252")
+        except UnicodeDecodeError:
+            table[c] = chr(c)
+    table[0xA0] = " "
+    table[0xAD] = "-"
+    return table
+
+
+WIN_ANSI = _build_winansi()
+
+MAC_ROMAN = {c: bytes([c]).decode("mac_roman", errors="replace") for c in range(32, 256)}
+
+# Adobe Glyph List subset covering Latin text + punctuation that real-world
+# office-suite PDFs use via /Differences.
+AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#", "dollar": "$",
+    "percent": "%", "ampersand": "&", "quotesingle": "'", "parenleft": "(",
+    "parenright": ")", "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "zero": "0", "one": "1", "two": "2", "three": "3",
+    "four": "4", "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=", "greater": ">",
+    "question": "?", "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_", "grave": "`",
+    "braceleft": "{", "bar": "|", "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•", "ellipsis": "…",
+    "dagger": "†", "daggerdbl": "‡", "perthousand": "‰",
+    "guilsinglleft": "‹", "guilsinglright": "›", "guillemotleft": "«",
+    "guillemotright": "»", "trademark": "™", "registered": "®",
+    "copyright": "©", "degree": "°", "plusminus": "±",
+    "multiply": "×", "divide": "÷", "florin": "ƒ", "fraction": "⁄",
+    "cent": "¢", "sterling": "£", "yen": "¥", "currency": "¤",
+    "Euro": "€", "section": "§", "paragraph": "¶", "mu": "µ",
+    "brokenbar": "¦", "logicalnot": "¬", "macron": "¯",
+    "acute": "´", "cedilla": "¸", "dieresis": "¨", "tilde": "˜",
+    "circumflex": "ˆ", "caron": "ˇ", "breve": "˘", "dotaccent": "˙",
+    "ring": "˚", "ogonek": "˛", "hungarumlaut": "˝",
+    "exclamdown": "¡", "questiondown": "¿", "onequarter": "¼",
+    "onehalf": "½", "threequarters": "¾", "onesuperior": "¹",
+    "twosuperior": "²", "threesuperior": "³", "ordfeminine": "ª",
+    "ordmasculine": "º", "periodcentered": "·", "middot": "·",
+    "fi": "ﬁ", "fl": "ﬂ", "ff": "ﬀ", "ffi": "ﬃ", "ffl": "ﬄ",
+    "AE": "Æ", "ae": "æ", "OE": "Œ", "oe": "œ",
+    "Oslash": "Ø", "oslash": "ø", "Lslash": "Ł", "lslash": "ł",
+    "Thorn": "Þ", "thorn": "þ", "Eth": "Ð", "eth": "ð",
+    "germandbls": "ß", "dotlessi": "ı", "Scaron": "Š",
+    "scaron": "š", "Zcaron": "Ž", "zcaron": "ž",
+    "Ydieresis": "Ÿ", "ydieresis": "ÿ", "nbspace": " ",
+    "minus": "−", "notdef": "", ".notdef": "",
+}
+# accented latin: Aacute..., build from unicodedata names
+import unicodedata as _ud
+
+for _base in "AEIOUYaeiouyNnCcSsZzGgKkLlRrTtDdHhWw":
+    for _acc, _mark in [("acute", "́"), ("grave", "̀"), ("circumflex", "̂"),
+                        ("dieresis", "̈"), ("tilde", "̃"), ("ring", "̊"),
+                        ("cedilla", "̧"), ("macron", "̄"), ("breve", "̆"),
+                        ("caron", "̌")]:
+        _comp = _ud.normalize("NFC", _base + _mark)
+        if len(_comp) == 1:
+            AGL.setdefault(_base + _acc, _comp)
+
+# pdf.js getNormalizedUnicodes subset: ligatures and compatibility forms that
+# actually occur in office-suite PDFs (full table normalizes many more).
+NORMALIZED_UNICODES = {
+    "ﬀ": "ff", "ﬁ": "fi", "ﬂ": "fl", "ﬃ": "ffi", "ﬄ": "ffl",
+    "ﬅ": "ſt", "ﬆ": "st", "¨": " ̈", "¯": " ̄",
+    "´": " ́", "µ": "μ", "¸": " ̧",
+    "Ĳ": "IJ", "ĳ": "ij", "Ŀ": "L·", "ŀ": "l·",
+    "ŉ": "ʼn", "ſ": "s", "Ǉ": "LJ", "ǈ": "Lj",
+    "ǉ": "lj", "Ǌ": "NJ", "ǋ": "Nj", "ǌ": "nj",
+    "⁰": "0", "¹": "1", "²": "2", "³": "3", "⁴": "4",
+    "⁵": "5", "⁶": "6", "⁷": "7", "⁸": "8", "⁹": "9",
+}
+
+
+def glyph_name_to_unicode(name: str) -> str | None:
+    if name in AGL:
+        return AGL[name]
+    if len(name) == 1:
+        return name
+    if re.fullmatch(r"uni[0-9A-Fa-f]{4,6}", name):
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return None
+    if re.fullmatch(r"u[0-9A-Fa-f]{4,6}", name):
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    if re.fullmatch(r"g\d+", name) or re.fullmatch(r"cid\d+", name):
+        return None
+    # try unicodedata lookup of single letters like 'a'.. handled above
+    return None
+
+
+# ---------------------------------------------------------------------------
+# ToUnicode CMap parsing (bfchar / bfrange)
+# ---------------------------------------------------------------------------
+
+
+def parse_tounicode(data: bytes) -> dict[int, str]:
+    out: dict[int, str] = {}
+
+    def hex2int(tok: bytes) -> int:
+        return int(tok, 16)
+
+    def hex2str(tok: bytes) -> str:
+        if len(tok) % 4 == 2:
+            tok = tok  # odd byte counts: treat as UTF-16BE anyway
+        try:
+            return bytes.fromhex(tok.decode()).decode("utf-16-be", errors="replace")
+        except ValueError:
+            return ""
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for cm in re.finditer(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>", m.group(1)):
+            out[hex2int(cm.group(1))] = hex2str(cm.group(2))
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        body = m.group(1)
+        pos = 0
+        rng = re.compile(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]*)>|\[((?:\s*<[0-9A-Fa-f]*>)*)\s*\])"
+        )
+        for cm in rng.finditer(body):
+            lo, hi = hex2int(cm.group(1)), hex2int(cm.group(2))
+            if cm.group(3) is not None:
+                base = cm.group(3)
+                if not base:
+                    continue
+                basev = int(base, 16)
+                width = len(base)
+                for c in range(lo, min(hi, lo + 0xFFFF) + 1):
+                    out[c] = hex2str(b"%0*X" % (width, basev + (c - lo)))
+            else:
+                toks = re.findall(rb"<([0-9A-Fa-f]*)>", cm.group(4) or b"")
+                for i, tok in enumerate(toks):
+                    if lo + i <= hi:
+                        out[lo + i] = hex2str(tok)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fonts
+# ---------------------------------------------------------------------------
+
+
+class Font:
+    """Enough of pdf.js's Font for getTextContent: code -> (unicode, width,
+    isSpace) plus spaceWidth for fake-space thresholds."""
+
+    def __init__(self, doc: PdfDocument, fdict: dict, name: str):
+        self.loaded_name = name
+        self.vertical = False
+        self.composite = False
+        self.font_matrix = (0.001, 0.0, 0.0, 0.001, 0.0, 0.0)
+        self.to_unicode: dict[int, str] = {}
+        self.widths: dict[int, float] = {}
+        self.default_width = 0.0
+        self.is_monospace = False
+        subtype = doc.resolve(fdict.get("Subtype"))
+        d = fdict
+        if subtype == "Type0":
+            self.composite = True
+            desc = doc.resolve(d.get("DescendantFonts"))
+            dfont = doc.resolve(desc[0]) if isinstance(desc, list) and desc else {}
+            self._load_cid_widths(doc, dfont or {})
+            enc = doc.resolve(d.get("Encoding"))
+            # Identity-H/V only; other CMaps fall back to 2-byte identity
+            self.vertical = isinstance(enc, str) and enc.endswith("-V")
+        else:
+            self._load_simple(doc, d, subtype)
+        tu = doc.resolve(d.get("ToUnicode"))
+        if isinstance(tu, StreamObj):
+            try:
+                self.to_unicode = parse_tounicode(doc.stream_bytes(tu)) or self.to_unicode
+            except PdfError:
+                pass
+        self.space_width = self._compute_space_width()
+
+    # -- simple fonts --------------------------------------------------------
+
+    def _load_simple(self, doc: PdfDocument, d: dict, subtype):
+        fc = doc.resolve(d.get("FirstChar", 0)) or 0
+        widths = doc.resolve(d.get("Widths"))
+        fd = doc.resolve(d.get("FontDescriptor")) or {}
+        flags = doc.resolve(fd.get("Flags", 0)) or 0
+        self.is_monospace = bool(flags & 1)
+        symbolic = bool(flags & 4)
+        mw = doc.resolve(fd.get("MissingWidth", 0)) or 0
+        self.default_width = float(mw)
+        if isinstance(widths, list):
+            for i, w in enumerate(widths):
+                w = doc.resolve(w)
+                if isinstance(w, (int, float)):
+                    self.widths[fc + i] = float(w)
+        else:
+            # standard-14 font with no /Widths: Helvetica-ish metrics keep
+            # fake-space thresholds sane (space=278 wins over default 0)
+            self.default_width = 500.0
+            self.widths[32] = 278.0
+        enc = doc.resolve(d.get("Encoding"))
+        base_table: dict[int, str]
+        base_name = doc.resolve(d.get("BaseFont"))
+        if isinstance(enc, dict):
+            base = doc.resolve(enc.get("BaseEncoding"))
+        else:
+            base = enc
+        if base == "WinAnsiEncoding":
+            base_table = dict(WIN_ANSI)
+        elif base == "MacRomanEncoding":
+            base_table = dict(MAC_ROMAN)
+        else:
+            # StandardEncoding approximated by WinAnsi for text purposes;
+            # symbolic fonts keep the identity until ToUnicode/Differences say
+            base_table = {} if symbolic else dict(WIN_ANSI)
+        if isinstance(enc, dict):
+            diffs = doc.resolve(enc.get("Differences"))
+            if isinstance(diffs, list):
+                code = 0
+                for item in diffs:
+                    item = doc.resolve(item)
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, Name):
+                        u = glyph_name_to_unicode(str(item))
+                        if u is not None:
+                            base_table[code] = u
+                        code += 1
+        self.to_unicode = {c: u for c, u in base_table.items()}
+
+    def _load_cid_widths(self, doc: PdfDocument, dfont: dict):
+        self.default_width = float(doc.resolve(dfont.get("DW", 1000)) or 1000)
+        warr = doc.resolve(dfont.get("W"))
+        if isinstance(warr, list):
+            i = 0
+            items = [doc.resolve(x) for x in warr]
+            while i < len(items):
+                start = items[i]
+                if i + 1 < len(items) and isinstance(items[i + 1], list):
+                    for j, w in enumerate(items[i + 1]):
+                        w = doc.resolve(w)
+                        if isinstance(w, (int, float)):
+                            self.widths[int(start) + j] = float(w)
+                    i += 2
+                elif i + 2 < len(items):
+                    end, w = items[i + 1], items[i + 2]
+                    if all(isinstance(x, (int, float)) for x in (start, end, w)):
+                        for c in range(int(start), min(int(end), int(start) + 0xFFFF) + 1):
+                            self.widths[c] = float(w)
+                    i += 3
+                else:
+                    break
+
+    def _compute_space_width(self) -> float:
+        # pdf.js Font.spaceWidth: width of the glyph mapping to 'space',
+        # falling back to 'minus', 'one', 'i', then defaultWidth
+        for target in (" ", "−", "-", "1", "i"):
+            code = None
+            for c, u in self.to_unicode.items():
+                if u == target:
+                    code = c
+                    break
+            if code is not None:
+                w = self.widths.get(code)
+                if w:
+                    return w
+        return self.default_width
+
+    # -- glyph iteration -----------------------------------------------------
+
+    def chars_to_glyphs(self, raw: bytes):
+        """Yield (unicode, width, is_space) per glyph."""
+        if self.composite:
+            n = len(raw) & ~1
+            for i in range(0, n, 2):
+                code = (raw[i] << 8) | raw[i + 1]
+                u = self.to_unicode.get(code)
+                if u is None:
+                    u = chr(code) if code else ""
+                yield u, self.widths.get(code, self.default_width), False
+            if len(raw) % 2:  # dangling byte
+                code = raw[-1]
+                u = self.to_unicode.get(code, chr(code))
+                yield u, self.widths.get(code, self.default_width), code == 32
+        else:
+            for code in raw:
+                u = self.to_unicode.get(code)
+                if u is None:
+                    u = chr(code)
+                yield u, self.widths.get(code, self.default_width), code == 32
+
+
+# ---------------------------------------------------------------------------
+# Content-stream tokenizer (operators + operands, inline-image aware)
+# ---------------------------------------------------------------------------
+
+_OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+
+
+def iter_operations(content: bytes):
+    """Yield (operator: str, operands: list) in stream order."""
+    lex = Lexer(content, 0)
+    operands: list = []
+    n = len(content)
+    while True:
+        lex.skip_ws()
+        if lex.pos >= n:
+            break
+        c = content[lex.pos]
+        if c in b"/<([+-.0123456789":
+            try:
+                operands.append(lex.parse_object())
+            except PdfError:
+                lex.pos += 1
+            continue
+        m = _OP_RE.match(content, lex.pos)
+        if not m:
+            lex.pos += 1
+            operands = []
+            continue
+        op = m.group().decode("latin-1")
+        lex.pos = m.end()
+        if op == "BI":  # inline image: skip to EI at whitespace boundary
+            e = lex.pos
+            while True:
+                e = content.find(b"EI", e)
+                if e == -1:
+                    lex.pos = n
+                    break
+                if (e == 0 or content[e - 1] in _WS) and (
+                    e + 2 >= n or content[e + 2] in _REGULAR_END
+                ):
+                    lex.pos = e + 2
+                    break
+                e += 2
+            operands = []
+            continue
+        yield op, operands
+        operands = []
+
+
+# ---------------------------------------------------------------------------
+# getTextContent (pdf.js v1.10 semantics) + pdf-parse render
+# ---------------------------------------------------------------------------
+
+SPACE_FACTOR = 0.3
+MULTI_SPACE_FACTOR = 1.5
+MULTI_SPACE_FACTOR_MAX = 4
+
+
+def _mat_mul(m1, m2):
+    """pdf.js Util.transform(m1, m2): apply m2 then m1."""
+    return (
+        m1[0] * m2[0] + m1[2] * m2[1],
+        m1[1] * m2[0] + m1[3] * m2[1],
+        m1[0] * m2[2] + m1[2] * m2[3],
+        m1[1] * m2[2] + m1[3] * m2[3],
+        m1[0] * m2[4] + m1[2] * m2[5] + m1[4],
+        m1[1] * m2[4] + m1[3] * m2[5] + m1[5],
+    )
+
+
+_IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+class _TextState:
+    __slots__ = ("ctm", "font", "font_name", "font_size", "font_matrix", "char_spacing",
+                 "word_spacing", "leading", "h_scale", "rise", "tm", "tlm")
+
+    def __init__(self):
+        self.ctm = _IDENTITY
+        self.font = None
+        self.font_name = None
+        self.font_size = 0.0
+        self.font_matrix = (0.001, 0.0, 0.0, 0.001, 0.0, 0.0)
+        self.char_spacing = 0.0
+        self.word_spacing = 0.0
+        self.leading = 0.0
+        self.h_scale = 1.0
+        self.rise = 0.0
+        self.tm = list(_IDENTITY)
+        self.tlm = list(_IDENTITY)
+
+    def clone(self):
+        s = _TextState()
+        for k in self.__slots__:
+            v = getattr(self, k)
+            setattr(s, k, list(v) if isinstance(v, list) else v)
+        return s
+
+    def translate_tm(self, x, y):
+        m = self.tm
+        m[4] = m[0] * x + m[2] * y + m[4]
+        m[5] = m[1] * x + m[3] * y + m[5]
+
+    def translate_tlm(self, x, y):
+        m = self.tlm
+        m[4] = m[0] * x + m[2] * y + m[4]
+        m[5] = m[1] * x + m[3] * y + m[5]
+
+    def carriage_return(self):
+        self.translate_tlm(0, -self.leading)
+        self.tm = list(self.tlm)
+
+    def calc_tlm_advance(self, a, b, c, d, e, f):
+        """pdf.js TextState.calcTextLineMatrixAdvance."""
+        if self.font is None:
+            return None
+        m = self.tlm
+        if not (a == m[0] and b == m[1] and c == m[2] and d == m[3]):
+            return None
+        tx_diff, ty_diff = e - m[4], f - m[5]
+        if ty_diff != 0:  # horizontal fonts only
+            return None
+        den = a * d - b * c
+        if den == 0:
+            return None
+        return tx_diff * d / den
+
+
+class _Item:
+    __slots__ = ("str", "width", "ty", "initialized", "space_width", "fake_space_min",
+                 "fake_multi_space_min", "fake_multi_space_max", "run_break_allowed",
+                 "last_advance_width", "last_advance_height")
+
+    def __init__(self):
+        self.initialized = False
+        self.str = []
+        self.width = 0.0
+        self.ty = 0.0
+        self.space_width = 0.0
+        self.fake_space_min = float("inf")
+        self.fake_multi_space_min = float("inf")
+        self.fake_multi_space_max = 0.0
+        self.run_break_allowed = False
+        self.last_advance_width = 0.0
+        self.last_advance_height = 0.0
+
+
+class _TextContentBuilder:
+    """One per page; processes (possibly nested, via Form XObjects) content
+    streams and accumulates (str, transform_y) items."""
+
+    def __init__(self, doc: PdfDocument):
+        self.doc = doc
+        self.items: list[tuple[str, float]] = []
+        self.item = _Item()
+        self._font_cache: dict[int | str, Font] = {}
+
+    # -- fonts ---------------------------------------------------------------
+
+    def _get_font(self, resources: dict, name: str) -> Font | None:
+        fonts = self.doc.resolve(resources.get("Font")) if resources else None
+        if not isinstance(fonts, dict):
+            return None
+        ref = fonts.get(name)
+        key = ref.num if isinstance(ref, Ref) else f"{id(fonts)}/{name}"
+        if key in self._font_cache:
+            return self._font_cache[key]
+        fdict = self.doc.resolve(ref)
+        font = Font(self.doc, fdict, name) if isinstance(fdict, dict) else None
+        self._font_cache[key] = font
+        return font
+
+    # -- item lifecycle ------------------------------------------------------
+
+    def _ensure_item(self, ts: _TextState) -> _Item:
+        it = self.item
+        if it.initialized:
+            return it
+        font = ts.font
+        tsm = (ts.font_size * ts.h_scale, 0.0, 0.0, ts.font_size, 0.0, ts.rise)
+        trm = _mat_mul(ts.ctm, _mat_mul(tuple(ts.tm), tsm))
+        it.ty = trm[5]
+        it.width = 0.0
+        space_width = (font.space_width / 1000.0) * ts.font_size if font else 0.0
+        if space_width:
+            it.space_width = space_width
+            it.fake_space_min = space_width * SPACE_FACTOR
+            it.fake_multi_space_min = space_width * MULTI_SPACE_FACTOR
+            it.fake_multi_space_max = space_width * MULTI_SPACE_FACTOR_MAX
+            it.run_break_allowed = not (font and font.is_monospace)
+        else:
+            it.space_width = 0.0
+            it.fake_space_min = float("inf")
+            it.fake_multi_space_min = float("inf")
+            it.fake_multi_space_max = 0.0
+            it.run_break_allowed = False
+        it.last_advance_width = 0.0
+        it.last_advance_height = 0.0
+        it.initialized = True
+        return it
+
+    def _flush(self):
+        it = self.item
+        if not it.initialized:
+            return
+        self.items.append(("".join(it.str), it.ty))
+        it.initialized = False
+        it.str = []
+
+    def _add_fake_spaces(self, width: float, buf: list):
+        it = self.item
+        if width < it.fake_space_min:
+            return
+        if width < it.fake_multi_space_min:
+            buf.append(" ")
+            return
+        n = _js_math_round(width / it.space_width) if it.space_width else 0
+        while n > 0:
+            buf.append(" ")
+            n -= 1
+
+    def _build_item(self, ts: _TextState, raw: bytes):
+        font = ts.font
+        if font is None:
+            return
+        it = self._ensure_item(ts)
+        width = 0.0
+        for u, gwidth, is_space in font.chars_to_glyphs(raw):
+            u = NORMALIZED_UNICODES.get(u, u)
+            char_spacing = ts.char_spacing + (ts.word_spacing if is_space else 0.0)
+            advance = (gwidth * ts.font_matrix[0] * ts.font_size + char_spacing) * ts.h_scale
+            width += advance
+            if is_space:
+                # pdf.js does NOT push the space glyph itself: the space's
+                # whole advance goes through addFakeSpaces, so a justified
+                # space (advance >= 1.5x spaceWidth) renders as MULTIPLE
+                # spaces and an ultra-condensed one (< 0.3x) disappears —
+                # both observable throughout the reference bronze corpus
+                self._add_fake_spaces(advance, it.str)
+            else:
+                it.str.append(u)
+        ts.translate_tm(width, 0)
+        it.width += width
+        # advance of the latest show op: Td/Tm same-line moves subtract it so
+        # a move that only re-positions to the end of drawn text adds no gap
+        it.last_advance_width = width
+        it.last_advance_height = 0.0
+
+    # -- main loop -----------------------------------------------------------
+
+    def process(self, content: bytes, resources: dict, state: _TextState):
+        doc = self.doc
+        stack: list[_TextState] = []
+        ts = state
+        for op, args in iter_operations(content):
+            try:
+                if op == "Tj":
+                    if args and isinstance(args[-1], bytes):
+                        self._build_item(ts, args[-1])
+                elif op == "TJ":
+                    if not args or not isinstance(args[-1], list):
+                        continue
+                    for el in args[-1]:
+                        if isinstance(el, bytes):
+                            self._build_item(ts, el)
+                        elif isinstance(el, (int, float)):
+                            if ts.font is None:
+                                continue
+                            it = self._ensure_item(ts)
+                            advance = -(el * ts.font_size / 1000.0)
+                            offset = advance * ts.h_scale
+                            ts.translate_tm(offset, 0)
+                            break_run = it.run_break_allowed and advance > it.fake_multi_space_max
+                            if not break_run:
+                                it.width += offset
+                            if break_run:
+                                self._flush()
+                            elif advance > 0:
+                                self._add_fake_spaces(advance, it.str)
+                elif op == "Td" or op == "TD":
+                    if len(args) < 2 or not all(isinstance(a, (int, float)) for a in args[-2:]):
+                        continue
+                    tx, ty = float(args[-2]), float(args[-1])
+                    if op == "TD":
+                        ts.leading = -ty
+                    it = self.item
+                    is_same_line = ts.font is not None and ty == 0
+                    advance = tx - ty
+                    if (is_same_line and it.initialized and 0 < advance <= it.fake_multi_space_max):
+                        ts.translate_tlm(tx, ty)
+                        it.width += tx - it.last_advance_width
+                        diff = (tx - it.last_advance_width) - (ty - it.last_advance_height)
+                        self._add_fake_spaces(diff, it.str)
+                        it.last_advance_width = 0.0
+                        it.last_advance_height = 0.0
+                        continue
+                    self._flush()
+                    ts.translate_tlm(tx, ty)
+                    ts.tm = list(ts.tlm)
+                elif op == "Tm":
+                    if len(args) < 6:
+                        continue
+                    vals = [float(a) for a in args[-6:] if isinstance(a, (int, float))]
+                    if len(vals) != 6:
+                        continue
+                    it = self.item
+                    advance = ts.calc_tlm_advance(*vals)
+                    if (advance is not None and it.initialized
+                            and 0 < advance <= it.fake_multi_space_max):
+                        ts.translate_tlm(advance, 0)
+                        it.width += advance - it.last_advance_width
+                        self._add_fake_spaces(advance - it.last_advance_width, it.str)
+                        it.last_advance_width = 0.0
+                        it.last_advance_height = 0.0
+                        continue
+                    self._flush()
+                    ts.tm = list(vals)
+                    ts.tlm = list(vals)
+                elif op == "T*":
+                    self._flush()
+                    ts.carriage_return()
+                elif op == "'":
+                    self._flush()
+                    ts.carriage_return()
+                    if args and isinstance(args[-1], bytes):
+                        self._build_item(ts, args[-1])
+                elif op == '"':
+                    if len(args) >= 3:
+                        if isinstance(args[-3], (int, float)):
+                            ts.word_spacing = float(args[-3])
+                        if isinstance(args[-2], (int, float)):
+                            ts.char_spacing = float(args[-2])
+                    self._flush()
+                    ts.carriage_return()
+                    if args and isinstance(args[-1], bytes):
+                        self._build_item(ts, args[-1])
+                elif op == "Tf":
+                    if len(args) >= 2 and isinstance(args[-2], Name):
+                        name, size = str(args[-2]), args[-1]
+                        if not isinstance(size, (int, float)):
+                            continue
+                        if ts.font is not None and ts.font_name == name and ts.font_size == size:
+                            continue
+                        self._flush()
+                        ts.font = self._get_font(resources, name)
+                        ts.font_name = name
+                        ts.font_size = float(size)
+                elif op == "Tc":
+                    if args and isinstance(args[-1], (int, float)):
+                        ts.char_spacing = float(args[-1])
+                elif op == "Tw":
+                    if args and isinstance(args[-1], (int, float)):
+                        ts.word_spacing = float(args[-1])
+                elif op == "Tz":
+                    if args and isinstance(args[-1], (int, float)):
+                        ts.h_scale = float(args[-1]) / 100.0
+                elif op == "TL":
+                    if args and isinstance(args[-1], (int, float)):
+                        ts.leading = float(args[-1])
+                elif op == "Ts":
+                    if args and isinstance(args[-1], (int, float)):
+                        self._flush()
+                        ts.rise = float(args[-1])
+                elif op == "BT":
+                    self._flush()
+                    ts.tm = list(_IDENTITY)
+                    ts.tlm = list(_IDENTITY)
+                elif op == "ET":
+                    self._flush()
+                elif op == "q":
+                    stack.append(ts.clone())
+                elif op == "Q":
+                    if stack:
+                        popped = stack.pop()
+                        # pdf.js StateManager.restore replaces the whole state
+                        ts.ctm = popped.ctm
+                        ts.font = popped.font
+                        ts.font_name = popped.font_name
+                        ts.font_size = popped.font_size
+                        ts.char_spacing = popped.char_spacing
+                        ts.word_spacing = popped.word_spacing
+                        ts.leading = popped.leading
+                        ts.h_scale = popped.h_scale
+                        ts.rise = popped.rise
+                        ts.tm = list(popped.tm)
+                        ts.tlm = list(popped.tlm)
+                elif op == "cm":
+                    if len(args) >= 6 and all(isinstance(a, (int, float)) for a in args[-6:]):
+                        ts.ctm = _mat_mul(ts.ctm, tuple(float(a) for a in args[-6:]))
+                elif op == "Do":
+                    if not args or not isinstance(args[-1], Name):
+                        continue
+                    xobjs = doc.resolve(resources.get("XObject")) if resources else None
+                    if not isinstance(xobjs, dict):
+                        continue
+                    xobj = doc.resolve(xobjs.get(str(args[-1])))
+                    if not isinstance(xobj, StreamObj):
+                        continue
+                    if doc.resolve(xobj.dict.get("Subtype")) != "Form":
+                        continue
+                    self._flush()
+                    sub_state = ts.clone()
+                    mtx = doc.resolve(xobj.dict.get("Matrix"))
+                    if isinstance(mtx, list) and len(mtx) == 6:
+                        try:
+                            sub_state.ctm = _mat_mul(
+                                sub_state.ctm, tuple(float(doc.resolve(v)) for v in mtx)
+                            )
+                        except (TypeError, ValueError):
+                            pass
+                    sub_res = doc.resolve(xobj.dict.get("Resources")) or resources
+                    try:
+                        sub_content = doc.stream_bytes(xobj)
+                    except PdfError:
+                        continue
+                    self.process(sub_content, sub_res if isinstance(sub_res, dict) else {},
+                                 sub_state)
+                    self._flush()
+                elif op == "gs":
+                    gss = doc.resolve(resources.get("ExtGState")) if resources else None
+                    if isinstance(gss, dict) and args and isinstance(args[-1], Name):
+                        gs = doc.resolve(gss.get(str(args[-1])))
+                        if isinstance(gs, dict) and "Font" in gs:
+                            fspec = doc.resolve(gs["Font"])
+                            if isinstance(fspec, list) and len(fspec) == 2:
+                                fdict = doc.resolve(fspec[0])
+                                if isinstance(fdict, dict):
+                                    self._flush()
+                                    ts.font = Font(doc, fdict, "gsfont")
+                                    ts.font_name = "gsfont"
+                                    ts.font_size = float(doc.resolve(fspec[1]) or 0)
+            except (PdfError, TypeError, ValueError, IndexError):
+                continue  # pdf.js-style swallow-and-continue per operator
+        return self
+
+
+def _js_math_round(x: float) -> int:
+    """JS Math.round: half-up (toward +inf)."""
+    import math
+
+    return int(math.floor(x + 0.5))
+
+
+def page_text_items(doc: PdfDocument, page: dict) -> list[tuple[str, float]]:
+    content = doc.page_content(page)
+    resources = doc.resolve(page.get("Resources"))
+    builder = _TextContentBuilder(doc)
+    builder.process(content, resources if isinstance(resources, dict) else {}, _TextState())
+    builder._flush()
+    return builder.items
+
+
+def render_page_text(items: list[tuple[str, float]]) -> str:
+    """pdf-parse render_page: newline when transform[5] changes. NOTE the
+    reference's loose-falsy check: `!lastY` is true when the previous item's
+    y is 0 as well as on the first item."""
+    out = []
+    last_y = None
+    for s, ty in items:
+        if (last_y is not None and ty == last_y) or not last_y:
+            out.append(s)
+        else:
+            out.append("\n" + s)
+        last_y = ty
+    return "".join(out)
+
+
+def extract_text_pdfparse(data: bytes) -> tuple[str, int]:
+    """PDF bytes -> (text, numpages) with pdf-parse@1.1.1 semantics: each
+    page's text prefixed by a blank line (`ret.text + '\\n\\n' + pageText`);
+    a page that fails to parse contributes an empty string (pdf-parse
+    catches per-page errors and returns '')."""
+    doc = PdfDocument(data)
+    pages = doc.pages()
+    parts = []
+    for page in pages:
+        try:
+            parts.append(render_page_text(page_text_items(doc, page)))
+        except (PdfError, RecursionError):
+            parts.append("")
+    return "".join("\n\n" + p for p in parts), len(pages)
