@@ -782,18 +782,29 @@ for _base in "AEIOUYaeiouyNnCcSsZzGgKkLlRrTtDdHhWw":
         if len(_comp) == 1:
             AGL.setdefault(_base + _acc, _comp)
 
-# pdf.js getNormalizedUnicodes subset: ligatures and compatibility forms that
-# actually occur in office-suite PDFs (full table normalizes many more).
-NORMALIZED_UNICODES = {
-    "ﬀ": "ff", "ﬁ": "fi", "ﬂ": "fl", "ﬃ": "ffi", "ﬄ": "ffl",
-    "ﬅ": "ſt", "ﬆ": "st", "¨": " ̈", "¯": " ̄",
-    "´": " ́", "µ": "μ", "¸": " ̧",
-    "Ĳ": "IJ", "ĳ": "ij", "Ŀ": "L·", "ŀ": "l·",
-    "ŉ": "ʼn", "ſ": "s", "Ǉ": "LJ", "ǈ": "Lj",
-    "ǉ": "lj", "Ǌ": "NJ", "ǋ": "Nj", "ǌ": "nj",
-    "⁰": "0", "¹": "1", "²": "2", "³": "3", "⁴": "4",
-    "⁵": "5", "⁶": "6", "⁷": "7", "⁸": "8", "⁹": "9",
-}
+# pdf.js getNormalizedUnicodes: compatibility decompositions (the shipped
+# table is generated from the Unicode compatibility mappings — ellipsis ->
+# '...', ligatures -> letters, superscripts -> digits, fractions -> '1⁄2').
+# Rebuilt here from unicodedata: every BMP char whose decomposition carries a
+# compatibility tag (excluding <noBreak>, which pdf.js leaves alone).
+def _build_normalized_unicodes() -> dict[str, str]:
+    table: dict[str, str] = {}
+    for cp in range(0x80, 0x10000):
+        ch = chr(cp)
+        dec = _ud.decomposition(ch)
+        if not dec or not dec.startswith("<"):
+            continue
+        tag, _, rest = dec.partition("> ")
+        if tag == "<noBreak":
+            continue
+        try:
+            table[ch] = "".join(chr(int(h, 16)) for h in rest.split())
+        except ValueError:
+            continue
+    return table
+
+
+NORMALIZED_UNICODES = _build_normalized_unicodes()
 
 
 def glyph_name_to_unicode(name: str) -> str | None:
@@ -976,8 +987,18 @@ class Font:
                     break
 
     def _compute_space_width(self) -> float:
-        # pdf.js Font.spaceWidth: width of the glyph mapping to 'space',
-        # falling back to 'minus', 'one', 'i', then defaultWidth
+        # pdf.js Font.spaceWidth: tries glyphs 'space', 'minus', 'one', 'i'.
+        # For COMPOSITE fonts the charcode comes from cMap.lookup(unicode) —
+        # under Identity-H that is the unicode codepoint itself (so the
+        # width of CID 0x20, whatever glyph that is), NOT the CID that
+        # ToUnicode maps to ' '. For simple fonts toUnicode.charCodeOf(' ')
+        # resolves the charcode.
+        if self.composite:
+            for cp in (0x20, 0x2212, 0x31, 0x69):
+                w = self.widths.get(cp)
+                if w:
+                    return w
+            return self.default_width
         for target in (" ", "−", "-", "1", "i"):
             code = None
             for c, u in self.to_unicode.items():
@@ -1247,12 +1268,13 @@ class _TextContentBuilder:
             advance = (gwidth * ts.font_matrix[0] * ts.font_size + char_spacing) * ts.h_scale
             width += advance
             if is_space:
-                # pdf.js does NOT push the space glyph itself: the space's
-                # whole advance goes through addFakeSpaces, so a justified
-                # space (advance >= 1.5x spaceWidth) renders as MULTIPLE
-                # spaces and an ultra-condensed one (< 0.3x) disappears —
-                # both observable throughout the reference bronze corpus
-                self._add_fake_spaces(advance, it.str)
+                # a space glyph renders as its literal ' ' plus fake spaces
+                # covering the WORD-SPACING stretch (Tw justification ->
+                # multiple spaces). charSpacing stretch does NOT multiply
+                # spaces — pinned empirically against the reference bronze:
+                # Tw=0.12/sw=0.278 doubles, Tc=0.157/Tw=0 stays single.
+                it.str.append(" ")
+                self._add_fake_spaces(ts.word_spacing * ts.h_scale, it.str)
             else:
                 it.str.append(u)
         ts.translate_tm(width, 0)
