@@ -1000,10 +1000,30 @@ def _apply(s, chain):
     return s
 
 
+def _maybe_pass3(report: dict, raw_text: str | None, enabled: bool) -> dict:
+    """Optional pass-3 aggressive cost-cluster enrichment: only fires when
+    the report has NO normalized cost tables, exactly like the reference's
+    enrich_silver_costs_pass3.js gating."""
+    if enabled and raw_text:
+        from .pass3 import enrich_report_pass3
+
+        enrich_report_pass3(report, raw_text)
+    return report
+
+
 def build_structured_report(sections: dict, source_id=None, source_file=None,
-                            raw_text: str | None = None, bmp_filter: bool = False) -> dict:
+                            raw_text: str | None = None, bmp_filter: bool = False,
+                            raw_tables: bool = True, enrich_pass3: bool = False) -> dict:
+    """``raw_tables`` controls whether the cost-table scan also sees the raw
+    (unsectioned) lines. In the reference those lines flow in only through
+    the ``__RAW_WHOLE_TEXT__`` global, which ONLY rebuild_single_report.js
+    sets — the /process route and batch scripts run the scan on sectioned
+    lines alone, while the E8/E6/E7 raw-text fallbacks read the bronze file
+    from disk and do see the raw text. Default True (our fused engine feeds
+    the whole document; supersedes the reference's enrichment re-passes);
+    pass False to reproduce the reference's shipped silver exactly."""
     # Cost-table artifacts up front (independent of goal path)
-    cost_artifacts = parse_cost_table(sections, raw_text=raw_text)
+    cost_artifacts = parse_cost_table(sections, raw_text=raw_text if raw_tables else None)
 
     # --- Deterministic raw-text slice for primary goal (E8) -------------------
     precomputed_goals = None
@@ -1034,8 +1054,10 @@ def build_structured_report(sections: dict, source_id=None, source_file=None,
         except Exception:
             pass
     if precomputed_goals:
-        return finalize_report(precomputed_goals, sections, source_id, source_file, False,
-                               cost_artifacts, raw_text=raw_text, bmp_filter=bmp_filter)
+        return _maybe_pass3(
+            finalize_report(precomputed_goals, sections, source_id, source_file, False,
+                            cost_artifacts, raw_text=raw_text, bmp_filter=bmp_filter),
+            raw_text, enrich_pass3)
 
     goal_source_lines = list(sections["Goals"]) if sections.get("Goals") is not None else []
     has_truncated_ultimate = any(
@@ -1167,5 +1189,7 @@ def build_structured_report(sections: dict, source_id=None, source_file=None,
             )
             if base_short:
                 g["shortTitle"] = base_short
-    return finalize_report(goals, sections, source_id, source_file, fallback_goal_heuristic_used,
-                           cost_artifacts, raw_text=raw_text, bmp_filter=bmp_filter)
+    return _maybe_pass3(
+        finalize_report(goals, sections, source_id, source_file, fallback_goal_heuristic_used,
+                        cost_artifacts, raw_text=raw_text, bmp_filter=bmp_filter),
+        raw_text, enrich_pass3)

@@ -230,6 +230,12 @@ def test_registry_inventory_complete():
         "tech_assistance", "adaptive_generic_costs",
     }
     assert expected == set(REGISTERED_COST_PATTERNS)
+    # pass-3 aggressive_loose_cluster is a separate enrichment pass in the
+    # reference too (enrich_silver_costs_pass3.js), not a per-line pattern;
+    # assert it is implemented and carries the right id
+    from pdfextractor_spark.extraction.pass3 import infer_table_from_cluster  # noqa: F401
+
+    assert "aggressive_loose_cluster" not in REGISTERED_COST_PATTERNS
 
 
 def test_sub_5k_cluster_not_promoted_as_primary():
