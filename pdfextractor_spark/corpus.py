@@ -19,7 +19,7 @@ import datetime as _dt
 import random
 
 from .sources.html import extract_html_text
-from .sources.pdf import extract_pdf_text, make_pdf
+from .sources.pdf import extract_pdf_auto, extract_pdf_text, make_pdf
 
 __all__ = ["generate_pages", "PAGES_COLUMNS"]
 
@@ -399,7 +399,9 @@ def generate_pages(n_docs: int, seed: int = 42, start: int = 0) -> list[dict]:
         is_pdf = (i % 10) >= 7
         if is_pdf:
             payload = _render_pdf(body, i, two_column=(i % 30 == 9))
-            expected = extract_pdf_text(payload)[0]
+            # expected text mirrors the PIPELINE's parser order (pdf-parse
+            # primary) so the bronze byte-parity column stays meaningful
+            expected = extract_pdf_auto(payload)[0]
         else:
             html = _wrap_html(body, i)
             payload = html.encode("utf-8")

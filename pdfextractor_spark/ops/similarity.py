@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -63,6 +65,34 @@ def _hyperplanes(dim: int, bits: int, num_tables: int, seed: int = 11):
     ]
 
 
+def _signature_udf(tables):
+    """Vectorized sign-LSH signatures: ONE numpy ``(n, dim) @ (dim, T*bits)``
+    matmul per Arrow batch, bits packed per table. Replaces the previous
+    Catalyst-literal expression tree (O(tables x bits x dim) ``F.when``
+    nodes) whose plan compilation exploded at real embedding dims — the
+    plan now carries a single UDF node regardless of dim."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.asarray(tables, dtype=np.float64)  # (T, bits, dim)
+    n_tables, n_bits, dim = planes.shape
+    flat = planes.reshape(n_tables * n_bits, dim).T.copy()  # (dim, T*bits)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        mat = np.array([
+            v if v is not None and len(v) == dim else np.zeros(dim) for v in vecs
+        ], dtype=np.float64)
+        signs = (mat @ flat) > 0  # (n, T*bits)
+        sigs = (signs.reshape(len(mat), n_tables, n_bits) * weights).sum(axis=2)
+        return pd.Series(list(sigs.tolist()))
+
+    return _sig
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, bits: int = 8,
              num_tables: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int | None = None) -> DataFrame:
@@ -74,25 +104,15 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, bits: int = 8,
         first = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
         dim = first[0]["d"] if first else 0
     tables = _hyperplanes(dim, bits, num_tables)
-
-    def signature(vec):
-        sigs = []
-        for t, planes in enumerate(tables):
-            bits_expr = F.lit(0).cast("long")
-            for b, plane in enumerate(planes):
-                plane_arr = F.array(*[F.lit(float(v)) for v in plane])
-                dot = _dot(vec, plane_arr)
-                bits_expr = bits_expr + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
-            sigs.append(bits_expr)
-        return F.array(*sigs)
+    sig_udf = _signature_udf(tables)
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("cvec"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qvec"))
-    c_sig = c.withColumn("sig", signature(F.col("cvec"))).select(
+    c_sig = c.withColumn("sig", sig_udf(F.col("cvec"))).select(
         "neighbor_id", "cvec", F.posexplode("sig").alias("table", "bucket"))
-    q_sig = q.withColumn("sig", signature(F.col("qvec"))).select(
+    q_sig = q.withColumn("sig", sig_udf(F.col("qvec"))).select(
         "query_id", "qvec", F.posexplode("sig").alias("table", "bucket"))
     cand = (
         c_sig.join(F.broadcast(q_sig), ["table", "bucket"])
@@ -149,35 +169,67 @@ def ivf_build(corpus: DataFrame, num_centroids: int = 16, id_col: str = "vec_id"
     return assigned, centroids
 
 
-def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+def ivf_topk(corpus: DataFrame | None, queries: DataFrame, k: int = 5,
              num_centroids: int = 16, nprobe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding", seed: int = 13, max_iter: int = 10) -> DataFrame:
-    """Approximate top-k cosine via IVF: per query, rank centroids by cosine
-    natively (the centroid table is a literal array — no shuffle, no UDF),
-    probe the ``nprobe`` nearest buckets, exact re-rank inside them.
+             vec_col: str = "embedding", seed: int = 13, max_iter: int = 10,
+             index: tuple | None = None) -> DataFrame:
+    """Approximate top-k cosine via IVF: per query, rank centroids by
+    cosine, probe the ``nprobe`` nearest buckets, exact re-rank inside them.
+
+    ``index`` takes a PREBUILT ``(assigned, centroids)`` pair from
+    ``ivf_build`` — the scale path: train/assign once, reuse across every
+    query batch (the quantizer was previously retrained inside each call,
+    which made this the slowest headline query). When ``index`` is None the
+    quantizer is built from ``corpus`` for one-shot convenience.
+
+    Centroid ranking is native either way: a literal array expression at
+    small ``num_centroids``, a broadcast-joined centroid DataFrame above 64
+    (a literal with 65536 x dim lit nodes would melt the optimizer).
 
     Cost per query ~ nprobe/num_centroids of the corpus instead of all of
     it; recall is tunable via nprobe. Output matches ``cosine_topk``:
     (query_id, neighbor_id, cosine, rank)."""
-    assigned, centroids = ivf_build(corpus, num_centroids, id_col, vec_col, seed, max_iter)
+    if index is None:
+        if corpus is None:
+            raise ValueError("either corpus or index must be provided")
+        index = ivf_build(corpus, num_centroids, id_col, vec_col, seed, max_iter)
+    assigned, centroids = index
     n_cent = len(centroids)
 
-    cent_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qvec"))
 
-    def cent_cos(i):
-        cv = F.element_at(cent_arr, i + 1)
-        return _dot(F.col("qvec"), cv) / (_norm(F.col("qvec")) * _norm(cv))
+    if n_cent <= 64:
+        cent_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
 
-    # (negated cosine, idx) structs sort ascending => best centroids first
-    scored_cents = F.transform(
-        F.sequence(F.lit(0), F.lit(n_cent - 1)),
-        lambda i: F.struct((-cent_cos(i)).alias("d"), i.alias("i")),
-    )
-    probes = F.transform(F.slice(F.array_sort(scored_cents), 1, min(nprobe, n_cent)),
-                         lambda s: s["i"])
-    q_probed = q.select("query_id", "qvec", F.explode(probes).alias("_centroid"))
+        def cent_cos(i):
+            cv = F.element_at(cent_arr, i + 1)
+            return _dot(F.col("qvec"), cv) / (_norm(F.col("qvec")) * _norm(cv))
+
+        # (negated cosine, idx) structs sort ascending => best centroids first
+        scored_cents = F.transform(
+            F.sequence(F.lit(0), F.lit(n_cent - 1)),
+            lambda i: F.struct((-cent_cos(i)).alias("d"), i.alias("i")),
+        )
+        probes = F.transform(F.slice(F.array_sort(scored_cents), 1, min(nprobe, n_cent)),
+                             lambda s: s["i"])
+        q_probed = q.select("query_id", "qvec", F.explode(probes).alias("_centroid"))
+    else:
+        spark = queries.sparkSession
+        cent_df = spark.createDataFrame(
+            [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+            "cent_id INT, cvec ARRAY<DOUBLE>",
+        )
+        cq = q.crossJoin(F.broadcast(cent_df)).withColumn(
+            "_ccos", _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        )
+        wq = Window.partitionBy("query_id").orderBy(F.col("_ccos").desc(), F.col("cent_id"))
+        q_probed = (
+            cq.withColumn("_cr", F.row_number().over(wq))
+            .where(F.col("_cr") <= min(nprobe, n_cent))
+            .select("query_id", "qvec", F.col("cent_id").alias("_centroid"))
+        )
 
     cand = (
         assigned.join(F.broadcast(q_probed), "_centroid")

@@ -23,7 +23,7 @@ __all__ = ["extract_bronze"]
 def _extract_one(html: bytes | None, text: str | None):
     """Returns (raw_text, parser, n_pages, error)."""
     from ..sources.html import extract_html_text
-    from ..sources.pdf import PdfParseError, extract_pdf_text
+    from ..sources.pdf import PdfParseError, extract_pdf_auto
 
     if html is None or len(html) == 0:
         if text is not None:
@@ -32,8 +32,9 @@ def _extract_one(html: bytes | None, text: str | None):
     payload = bytes(html)
     if payload[:5] == b"%PDF-":
         try:
-            extracted, n_pages = extract_pdf_text(payload)
-            return extracted, "pdf", n_pages, None
+            # reference parser order: pdf-parse primary, pdfjs fallback
+            extracted, n_pages, parser = extract_pdf_auto(payload)
+            return extracted, parser, n_pages, None
         except PdfParseError as e:
             return None, "error", None, f"pdf: {e}"
         except Exception as e:  # never fail the job on one document

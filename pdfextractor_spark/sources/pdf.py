@@ -20,7 +20,26 @@ import zlib
 
 from ..extraction.textutil import js_round
 
-__all__ = ["extract_pdf_text", "make_pdf", "PdfParseError"]
+__all__ = ["extract_pdf_text", "extract_pdf_auto", "make_pdf", "PdfParseError"]
+
+
+def extract_pdf_auto(data: bytes) -> tuple[str, int, str]:
+    """PDF bytes -> (text, numpages, parser_tag) following the reference's
+    parser order (ref: backend/routes/upload.js:37-54): the pdf-parse
+    compatible extractor is PRIMARY; the pdfjs y-bucket line rebuild is the
+    FALLBACK when the primary throws. Raises PdfParseError when both fail
+    (the needs-OCR / corrupt bucket)."""
+    from .pdfjs_text import PdfError, extract_text_pdfparse
+
+    try:
+        text, n_pages = extract_text_pdfparse(data)
+        return text, n_pages, "pdf"
+    except (PdfError, RecursionError) as primary_err:
+        try:
+            text, n_pages = extract_pdf_text(data)
+            return text, n_pages, "pdf_fallback"
+        except PdfParseError as e:
+            raise PdfParseError(f"primary: {primary_err}; fallback: {e}") from e
 
 
 class PdfParseError(ValueError):

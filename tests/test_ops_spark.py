@@ -222,3 +222,47 @@ def test_ivf_output_contract(spark):
         assert r["neighbor_id"] != r["query_id"]
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def test_lsh_signature_plan_scales_to_real_dims(spark):
+    """The sign-LSH signature must stay a single vectorized-UDF node: at
+    dim=512 / 16 bits / 8 tables the old literal expression tree took
+    minutes to plan; analysis must now complete in about a second."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pdfextractor_spark.ops.similarity import _signature_udf, _hyperplanes
+
+    df = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(512)),
+                    lambda i: (i % 7).cast("double") - 3.0).alias("embedding"),
+    )
+    t0 = time.perf_counter()
+    sig = _signature_udf(_hyperplanes(512, 16, 8))
+    out = df.withColumn("sig", sig(F.col("embedding")))
+    out.schema  # forces analysis
+    assert time.perf_counter() - t0 < 5.0
+    rows = out.collect()
+    assert all(len(r["sig"]) == 8 for r in rows)
+    assert all(0 <= s < (1 << 16) for r in rows for s in r["sig"])
+    # deterministic across runs
+    assert rows == out.collect()
+
+
+def test_ivf_prebuilt_index_reused_and_df_centroid_path(spark, sf_dir):
+    from pdfextractor_spark.ops.similarity import cosine_topk, ivf_build, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index = ivf_build(emb, num_centroids=8, max_iter=3)
+    queries = emb.where("vec_id < 3")
+    a = ivf_topk(None, queries, k=3, nprobe=8, index=index)
+    # nprobe == num_centroids probes EVERY bucket -> results equal the
+    # exact brute-force top-k
+    exact = cosine_topk(emb, queries, k=3)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in exact.collect()]
+    # centroid-DataFrame path (>64 centroids) returns well-formed top-k too
+    big_index = ivf_build(emb, num_centroids=80, max_iter=2)
+    b = ivf_topk(None, queries, k=3, nprobe=80, index=big_index)
+    assert [tuple(r) for r in b.collect()] == [tuple(r) for r in exact.collect()]
