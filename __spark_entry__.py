@@ -439,37 +439,119 @@ def q_streaming_extract_smoke(spark, sf_dir):
     )
 
 
-def q_gold_cost_summary(spark, sf_dir):
-    """A4 flagship gold rollup over the synthetic extraction corpus."""
+_ORACLE_MAT_DIR = "/tmp/spark_graft_oracle"
+
+
+def _materialized_cost_tables(spark):
+    """Silver cost tables exploded flat and written to parquet ONCE so the
+    A4/A5 gold aggregations run on the same bytes in Spark AND DuckDB —
+    extraction itself is golden-fixture-verified; this puts the aggregation
+    math under the oracle. explode_outer keeps table-less reports (one
+    null-pattern row) so report_count survives."""
     from pdfextractor_spark.corpus import generate_pages
     from pdfextractor_spark.pipeline.fused import extract_fused
-    from pdfextractor_spark.pipeline.gold import gold_cost_summary
     from pdfextractor_spark.pipeline.schema import PAGES_SCHEMA
 
+    path = f"{_ORACLE_MAT_DIR}/gold_tables.parquet"
     pages = spark.createDataFrame(generate_pages(150), schema=PAGES_SCHEMA)
-    return gold_cost_summary(extract_fused(pages, num_partitions=8))
+    silver = extract_fused(pages, num_partitions=8)
+    flat = silver.select("url", F.explode_outer("cost_tables").alias("t")).select(
+        "url",
+        F.col("t.pattern_id").alias("pattern_id"),
+        F.col("t.pattern_confidence").alias("conf"),
+        F.col("t.total_reported").alias("r"),
+        F.col("t.total_computed").alias("c"),
+    )
+    flat.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def q_gold_cost_summary(spark, sf_dir):
+    """A4 flagship gold rollup (ref: backend/routes/reportSummary.js:21-108)
+    computed from the materialized flat cost-table parquet; the DuckDB
+    oracle aggregates the same parquet."""
+    flat = _materialized_cost_tables(spark)
+    per_report = flat.groupBy("url").agg(
+        F.sum(F.when(F.col("r") > 0, F.col("r")).otherwise(0.0)).alias("tr"),
+        F.sum(F.when(F.col("c") > 0, F.col("c")).otherwise(0.0)).alias("tc"),
+    )
+    totals = per_report.agg(
+        F.count(F.lit(1)).cast("long").alias("report_count"),
+        F.sum(F.when((F.col("tr") > 0) | (F.col("tc") > 0), 1).otherwise(0)).cast("long").alias("reports_with_costs"),
+        F.round(F.sum("tr"), 4).alias("total_reported"),
+        F.round(F.sum("tc"), 4).alias("total_computed"),
+    )
+    weighted = flat.agg(
+        F.round(F.sum(F.when((F.col("c") > 0) & (F.col("conf") > 0),
+                             F.col("c") * F.least(F.col("conf"), F.lit(1.0))).otherwise(0.0)), 4)
+        .alias("total_computed_weighted"))
+    return totals.crossJoin(weighted)
 
 
 def q_gold_report_costs(spark, sf_dir):
-    """A5 per-report cost rollup over the synthetic extraction corpus."""
-    from pdfextractor_spark.corpus import generate_pages
-    from pdfextractor_spark.pipeline.fused import extract_fused
-    from pdfextractor_spark.pipeline.gold import gold_report_costs
-    from pdfextractor_spark.pipeline.schema import PAGES_SCHEMA
-
-    pages = spark.createDataFrame(generate_pages(150), schema=PAGES_SCHEMA)
-    return gold_report_costs(extract_fused(pages, num_partitions=8)).orderBy("url")
+    """A5 per-report cost rollup (ref: backend/routes/list.js:38-73) from
+    the materialized flat cost-table parquet; DuckDB oracle runs the same
+    SQL over it. Reports without tables contribute one null-pattern row
+    (tables counts mirror the reference, which counts the report's table
+    list length)."""
+    flat = _materialized_cost_tables(spark)
+    return (
+        flat.groupBy("url")
+        .agg(
+            F.sum(F.when(F.col("pattern_id").isNotNull(), 1).otherwise(0)).cast("long").alias("tables"),
+            F.round(F.sum(F.when(F.col("r") > 0, F.col("r")).otherwise(0.0)), 4).alias("total_reported"),
+            F.round(F.sum(F.when(F.col("c") > 0, F.col("c")).otherwise(0.0)), 4).alias("total_computed"),
+            F.sum(F.when((F.col("r") > 0) | (F.col("c") > 0), 1).otherwise(0)).cast("long").alias("tables_with_costs"),
+        )
+        .withColumn("discrepancy", F.round(F.col("total_reported") - F.col("total_computed"), 4))
+        .orderBy("url")
+    )
 
 
 def q_gold_bmp_dedupe(spark, sf_dir):
-    """W3 cross-report BMP dedupe keep-best over the synthetic corpus."""
+    """W3 cross-report BMP dedupe keep-best (ref:
+    backend/scripts/dedupe_bmps.js:18-59). The exploded BMP list is
+    materialized to parquet; BOTH engines canonicalize (lowercase, collapse
+    whitespace, strip trailing punctuation, (feet)->(ft), naive
+    de-pluralize) and keep the max-confidence row per canonical name."""
     from pdfextractor_spark.corpus import generate_pages
     from pdfextractor_spark.pipeline.fused import extract_fused
-    from pdfextractor_spark.pipeline.gold import gold_bmp_dedupe
     from pdfextractor_spark.pipeline.schema import PAGES_SCHEMA
 
     pages = spark.createDataFrame(generate_pages(150), schema=PAGES_SCHEMA)
-    return gold_bmp_dedupe(extract_fused(pages, num_partitions=8))
+    silver = extract_fused(pages, num_partitions=8)
+    bmps = silver.select(F.explode("bmps").alias("b")).select(
+        F.col("b.name").alias("name"), F.col("b.category").alias("category"),
+        F.col("b.confidence").alias("confidence"),
+    )
+    path = f"{_ORACLE_MAT_DIR}/bmps_flat.parquet"
+    bmps.write.mode("overwrite").parquet(path)
+    return gold_bmp_dedupe_from_flat(spark.read.parquet(path))
+
+
+def gold_bmp_dedupe_from_flat(b):
+    canon0 = F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.trim(F.lower(F.col("name"))), r"\s+", " "), r"[,:;]+$", ""), r"\((feet|ft)\)", "(ft)")
+    b = b.withColumn("canon0", canon0)
+    singular = F.expr("substring(canon0, 1, length(canon0) - 1)")
+    canon = F.when(
+        F.col("canon0").rlike(r"^[a-z0-9 \-()\/]{4,}$")
+        & F.col("canon0").endswith("s")
+        & (F.length("canon0") > 4)
+        & (F.length("canon0") - 1 > 3),
+        singular,
+    ).otherwise(F.col("canon0"))
+    w = Window.partitionBy("canon").orderBy(F.col("confidence").desc_nulls_last(), F.col("name"))
+    return (
+        b.withColumn("canon", canon)
+        .drop("canon0")
+        .where(F.col("canon") != "")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("confidence", F.round("confidence", 6))
+        .orderBy("canon")
+    )
 
 
 def q_extract_reports(spark, sf_dir):
@@ -481,17 +563,35 @@ def q_extract_reports(spark, sf_dir):
 
 
 def q_extract_pattern_usage(spark, sf_dir):
-    """Per-patternId cost-table rollup over the synthetic pages corpus (the
-    sf documents table is generic webtext with no cost tables, which made
-    this query trivially empty; the generated corpus exercises every
-    registered pattern family)."""
-    from pdfextractor_spark.corpus import generate_pages
-    from pdfextractor_spark.pipeline.fused import extract_fused
-    from pdfextractor_spark.pipeline.gold import gold_pattern_usage
-    from pdfextractor_spark.pipeline.schema import PAGES_SCHEMA
-
-    pages = spark.createDataFrame(generate_pages(300), schema=PAGES_SCHEMA)
-    return gold_pattern_usage(extract_fused(pages, num_partitions=8))
+    """Per-patternId cost-table rollup (A4 per-pattern block) from the
+    materialized flat parquet; DuckDB oracle runs the same SQL over it."""
+    flat = _materialized_cost_tables(spark).where(F.col("pattern_id").isNotNull())
+    r_pos = F.col("r").isNotNull() & (F.col("r") > 0)
+    c_pos = F.col("c").isNotNull() & (F.col("c") > 0)
+    both = r_pos & c_pos
+    rel = F.abs(F.col("r") - F.col("c")) / F.col("c")
+    return (
+        flat.groupBy("pattern_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.round(F.sum(F.when(r_pos, F.col("r")).otherwise(0.0)), 4).alias("total_reported"),
+            F.round(F.sum(F.when(c_pos, F.col("c")).otherwise(0.0)), 4).alias("total_computed"),
+            F.round(F.sum(
+                F.when(c_pos & F.col("conf").isNotNull() & (F.col("conf") > 0),
+                       F.col("c") * F.least(F.col("conf"), F.lit(1.0))).otherwise(0.0)
+            ), 4).alias("weighted_computed"),
+            F.sum(F.when(r_pos, 1).otherwise(0)).cast("long").alias("with_reported_totals"),
+            F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("total_with_both"),
+            F.sum(F.when(both & (rel <= 0.01), 1).otherwise(0)).cast("long").alias("within_1pct"),
+            F.sum(F.when(both & (rel <= 0.05), 1).otherwise(0)).cast("long").alias("within_5pct"),
+            F.round(F.sum(F.when(both, F.col("r") - F.col("c")).otherwise(0.0)), 4).alias("sum_discrepancy"),
+        )
+        .withColumn("avg_discrepancy",
+                    F.round(F.when(F.col("total_with_both") > 0,
+                                   F.col("sum_discrepancy") / F.col("total_with_both"))
+                            .otherwise(F.lit(0.0)), 4))
+        .orderBy("pattern_id")
+    )
 
 
 def q_pages_pipeline_smoke(spark, sf_dir):
@@ -516,20 +616,47 @@ def q_pages_pipeline_smoke(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
+    """Bound-flag oracle scheme: identical-text pairs hash to identical
+    minhash signatures, hence identical bands, hence MUST appear in the LSH
+    candidate set — the oracle computes the exact-dup pair count in SQL and
+    pins the coverage flag TRUE."""
     from pdfextractor_spark.ops.dedup import minhash_lsh_pairs, minhash_signatures
 
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, num_hashes=32, shingle_k=3)
-    pairs = minhash_lsh_pairs(sigs, num_bands=8, sig_len=32)
-    return pairs.agg(F.count(F.lit(1)).cast("long").alias("candidate_pairs"))
+    cand = minhash_lsh_pairs(sigs, num_bands=8, sig_len=32)
+    d = docs.select("doc_id", "text")
+    a, b = d.alias("a"), d.alias("b")
+    dup_pairs = a.join(b, (F.col("a.text") == F.col("b.text"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id"))).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    n_dup = dup_pairs.agg(F.count(F.lit(1)).cast("long").alias("exact_dup_pairs"))
+    covered = dup_pairs.join(cand, ["id_a", "id_b"], "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("dup_pairs_covered"))
+    return n_dup.crossJoin(covered)
 
 
 def q_simhash_near_dups(spark, sf_dir):
+    """Bound-flag oracle scheme: with 4 blocks and max_hamming=3, any pair
+    within hamming 3 shares >=1 exact block (pigeonhole), so the bucketed
+    candidate set must EQUAL the brute-force all-pairs result — the flag is
+    pinned TRUE by the oracle and n_docs is SQL-computable."""
     from pdfextractor_spark.ops.dedup import simhash64, simhash_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = simhash_dup_pairs(simhash64(docs), max_hamming=3, num_blocks=4)
-    return pairs.agg(F.count(F.lit(1)).cast("long").alias("near_dup_pairs"))
+    h = simhash64(docs).persist()
+    bucketed = simhash_dup_pairs(h, max_hamming=3, num_blocks=4).select("id_a", "id_b", "hamming")
+    a, b = h.alias("a"), h.alias("b")
+    brute = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
+        .where(F.col("hamming") <= 3)
+    )
+    sym_diff = bucketed.exceptAll(brute).unionAll(brute.exceptAll(bucketed))
+    eq = sym_diff.agg((F.count(F.lit(1)) == 0).alias("bucketed_equals_bruteforce"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return n.crossJoin(eq)
 
 
 def q_ngram_jaccard_verify(spark, sf_dir):
@@ -546,11 +673,58 @@ def q_ngram_jaccard_verify(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    """Bound-flag oracle scheme: the returned candidates' structure is
+    verified engine-side against independent recomputations and the oracle
+    pins the flags TRUE — (a) ranks are 1..n per query with n <= k,
+    (b) cosine scores match a numpy (cross-implementation) recompute to
+    1e-9, (c) scores are non-increasing in rank. n_queries is
+    SQL-computable."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
     from pdfextractor_spark.ops.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where("vec_id < 3")
-    return lsh_topk(emb, queries, k=3, bits=6, num_tables=3)
+    res = lsh_topk(emb, queries, k=3, bits=6, num_tables=3).persist()
+
+    @pandas_udf(DoubleType())
+    def np_cos(a, b):
+        import numpy as np
+
+        out = []
+        for x, y in zip(a, b):
+            x, y = np.asarray(x, dtype=float), np.asarray(y, dtype=float)
+            out.append(float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y))))
+        import pandas as pd
+
+        return pd.Series(out)
+
+    v = emb.select(F.col("vec_id").alias("_id"), F.col("embedding").cast("array<double>").alias("_v"))
+    joined = (
+        res.join(v.withColumnRenamed("_id", "query_id").withColumnRenamed("_v", "qv"), "query_id")
+        .join(v.withColumnRenamed("_id", "neighbor_id").withColumnRenamed("_v", "nv"), "neighbor_id")
+        .withColumn("_np", F.round(np_cos("qv", "nv"), 6))
+    )
+    cos_ok = joined.agg((F.sum(F.when(F.abs(F.col("cosine") - F.col("_np")) > 1e-9, 1).otherwise(0)) == 0)
+                        .alias("cosines_match_numpy"))
+    per_q = res.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("mx"), F.min("rank").alias("mn"),
+    )
+    ranks_ok = per_q.agg(
+        (F.sum(F.when((F.col("mx") == F.col("n")) & (F.col("mn") == 1)
+                      & (F.col("n") <= 3), 0).otherwise(1)) == 0)
+        .alias("ranks_wellformed"),
+    )
+    wlag = Window.partitionBy("query_id").orderBy("rank")
+    desc_ok = (
+        res.withColumn("_prev", F.lag("cosine").over(wlag))
+        .agg((F.sum(F.when(F.col("_prev").isNotNull()
+                           & (F.col("cosine") > F.col("_prev")), 1).otherwise(0)) == 0)
+             .alias("cosines_descending"))
+    )
+    nq = emb.where("vec_id < 3").agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    return nq.crossJoin(ranks_ok).crossJoin(desc_ok).crossJoin(cos_ok)
 
 
 _IVF_INDEX_CACHE: dict = {}
@@ -562,15 +736,28 @@ def q_ann_ivf_topk(spark, sf_dir):
     is built offline and reused by every query batch), nprobe nearest
     buckets probed per query, exact cosine re-rank inside them (rows-only:
     the trained quantizer is not ANSI-SQL-expressible)."""
-    from pdfextractor_spark.ops.similarity import ivf_build, ivf_topk
+    from pdfextractor_spark.ops.similarity import cosine_topk, ivf_build, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     key = (sf_dir, id(spark))
     if key not in _IVF_INDEX_CACHE:
         assigned, centroids = ivf_build(emb, num_centroids=10, max_iter=5)
         _IVF_INDEX_CACHE[key] = (assigned.persist(), centroids)
-    return ivf_topk(None, emb.where("vec_id < 5"), k=5, nprobe=4,
-                    index=_IVF_INDEX_CACHE[key])
+    queries = emb.where("vec_id < 5")
+    approx = ivf_topk(None, queries, k=5, nprobe=4, index=_IVF_INDEX_CACHE[key])
+    # bound-flag oracle: recall@5 against the exact brute-force ground truth
+    # must clear 0.6 at nprobe=4/10 (synthetic embeddings have no strong
+    # planted neighbors, so probing 40% of buckets recovers ~0.75; the
+    # bound catches a broken quantizer/probe while tolerating the
+    # probabilistic tail). n_queries and k are SQL-computable.
+    exact = cosine_topk(emb, queries, k=5)
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    recall = hits.agg(F.count(F.lit(1)).alias("h")).crossJoin(
+        exact.agg(F.count(F.lit(1)).alias("e"))
+    ).select((F.col("h") / F.greatest(F.col("e"), F.lit(1)) >= 0.6).alias("recall_ge_bound"))
+    nq = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"),
+                     F.lit(5).cast("long").alias("k"))
+    return nq.crossJoin(recall)
 
 
 def q_near_dedup_clusters(spark, sf_dir):
@@ -652,7 +839,10 @@ def q_multimodal_decode(spark, sf_dir):
 
 
 def q_bmp_filter_impact(spark, sf_dir):
-    """A9 analog: BMP noise-filter impact (before/after counts per lang)."""
+    """A9 analog: BMP noise-filter impact (before/after counts per lang).
+    Per-document before/after counts are materialized to parquet so the
+    per-lang aggregation + reduction percentage run on the same bytes in
+    Spark and the DuckDB oracle."""
     from pdfextractor_spark.pipeline.silver import extract_silver
 
     docs = _t(spark, sf_dir, "documents")
@@ -662,13 +852,20 @@ def q_bmp_filter_impact(spark, sf_dir):
     )
     unfiltered = extract_silver(bronze_like, mode="naive", bmp_filter=False)
     filtered = extract_silver(bronze_like, mode="naive", bmp_filter=True)
-    a = unfiltered.groupBy("lang").agg(F.sum("total_bmps").alias("bmps_before"))
-    b = filtered.groupBy("lang").agg(F.sum("total_bmps").alias("bmps_after"))
+    per_doc = (
+        unfiltered.select("url", "lang", F.col("total_bmps").alias("before"))
+        .join(filtered.select("url", F.col("total_bmps").alias("after")), "url")
+    )
+    path = f"{_ORACLE_MAT_DIR}/bmp_filter_per_doc.parquet"
+    per_doc.write.mode("overwrite").parquet(path)
+    flat = spark.read.parquet(path)
     return (
-        a.join(b, "lang")
+        flat.groupBy("lang")
+        .agg(F.sum("before").cast("long").alias("bmps_before"),
+             F.sum("after").cast("long").alias("bmps_after"))
         .withColumn("reduction_pct",
                     F.round((F.col("bmps_before") - F.col("bmps_after"))
-                            / F.greatest(F.col("bmps_before"), F.lit(1)), 6))
+                            / F.greatest(F.col("bmps_before"), F.lit(1)).cast("double"), 6))
         .orderBy("lang")
     )
 
@@ -1183,6 +1380,176 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
                    CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "minhash_lsh_pairs": """
+            -- bound-flag oracle: identical texts have identical minhash
+            -- signatures, so exact-dup pairs MUST be LSH candidates
+            SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT) AS exact_dup_pairs,
+                   TRUE AS dup_pairs_covered
+            FROM (SELECT count(*) AS c FROM documents GROUP BY text)
+        """,
+        "simhash_near_dups": """
+            -- pigeonhole: hamming<=3 over 4 blocks implies a shared exact
+            -- block, so bucketed candidates must equal brute force
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   TRUE AS bucketed_equals_bruteforce
+            FROM documents
+        """,
+        "ngram_jaccard_verify": r"""
+            -- the LSH-candidate path must find exactly the brute-force
+            -- all-pairs trigram-jaccard>=0.5 set (verified: banding at
+            -- 8 bands x 4 rows covers every >=0.5 pair on this corpus)
+            WITH w AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) >= 3
+                          THEN list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                              for i in range(1, len(words) - 1)])
+                          ELSE [array_to_string(words, ' ')] END AS grams
+              FROM w),
+            pairs AS (
+              SELECT len(list_intersect(a.grams, b.grams))::DOUBLE
+                       / greatest(len(list_distinct(a.grams || b.grams)), 1) AS jac
+              FROM g a JOIN g b ON a.doc_id < b.doc_id)
+            SELECT CAST(count(*) AS BIGINT) AS verified_pairs,
+                   round(coalesce(avg(round(jac, 6)), 0.0), 4) AS avg_jaccard
+            FROM pairs WHERE jac >= 0.5
+        """,
+        "near_dedup_clusters": r"""
+            -- recursive-CTE connected components over the exact
+            -- trigram-jaccard>=0.8 pair graph; representatives = min id
+            WITH RECURSIVE
+            w AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) >= 3
+                          THEN list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                              for i in range(1, len(words) - 1)])
+                          ELSE [array_to_string(words, ' ')] END AS grams
+              FROM w),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                      / greatest(len(list_distinct(a.grams || b.grams)), 1) >= 0.8),
+            edges AS (SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p),
+            nodes AS (SELECT DISTINCT id_a AS id FROM edges),
+            walk(id, comp) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.id_b, wk.comp FROM walk wk JOIN edges e ON e.id_a = wk.id),
+            comp AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+            dropped AS (SELECT id FROM comp WHERE id <> comp)
+            SELECT d.lang, CAST(count(*) AS BIGINT) AS kept_docs
+            FROM documents d LEFT JOIN dropped ON d.doc_id = dropped.id
+            WHERE dropped.id IS NULL
+            GROUP BY d.lang ORDER BY d.lang
+        """,
+        "ann_lsh_topk": """
+            -- bound-flag oracle: result structure + cross-implementation
+            -- cosine recompute pinned TRUE; n_queries is data-derived
+            SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                   TRUE AS ranks_wellformed,
+                   TRUE AS cosines_descending,
+                   TRUE AS cosines_match_numpy
+            FROM embeddings WHERE vec_id < 3
+        """,
+        "ann_ivf_topk": """
+            -- bound-flag oracle: recall@5 vs exact brute force >= 0.6 at
+            -- nprobe=4 of 10 centroids
+            SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                   CAST(5 AS BIGINT) AS k,
+                   TRUE AS recall_ge_bound
+            FROM embeddings WHERE vec_id < 5
+        """,
+        "gold_cost_summary": f"""
+            WITH flat AS (
+              SELECT * FROM read_parquet('{_ORACLE_MAT_DIR}/gold_tables.parquet/*.parquet')),
+            per AS (
+              SELECT url,
+                     sum(CASE WHEN r > 0 THEN r ELSE 0 END) AS tr,
+                     sum(CASE WHEN c > 0 THEN c ELSE 0 END) AS tc
+              FROM flat GROUP BY url)
+            SELECT CAST(count(*) AS BIGINT) AS report_count,
+                   CAST(sum(CASE WHEN tr > 0 OR tc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS reports_with_costs,
+                   round(sum(tr), 4) AS total_reported,
+                   round(sum(tc), 4) AS total_computed,
+                   (SELECT round(sum(CASE WHEN c > 0 AND conf > 0
+                                          THEN c * least(conf, 1.0) ELSE 0 END), 4)
+                    FROM flat) AS total_computed_weighted
+            FROM per
+        """,
+        "extract_pattern_usage": f"""
+            WITH flat AS (
+              SELECT * FROM read_parquet('{_ORACLE_MAT_DIR}/gold_tables.parquet/*.parquet')
+              WHERE pattern_id IS NOT NULL)
+            SELECT pattern_id,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(sum(CASE WHEN r > 0 THEN r ELSE 0 END), 4) AS total_reported,
+                   round(sum(CASE WHEN c > 0 THEN c ELSE 0 END), 4) AS total_computed,
+                   round(sum(CASE WHEN c > 0 AND conf > 0
+                                  THEN c * least(conf, 1.0) ELSE 0 END), 4) AS weighted_computed,
+                   CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS with_reported_totals,
+                   CAST(sum(CASE WHEN r > 0 AND c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS total_with_both,
+                   CAST(sum(CASE WHEN r > 0 AND c > 0 AND abs(r - c) / c <= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS within_1pct,
+                   CAST(sum(CASE WHEN r > 0 AND c > 0 AND abs(r - c) / c <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS within_5pct,
+                   round(sum(CASE WHEN r > 0 AND c > 0 THEN r - c ELSE 0 END), 4) AS sum_discrepancy,
+                   round(CASE WHEN sum(CASE WHEN r > 0 AND c > 0 THEN 1 ELSE 0 END) > 0
+                              THEN sum(CASE WHEN r > 0 AND c > 0 THEN r - c ELSE 0 END)
+                                   / sum(CASE WHEN r > 0 AND c > 0 THEN 1 ELSE 0 END)
+                              ELSE 0.0 END, 4) AS avg_discrepancy
+            FROM flat GROUP BY pattern_id ORDER BY pattern_id
+        """,
+        "bmp_filter_impact": f"""
+            WITH flat AS (
+              SELECT * FROM read_parquet('{_ORACLE_MAT_DIR}/bmp_filter_per_doc.parquet/*.parquet'))
+            SELECT lang,
+                   CAST(sum(before) AS BIGINT) AS bmps_before,
+                   CAST(sum(after) AS BIGINT) AS bmps_after,
+                   round((sum(before) - sum(after))::DOUBLE
+                         / greatest(sum(before), 1), 6) AS reduction_pct
+            FROM flat GROUP BY lang ORDER BY lang
+        """,
+        "gold_report_costs": f"""
+            WITH flat AS (
+              SELECT * FROM read_parquet('{_ORACLE_MAT_DIR}/gold_tables.parquet/*.parquet'))
+            SELECT url,
+                   CAST(sum(CASE WHEN pattern_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tables,
+                   round(sum(CASE WHEN r > 0 THEN r ELSE 0 END), 4) AS total_reported,
+                   round(sum(CASE WHEN c > 0 THEN c ELSE 0 END), 4) AS total_computed,
+                   CAST(sum(CASE WHEN r > 0 OR c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tables_with_costs,
+                   round(round(sum(CASE WHEN r > 0 THEN r ELSE 0 END), 4)
+                         - round(sum(CASE WHEN c > 0 THEN c ELSE 0 END), 4), 4) AS discrepancy
+            FROM flat GROUP BY url ORDER BY url
+        """,
+        "gold_bmp_dedupe": rf"""
+            WITH b AS (
+              SELECT * FROM read_parquet('{_ORACLE_MAT_DIR}/bmps_flat.parquet/*.parquet')),
+            c0 AS (
+              SELECT name, category, confidence,
+                     regexp_replace(regexp_replace(regexp_replace(
+                       trim(lower(name)), '\s+', ' ', 'g'), '[,:;]+$', ''),
+                       '\((feet|ft)\)', '(ft)', 'g') AS canon0
+              FROM b),
+            c1 AS (
+              SELECT *, CASE WHEN regexp_full_match(canon0, '[a-z0-9 \-()\/]{{4,}}')
+                                  AND canon0 LIKE '%s'
+                                  AND length(canon0) > 4
+                                  AND length(canon0) - 1 > 3
+                             THEN substring(canon0, 1, length(canon0) - 1)
+                             ELSE canon0 END AS canon
+              FROM c0),
+            r AS (
+              SELECT name, category, confidence, canon,
+                     row_number() OVER (PARTITION BY canon
+                                        ORDER BY confidence DESC NULLS LAST, name) AS rn
+              FROM c1 WHERE canon <> '')
+            SELECT name, category, round(confidence, 6) AS confidence, canon
+            FROM r WHERE rn = 1 ORDER BY canon
         """,
         "ngram_jaccard_allpairs": r"""
             WITH w AS (

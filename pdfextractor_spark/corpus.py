@@ -396,6 +396,12 @@ def generate_pages(n_docs: int, seed: int = 42, start: int = 0) -> list[dict]:
             rows.append({"url": url, "warc_ts": ts, "html": b"%PDF-1.4 \x00\x01corrupt",
                          "text": None, "lang": lang})
             continue
+        # Image-only PDFs (no text layer) exercise the needs-OCR bucket
+        if i % 89 == 11:
+            rows.append({"url": url, "warc_ts": ts,
+                         "html": make_pdf([[], []], compress=(i % 2 == 0)),
+                         "text": None, "lang": lang})
+            continue
         is_pdf = (i % 10) >= 7
         if is_pdf:
             payload = _render_pdf(body, i, two_column=(i % 30 == 9))

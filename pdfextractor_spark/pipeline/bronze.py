@@ -34,6 +34,12 @@ def _extract_one(html: bytes | None, text: str | None):
         try:
             # reference parser order: pdf-parse primary, pdfjs fallback
             extracted, n_pages, parser = extract_pdf_auto(payload)
+            if not extracted.strip():
+                # image-only PDF: parse succeeded but no text layer — the
+                # reference's needs-OCR bucket (ref:
+                # chunked_mdeq_extraction.js:53 'empty-text', counted by
+                # summarize_extraction_coverage.js:16-17)
+                return extracted, parser, n_pages, "empty-text"
             return extracted, parser, n_pages, None
         except PdfParseError as e:
             return None, "error", None, f"pdf: {e}"

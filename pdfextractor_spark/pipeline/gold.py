@@ -115,6 +115,9 @@ def gold_coverage(silver: DataFrame) -> DataFrame:
         F.round(F.avg(F.when(has_cost, 1.0).otherwise(0.0)), 6).alias("coverage_pct"),
         F.sum(F.when(has_adaptive, 1).otherwise(0)).alias("with_adaptive"),
         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+        # image-only PDFs: parsed but no text layer (reference's needs-OCR
+        # bucket, mdeq_coverage_summary.json 6/51)
+        F.sum(F.when(F.col("error") == "empty-text", 1).otherwise(0)).alias("needs_ocr"),
     )
 
 

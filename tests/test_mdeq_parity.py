@@ -59,3 +59,23 @@ def test_bronze_text_parity_against_reference_corpus(ground_truth):
     assert min_sim >= 0.999, f"similarity regressed: {bad}"
     for k, v in res.items():
         assert v["pages"] == v["ref_pages"], f"{k}: page count {v['pages']} != {v['ref_pages']}"
+
+
+def test_needs_ocr_detection_matches_reference_bucket():
+    """The reference classifies 6/51 MDEQ docs as needs-OCR (empty-text
+    after parse — summarize_extraction_coverage.js:16-17). Exactly one of
+    those six PDFs ships in the repo; our pipeline must flag it and must
+    NOT flag any doc the reference parsed successfully."""
+    from pdfextractor_spark.pipeline.bronze import _extract_one
+
+    flagged = {}
+    for pdf in os.listdir(RAW_DIR):
+        if not pdf.lower().endswith(".pdf"):
+            continue
+        data = open(os.path.join(RAW_DIR, pdf), "rb").read()
+        _, _, _, err = _extract_one(data, None)
+        flagged[pdf] = err
+    assert flagged["Turkey_Creek_Watershed_Plan_2010.pdf"] == "empty-text"
+    others = {p: e for p, e in flagged.items()
+              if e is not None and p != "Turkey_Creek_Watershed_Plan_2010.pdf"}
+    assert not others, f"unexpected failures/needs-OCR: {others}"
