@@ -814,25 +814,63 @@ def q_winnow_overlap(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """Binary media plumbing over synthetic payloads derived from documents."""
+    """Multimodal decode over deterministic REAL payloads: BMP images and
+    PCM WAV audio decode natively (numpy/stdlib — dimensions, duration,
+    channel/spectral features); 'video' rows carry a compressed-container
+    payload that exercises the honest stub boundary (per-row error)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
     from pdfextractor_spark.ops.multimodal import decode_media
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 200")
+
+    @pandas_udf(BinaryType())
+    def gen_payload(ids):
+        import numpy as np
+        import pandas as pd
+
+        from pdfextractor_spark.ops.multimodal import make_bmp, make_wav
+
+        out = []
+        for i in ids:
+            i = int(i)
+            kind = i % 3
+            if kind == 0:  # image: deterministic gradient BMP
+                w, h = 16 + i % 17, 12 + i % 11
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = np.stack([(xx * 255 // max(1, w - 1)),
+                               (yy * 255 // max(1, h - 1)),
+                               np.full((h, w), i % 256)], axis=2).astype(np.uint8)
+                out.append(make_bmp(px))
+            elif kind == 1:  # audio: short sine, freq keyed by id
+                t = np.arange(2000) / 8000.0
+                out.append(make_wav(np.sin(2 * np.pi * (200 + i % 400) * t)))
+            else:  # video: compressed container -> stub boundary
+                out.append(b"\x00\x00\x00\x18ftypmp42" + bytes([i % 256]) * 16)
+        return pd.Series(out)
+
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
                      (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+        gen_payload(F.col("doc_id")).alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
     )
     feats = decode_media(media, num_partitions=8)
+    wellformed = (
+        F.col("error").isNull()
+        & (F.size("feature") == 8)
+        & ((F.col("kind") != "image") | (F.col("width") > 0))
+        & ((F.col("kind") != "audio") | (F.col("duration_sec") > 0))
+    )
     return (
         feats.groupBy("kind")
         .agg(
-            F.count(F.lit(1)).alias("media"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("decode_errors"),
-            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_feat0"),
+            F.count(F.lit(1)).cast("long").alias("media"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).cast("long").alias("decode_errors"),
+            (F.sum(F.when(F.col("error").isNull() & ~wellformed, 1).otherwise(0)) == 0)
+            .alias("decoded_wellformed"),
         )
         .orderBy("kind")
     )
@@ -1513,6 +1551,19 @@ def oracle_sql() -> dict[str, str]:
                    round((sum(before) - sum(after))::DOUBLE
                          / greatest(sum(before), 1), 6) AS reduction_pct
             FROM flat GROUP BY lang ORDER BY lang
+        """,
+        "multimodal_decode": """
+            -- per-kind counts are data-derived; image(BMP)/audio(WAV)
+            -- decode natively so only the video (compressed container)
+            -- rows hit the stub boundary; wellformed flags pinned TRUE
+            SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                   CAST(count(*) AS BIGINT) AS media,
+                   CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS decode_errors,
+                   TRUE AS decoded_wellformed
+            FROM documents WHERE doc_id < 200
+            GROUP BY 1 ORDER BY 1
         """,
         "gold_report_costs": f"""
             WITH flat AS (

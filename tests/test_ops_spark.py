@@ -141,18 +141,39 @@ def test_fingerprint_case_punct_invariant(docs):
     assert fp[1] != fp[5]
 
 
-def test_multimodal_decode_plumbing(spark):
+def test_multimodal_decode_real_and_stubbed(spark):
+    import numpy as np
+
+    from pdfextractor_spark.ops.multimodal import decode_bmp, make_bmp, make_wav
+
+    px = np.zeros((20, 30, 3), dtype=np.uint8)
+    px[:, :, 0] = 255  # pure red
+    bmp = make_bmp(px)
+    # decoder round-trips the generator exactly
+    w, h, rgb = decode_bmp(bmp)
+    assert (w, h) == (30, 20) and (rgb == px).all()
+    t = np.arange(8000) / 8000.0
+    wav = make_wav(np.sin(2 * np.pi * 440 * t), framerate=8000)  # 1s of A440
     media = spark.createDataFrame(
-        [(1, "image", b"\x00\x01\x02\x03" * 10, "image/png"),
-         (2, "audio", b"\x10" * 100, "audio/wav"),
-         (3, "video", b"", "video/mp4")],
+        [(1, "image", bytearray(bmp), "image/bmp"),
+         (2, "audio", bytearray(wav), "audio/wav"),
+         (3, "video", bytearray(b"\x00\x01\x02\x03"), "video/mp4"),
+         (4, "image", bytearray(b""), "image/png")],
         "media_id long, kind string, payload binary, mime string",
     )
     out = decode_media(media, num_partitions=2).collect()
     by = {r["media_id"]: r for r in out}
-    assert by[1]["n_bytes"] == 40
-    assert len(by[1]["feature"]) > 0  # deterministic fake features
-    assert by[3]["error"] is not None  # empty payload -> error row, no crash
+    # REAL image decode: dimensions + mean-red feature
+    assert (by[1]["width"], by[1]["height"]) == (30, 20)
+    assert by[1]["feature"][0] == 1.0 and by[1]["feature"][1] == 0.0  # R=1, G=0
+    assert by[1]["error"] is None
+    # REAL audio decode: duration + RMS of a sine ~ 1/sqrt(2)
+    assert abs(by[2]["duration_sec"] - 1.0) < 1e-6
+    assert abs(by[2]["feature"][0] - 0.7071) < 0.01
+    assert by[2]["error"] is None
+    # compressed/unknown codecs: honest stub boundary -> per-row error
+    assert by[3]["error"] is not None and "codec" in by[3]["error"]
+    assert by[4]["error"] is not None  # empty payload -> error row, no crash
 
     frames = sample_frames(media.where("kind = 'video'"), every_nth=10)
     assert frames.columns  # plumbing exists; schema stable
