@@ -178,8 +178,16 @@ class Lexer:
         except ValueError as e:
             raise PdfError(f"bad token {tok[:40]!r}") from e
 
+    _PLAIN_STR = re.compile(rb"[^\\()\r]*")
+
     def _parse_literal_string(self) -> bytes:
         data = self.data
+        # fast path: no escapes / nesting / CR before the closing paren
+        m = self._PLAIN_STR.match(data, self.pos + 1)
+        e = m.end()
+        if e < len(data) and data[e] == 0x29:
+            self.pos = e + 1
+            return m.group()
         p = self.pos + 1
         depth = 1
         out = bytearray()
@@ -911,6 +919,23 @@ class Font:
             except PdfError:
                 pass
         self.space_width = self._compute_space_width()
+        self._tbl256: list | None = None
+        self._cid_cache: dict[int, tuple] = {}
+
+    def table256(self) -> list:
+        """Per-code (normalized_unicode, width, is_space) for simple fonts —
+        precomputing the ToUnicode + NormalizedUnicodes lookups removes two
+        dict probes per glyph from the hot loop."""
+        if self._tbl256 is None:
+            tbl = []
+            for code in range(256):
+                u = self.to_unicode.get(code)
+                if u is None:
+                    u = chr(code)
+                u = NORMALIZED_UNICODES.get(u, u)
+                tbl.append((u, self.widths.get(code, self.default_width), code == 32))
+            self._tbl256 = tbl
+        return self._tbl256
 
     # -- simple fonts --------------------------------------------------------
 
@@ -1042,6 +1067,9 @@ class Font:
 _OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
 
 
+_NUM_TOKEN = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+
+
 def iter_operations(content: bytes):
     """Yield (operator: str, operands: list) in stream order."""
     lex = Lexer(content, 0)
@@ -1052,7 +1080,18 @@ def iter_operations(content: bytes):
         if lex.pos >= n:
             break
         c = content[lex.pos]
-        if c in b"/<([+-.0123456789":
+        if c in b"+-.0123456789":
+            # numeric operand fast path: content streams carry no indirect
+            # refs, so the general parser's "N G R" lookahead is dead weight
+            m = _NUM_TOKEN.match(content, lex.pos)
+            if m:
+                tok = m.group()
+                operands.append(int(tok) if b"." not in tok else float(tok))
+                lex.pos = m.end()
+                continue
+            lex.pos += 1
+            continue
+        if c in b"/<([":
             try:
                 operands.append(lex.parse_object())
             except PdfError:
@@ -1262,21 +1301,41 @@ class _TextContentBuilder:
             return
         it = self._ensure_item(ts)
         width = 0.0
-        for u, gwidth, is_space in font.chars_to_glyphs(raw):
-            u = NORMALIZED_UNICODES.get(u, u)
-            char_spacing = ts.char_spacing + (ts.word_spacing if is_space else 0.0)
-            advance = (gwidth * ts.font_matrix[0] * ts.font_size + char_spacing) * ts.h_scale
-            width += advance
-            if is_space:
-                # a space glyph renders as its literal ' ' plus fake spaces
-                # covering the WORD-SPACING stretch (Tw justification ->
-                # multiple spaces). charSpacing stretch does NOT multiply
-                # spaces — pinned empirically against the reference bronze:
-                # Tw=0.12/sw=0.278 doubles, Tc=0.157/Tw=0 stays single.
-                it.str.append(" ")
-                self._add_fake_spaces(ts.word_spacing * ts.h_scale, it.str)
-            else:
-                it.str.append(u)
+        k = ts.font_matrix[0] * ts.font_size
+        cs, ws, h = ts.char_spacing, ts.word_spacing, ts.h_scale
+        buf = it.str
+        append = buf.append
+        if not font.composite:
+            # hot path: per-code table (unicode pre-normalized) + inlined
+            # advance math — this loop dominates whole-document parse time
+            tbl = font._tbl256 or font.table256()
+            ws_h = ws * h
+            for code in raw:
+                u, gwidth, is_space = tbl[code]
+                if is_space:
+                    width += (gwidth * k + cs + ws) * h
+                    # a space glyph renders as its literal ' ' plus fake
+                    # spaces covering the WORD-SPACING stretch (Tw
+                    # justification -> multiple spaces). charSpacing stretch
+                    # does NOT multiply spaces — pinned empirically against
+                    # the reference bronze: Tw=0.12/sw=0.278 doubles,
+                    # Tc=0.157/Tw=0 stays single.
+                    append(" ")
+                    if ws_h >= it.fake_space_min:
+                        self._add_fake_spaces(ws_h, buf)
+                else:
+                    width += (gwidth * k + cs) * h
+                    append(u)
+        else:
+            for u, gwidth, is_space in font.chars_to_glyphs(raw):
+                u = NORMALIZED_UNICODES.get(u, u)
+                char_spacing = cs + (ws if is_space else 0.0)
+                width += (gwidth * k + char_spacing) * h
+                if is_space:
+                    append(" ")
+                    self._add_fake_spaces(ws * h, buf)
+                else:
+                    append(u)
         ts.translate_tm(width, 0)
         it.width += width
         # advance of the latest show op: Td/Tm same-line moves subtract it so
