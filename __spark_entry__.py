@@ -801,16 +801,26 @@ def q_ngram_jaccard_allpairs(spark, sf_dir):
 
 
 def q_winnow_overlap(spark, sf_dir):
-    """Rolling-hash winnowing fingerprints -> partial-overlap pairs."""
+    """Rolling-hash winnowing fingerprints -> partial-overlap pairs.
+    Bound-flag oracle: identical texts winnow to identical fingerprint
+    sets (overlap 1.0 >= any threshold), so every exact-dup pair — a
+    count DuckDB computes — MUST appear in the overlap pairs, at overlap
+    exactly 1.0."""
     from pdfextractor_spark.ops.fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
     fps = winnow_fingerprints(docs, k=7, window=4)
-    pairs = fingerprint_overlap_pairs(fps, min_overlap=0.8)
-    return pairs.agg(
-        F.count(F.lit(1)).cast("long").alias("overlap_pairs"),
-        F.round(F.coalesce(F.avg("overlap"), F.lit(0.0)), 6).alias("avg_overlap"),
-    )
+    pairs = fingerprint_overlap_pairs(fps, min_overlap=0.8).persist()
+    d = docs.select("doc_id", "text")
+    a, b = d.alias("a"), d.alias("b")
+    dup_pairs = a.join(b, (F.col("a.text") == F.col("b.text"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id"))).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    n_dup = dup_pairs.agg(F.count(F.lit(1)).cast("long").alias("exact_dup_pairs"))
+    full = pairs.where(F.col("overlap") >= 0.999999).select("id_a", "id_b")
+    covered = dup_pairs.join(full, ["id_a", "id_b"], "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("dup_pairs_at_full_overlap"))
+    return n_dup.crossJoin(covered)
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -1551,6 +1561,13 @@ def oracle_sql() -> dict[str, str]:
                    round((sum(before) - sum(after))::DOUBLE
                          / greatest(sum(before), 1), 6) AS reduction_pct
             FROM flat GROUP BY lang ORDER BY lang
+        """,
+        "winnow_overlap": """
+            -- identical texts have identical winnowed fingerprint sets, so
+            -- exact-dup pairs must surface at overlap 1.0
+            SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT) AS exact_dup_pairs,
+                   TRUE AS dup_pairs_at_full_overlap
+            FROM (SELECT count(*) AS c FROM documents GROUP BY text)
         """,
         "multimodal_decode": """
             -- per-kind counts are data-derived; image(BMP)/audio(WAV)

@@ -164,17 +164,32 @@ def main() -> None:
     # min-of-N inside each benchjob (reps=2): this VM shows up to ~25%
     # run-to-run swings (cloud steal / page-cache state); min-wall keeps
     # the ratio a capability measurement instead of a noise sample.
-    spin = _SpinLoad(list(range(2, 8)))
-    try:
-        a_low = _pinned_extraction(corpus_path, 2, reps=2)
-    finally:
-        spin.stop()
-    # solo-pinned 2-core cross-check: the turbo-boosted bracket from the
-    # other side (underestimates efficiency as much as the equalized-clock
-    # number can overestimate it via the driver-stack share at N)
-    a_low_solo = _pinned_extraction(corpus_path, 2, reps=2)
-    a_high = _pinned_extraction(corpus_path, 8, reps=2)
-    eff_a = (a_high["docs_per_sec"] / a_low["docs_per_sec"]) / 4.0
+    # PAIRED measurement: this VM shows ~25% throughput swings over
+    # minutes (cloud steal); computing the ratio from each level's best
+    # run taken ~10 minutes apart mixes different host states and has
+    # produced both 0.69 and 1.37 artifacts. Instead each (2-core,
+    # 8-core) pair runs BACK TO BACK — drift cancels within a pair — and
+    # the MEDIAN paired ratio over 3 pairs rejects a steal spike hitting
+    # either leg of one pair.
+    pair_ratios = []
+    pairs = []
+    for _ in range(3):
+        spin = _SpinLoad(list(range(2, 8)))
+        try:
+            low = _pinned_extraction(corpus_path, 2, reps=1)
+        finally:
+            spin.stop()
+        high = _pinned_extraction(corpus_path, 8, reps=1)
+        pairs.append((low, high))
+        pair_ratios.append((high["docs_per_sec"] / low["docs_per_sec"]) / 4.0)
+    mid = sorted(range(3), key=lambda i: pair_ratios[i])[1]
+    a_low, a_high = pairs[mid]
+    eff_a = pair_ratios[mid]
+    # solo-pinned 2-core cross-check: the turbo-boosted bracket (the solo
+    # run may boost above the 8-active-core clock, understating
+    # efficiency; the spin-filler headline can overstate it through the
+    # local-mode driver-stack share at N)
+    a_low_solo = _pinned_extraction(corpus_path, 2, reps=1)
     eff_solo = (a_high["docs_per_sec"] / a_low_solo["docs_per_sec"]) / 4.0
     n_docs = a_high["docs"]
 
@@ -238,6 +253,7 @@ def main() -> None:
         "wall_sec@2": a_low["wall_sec"],
         "wall_sec@8": a_high["wall_sec"],
         "scaling_efficiency": round(efficiency, 4),
+        "scaling_efficiency_pairs": [round(r, 4) for r in pair_ratios],
         "scaling_efficiency_solo_baseline": round(eff_solo, 4),
     }
     if eff_b is not None:
@@ -281,14 +297,16 @@ def _write_baseline(result: dict) -> None:
         "~40-60% above the 8-active-core clock on this box, which is what",
         "corrupted the r01 driver-measured ratio (0.69).",
         "",
-        "The truth is BRACKETED and both brackets are reported:",
-        "`scaling_efficiency` (equalized clock, headline) can exceed 1",
-        "because in local mode the driver/GC/JIT stack shares the 2-core",
-        "cluster's own cores — overhead a real cluster hosts off the",
-        "workers; `scaling_efficiency_solo_baseline` (no fillers) instead",
-        "lets the 2-core run turbo-boost, understating efficiency. The",
-        "job's shuffle/partition structure passes the north rule's >=0.8",
-        "under BOTH brackets. efficiency = (tp8 / tp2) / 4.",
+        "Noise handling: this VM's throughput swings ~25% over minutes",
+        "(cloud steal), so each (2-core, 8-core) pair runs BACK TO BACK —",
+        "drift cancels within a pair — and the headline is the MEDIAN",
+        "paired ratio of 3 pairs (all pairs reported). The",
+        "`scaling_efficiency_solo_baseline` cross-check (no fillers) lets",
+        "the 2-core run turbo-boost, bracketing from the conservative",
+        "side; the equalized-clock headline can exceed 1 because in local",
+        "mode the driver/GC/JIT stack shares the 2-core cluster's own",
+        "cores — overhead a real cluster hosts off the workers.",
+        "efficiency = (tp8 / tp2) / 4.",
         "",
         "Why 2->8 and not 8->32: >=32 concurrent CPython workers saturate",
         "this single socket's DRAM bandwidth (~28% per-doc CPU inflation",
