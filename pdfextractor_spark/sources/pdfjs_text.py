@@ -338,6 +338,49 @@ def _apply_png_predictor(data: bytes, colors: int, bpc: int, columns: int) -> by
     return bytes(out)
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode (TIFF-style LZW, MSB-first variable code width 9-12,
+    clear=256, EOD=257, EarlyChange=1 default)."""
+    out = bytearray()
+    dict_size = 258
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    code_len = 9
+    prev: bytes | None = None
+    buf = 0
+    nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= code_len:
+            nbits -= code_len
+            code = (buf >> nbits) & ((1 << code_len) - 1)
+            if code == 256:  # clear table
+                dict_size = 258
+                code_len = 9
+                table = {i: bytes([i]) for i in range(256)}
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == dict_size:
+                entry = prev + prev[:1]
+            else:
+                raise PdfError(f"bad LZW code {code}")
+            out += entry
+            if prev is not None:
+                table[dict_size] = prev + entry[:1]
+                dict_size += 1
+            prev = entry
+            # EarlyChange=1: width grows one code early
+            if dict_size + 1 >= (1 << code_len) and code_len < 12:
+                code_len += 1
+    return bytes(out)
+
+
 def _decode_stream_data(doc: "PdfDocument", sdict: dict, raw: bytes) -> bytes:
     filters = doc.resolve(sdict.get("Filter"))
     if filters is None:
@@ -382,6 +425,16 @@ def _decode_stream_data(doc: "PdfDocument", sdict: dict, raw: bytes) -> bytes:
             if body.startswith(b"<~"):
                 body = body[2:]
             data = base64.a85decode(body)
+        elif f in ("LZWDecode", "LZW"):
+            data = _lzw_decode(data)
+            pred = doc.resolve(pm.get("Predictor", 1)) or 1
+            if pred >= 10:
+                data = _apply_png_predictor(
+                    data,
+                    doc.resolve(pm.get("Colors", 1)) or 1,
+                    doc.resolve(pm.get("BitsPerComponent", 8)) or 8,
+                    doc.resolve(pm.get("Columns", 1)) or 1,
+                )
         elif f in ("RunLengthDecode", "RL"):
             out = bytearray()
             i = 0
