@@ -800,6 +800,28 @@ def q_ngram_jaccard_allpairs(spark, sf_dir):
     )
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Char-trigram LM quality scoring (CCNet/Gopher-style filter): train
+    on even doc_ids, score the held-out odd docs, per-lang mean perplexity.
+    Pure count arithmetic -> exact DuckDB twin."""
+    from pdfextractor_spark.ops.lm import score_perplexity, train_char_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_char_lm(docs.where("doc_id % 2 = 0"))
+    held = docs.where("doc_id % 2 = 1")
+    scores = score_perplexity(held, model)
+    with_lang = scores.join(
+        F.broadcast(held.select(F.col("doc_id").alias("id"), "lang")), "id")
+    return (
+        with_lang.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.round(F.avg("perplexity"), 4).alias("mean_perplexity"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_winnow_overlap(spark, sf_dir):
     """Rolling-hash winnowing fingerprints -> partial-overlap pairs.
     Bound-flag oracle: identical texts winnow to identical fingerprint
@@ -1153,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_allpairs": q_ngram_jaccard_allpairs,
         "near_dedup_clusters": q_near_dedup_clusters,
         "winnow_overlap": q_winnow_overlap,
+        "lm_perplexity": q_lm_perplexity,
         # text analysis family
         "token_count_rollup": q_token_count_rollup,
         "quality_rollup": q_quality_rollup,
@@ -1561,6 +1584,38 @@ def oracle_sql() -> dict[str, str]:
                    round((sum(before) - sum(after))::DOUBLE
                          / greatest(sum(before), 1), 6) AS reduction_pct
             FROM flat GROUP BY lang ORDER BY lang
+        """,
+        "lm_perplexity": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+              FROM documents),
+            tr AS (SELECT t FROM t WHERE doc_id % 2 = 0 AND length(t) >= 3),
+            gtr AS (
+              SELECT substring(t, i, 3) AS gram
+              FROM (SELECT t, unnest(generate_series(1, length(t) - 2)) AS i FROM tr)),
+            counts AS (SELECT gram, count(*) AS c FROM gtr GROUP BY gram),
+            tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM counts),
+            model AS (
+              SELECT gram, ln((c + 1.0) / (total + vocab)) AS logp
+              FROM counts, tot),
+            held AS (
+              SELECT doc_id, lang, t FROM t
+              WHERE doc_id % 2 = 1 AND length(t) >= 3),
+            hg AS (
+              SELECT doc_id, lang, substring(t, i, 3) AS gram
+              FROM (SELECT doc_id, lang, t,
+                           unnest(generate_series(1, length(t) - 2)) AS i
+                    FROM held)),
+            sc AS (
+              SELECT doc_id, lang,
+                     avg(-coalesce(m.logp,
+                         (SELECT ln(1.0 / (total + vocab)) FROM tot))) AS a
+              FROM hg LEFT JOIN model m USING (gram)
+              GROUP BY doc_id, lang)
+            SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+                   round(avg(round(exp(a), 4)), 4) AS mean_perplexity
+            FROM sc GROUP BY lang ORDER BY lang
         """,
         "winnow_overlap": """
             -- identical texts have identical winnowed fingerprint sets, so

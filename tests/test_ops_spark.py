@@ -287,3 +287,22 @@ def test_ivf_prebuilt_index_reused_and_df_centroid_path(spark, sf_dir):
     big_index = ivf_build(emb, num_centroids=80, max_iter=2)
     b = ivf_topk(None, queries, k=3, nprobe=80, index=big_index)
     assert [tuple(r) for r in b.collect()] == [tuple(r) for r in exact.collect()]
+
+
+def test_char_lm_perplexity_discriminates_and_broadcasts(spark, sf_dir):
+    from pdfextractor_spark.ops.lm import score_perplexity, train_char_lm
+    from pdfextractor_spark.plans.audit import join_strategies
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = train_char_lm(docs.where("doc_id % 2 = 0"))
+    # English-like held-out text must score lower perplexity than garble
+    probe = spark.createDataFrame(
+        [(1, "the watershed management plan describes the water quality goals"),
+         (2, "zqxj vkw qqzzx jxq wvvk zzq xjq qzx wkv jxz qqq")],
+        "doc_id long, text string",
+    )
+    s = {r["id"]: r["perplexity"] for r in score_perplexity(probe, model).collect()}
+    assert s[1] < s[2], s
+    # model side broadcast: scoring is map-side until the per-doc agg
+    plan = join_strategies(score_perplexity(probe, model))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" in plan
