@@ -9,6 +9,10 @@ from __future__ import annotations
 
 import re
 
+_RX_YEAR4 = re.compile(r"\d{4}")
+_RX_MAINT = re.compile(r"maintenance|maintain", re.I)
+_RX_WS = re.compile(r"\s+")
+
 from .goals import join_wrapped_lines
 from .rules import BMP_PATTERNS, QUANTITY_UNIT, VERB_ACTIVITY
 from .textutil import js_parse_float
@@ -46,9 +50,9 @@ def extract_bmps(raw_lines: list[str]) -> list[dict]:
             s += 0.15
         if category != "General":
             s += 0.1
-        if re.search(r"\d{4}", text):
+        if _RX_YEAR4.search(text):
             s += 0.05
-        if re.search(r"maintenance|maintain", text, re.I):
+        if _RX_MAINT.search(text):
             s += 0.05
         bmps.append(
             {
@@ -130,7 +134,7 @@ def filter_bmps(bmps: list[dict]) -> tuple[list[dict], list[dict]]:
     for b in bmps:
         name_raw = (b.get("name") or "").strip()
         lower = name_raw.lower()
-        tokens = [t for t in re.split(r"\s+", lower) if t]
+        tokens = [t for t in _RX_WS.split(lower) if t]
         token_count = len(tokens)
         action_like = bool(_ACTION_KEYWORDS.search(lower)) or bool(_VERBISH.search(lower))
         non_alpha_len = len(_NON_ALPHA.sub("", name_raw))

@@ -1072,6 +1072,8 @@ REGISTERED_COST_PATTERNS = [p[0] for p in PATTERNS]
 # line failing this scan can never start a table — skipping it is a pure
 # optimization with identical semantics (the scan driver is O(lines x
 # patterns) otherwise, the hot loop of the whole silver stage).
+_SPAN_END_RX = re.compile(r"^(Goal|Objective|Section|Table\s+\d+)", re.I)
+
 _SCAN_GATE = re.compile(
     r"\$[0-9]|practice|activit|bmp|item|watershed|projected|total", re.I
 )
@@ -1111,7 +1113,7 @@ def parse_cost_tables_with_patterns(all_lines: list[str], raw_lines: list[str] |
                         end_idx = i + 1
                         while end_idx < len(all_lines) and end_idx < i + 120:
                             l = all_lines[end_idx]
-                            if not l or re.match(r"^(Goal|Objective|Section|Table\s+\d+)", l, re.I):
+                            if not l or _SPAN_END_RX.match(l):
                                 break
                             end_idx += 1
                         dollar_line_indices = [d for d in range(i, end_idx) if _HAS_DOLLAR.search(all_lines[d] or "")]

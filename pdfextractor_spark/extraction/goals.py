@@ -28,6 +28,65 @@ from .textutil import infer_status, js_parse_float, split_sentences
 
 __all__ = ["extract_goals", "join_wrapped_lines", "score_goal", "split_multi_goal"]
 
+# Precompiled hot-loop patterns (semantics identical to the inline literals
+# they replace; this module runs once per document inside the fused UDF, and
+# module-level ``re.search(str, ...)`` pays a compile-cache lookup per call —
+# ~10% of the whole extraction stage's CPU at 40k docs).
+_RX_WS = re.compile(r"\s+")
+_RX_DIGIT = re.compile(r"\d")
+_RX_END_SENT = re.compile(r"[.!?]$")
+_RX_END_SENT_WS = re.compile(r"[.!?]\s*$")
+_RX_CONT_PUNCT = re.compile(r"^[\"“”'\-–—(\[]")
+_RX_TAB = re.compile(r"^\t")
+_RX_CONT_WORD = re.compile(r"^(and|to|for|that|which|it|this|these|those|in|on|by|of)\b", re.I)
+_RX_LOWER_NUM_START = re.compile(r"^[a-z0-9]")
+_RX_SOFT_END = re.compile(r"[a-z],?$")
+_RX_LOWER_START = re.compile(r"^[a-z]")
+_RX_HARD_END = re.compile(r"[.!;:]$")
+_RX_SEMIS = re.compile(r";+")
+_RX_ULT_GOAL = re.compile(r"(ultimate goal|overall goal|primary objective)", re.I)
+_RX_CONT_WORD2 = re.compile(r"^(and|the|to|for|that|which|it|this|these|those|in|on|by|of)\b", re.I)
+_RX_UPPER_START = re.compile(r"^[A-Z0-9]")
+_RX_CAP_CONT = re.compile(r"^(And|The|To|For|That|Which|It|This|These|Those|In|On|By|Of)\b")
+_RX_QUOTE_LOWER = re.compile(r'^"[a-z]')
+_RX_DANGLING_TO = re.compile(r"\b(to|for|in order to)$", re.I)
+_RX_DANGLING_PREP = re.compile(r"\b(of|to|for|from|with)$", re.I)
+_RX_CONT_WORD3 = re.compile(
+    r"^(and|the|to|for|that|which|it|this|these|those|in|on|by|of|from|with)", re.I
+)
+_RX_DQUOTES = re.compile(r"[“”]")
+_RX_SQUOTES = re.compile(r"[‘’]")
+_RX_GOALS_WORD = re.compile(r"goals?", re.I)
+_RX_GOAL_WORD = re.compile(r"goal", re.I)
+_RX_VERBS = re.compile(r"(reduce|decrease|improve|achieve|attain)", re.I)
+_RX_HEAD_VERBS = re.compile(r"(reduce|decrease|improve|achieve|attain|protect|restore)", re.I)
+_RX_GOAL_HEADING_ONLY = re.compile(r"^goals?\s*:?$", re.I)
+_RX_USE_OF_END = re.compile(r"use of$", re.I)
+_RX_COLON_END = re.compile(r":$")
+_RX_HEADING_LINE = re.compile(r"^[A-Z][A-Za-z0-9\- ]{0,40}$")
+_RX_META_ESCAPE = re.compile(r"[-/\\^$*+?.()|[\]{}]")
+_RX_WWWWC = re.compile(r"^(who what where when contacts)$", re.I)
+_RX_CONS_T1 = re.compile(r"^(project\s+goals?\s+goals?/objectives\s+\d+\s+)", re.I)
+_RX_CONS_T2 = re.compile(r"^(project\s+goals?\s+objectives?\s+\d+\s+)", re.I)
+_RX_CONS_T3 = re.compile(r"^(goals?\s+and\s+objectives?\s+)", re.I)
+_RX_CONS_T4 = re.compile(r"^(goals?\s*[:;]\s*)", re.I)
+_RX_CONS_T5 = re.compile(r"Goal Who What Where When Contacts", re.I)
+_RX_CONS_T6 = re.compile(r"Goals?/Objectives?", re.I)
+_RX_CONS_T7 = re.compile(r"^(?:Project\s+)?Goals?\b", re.I)
+_RX_CONS_T8 = re.compile(
+    r"^(the watershed implementation plan has the goals? of reducing the nutrients? and\s+)", re.I
+)
+_RX_GOAL_AND_OBJ = re.compile(r"^goal and objective is to", re.I)
+_RX_DRY_CREEK = re.compile(r"dry creek watershed plan", re.I)
+_RX_ULT_BRING_USE = re.compile(
+    r"The ultimate goal is to bring about behavior changes and the use of", re.I
+)
+_RX_USE_OF_EOL = re.compile(r"use of\s*(?:\n|$)", re.I)
+_RX_ULT_BRING = re.compile(r"The ultimate goal is to bring about", re.I)
+_RX_QOL_WATERSHED = re.compile(r"quality of life in the\s+watershed\.", re.I)
+_RX_CANON_PHRASE = re.compile(r"(?:The\s+)?goal and objective is to[^.]{10,300}\.", re.I)
+_RX_HYPHEN_WRAP = re.compile(r"([A-Za-z])-(\s+)([a-z])")
+
 
 def _find_index(lines: list[str], pred) -> int:
     for i, l in enumerate(lines):
@@ -54,22 +113,25 @@ def join_wrapped_lines(lines: list[str]) -> list[str]:
             buffer = line
             continue
         lower_buf = buffer.lower()
-        starts_continuation = bool(
-            re.match(r"^[\"“”'\-–—(\[]", raw.lstrip())
-            or re.match(r"^\t", raw)
-            or re.match(r"^(and|to|for|that|which|it|this|these|those|in|on|by|of)\b", line, re.I)
-        )
-        needs_goal_join = "goal" in lower_buf and (
-            not re.search(r"[.!?]$", buffer)
-            or len(re.split(r"\s+", buffer)) < 80
-            or starts_continuation
-        )
-        if needs_goal_join:
-            buffer += " " + line
-            continue
-        if re.match(r"^[a-z0-9]", line) and re.search(r"[a-z],?$", buffer) and len(buffer) < 200:
+        if "goal" in lower_buf:
+            # starts_continuation only matters inside needs_goal_join; with
+            # short-circuiting it is only evaluated when the first two
+            # alternatives are false (identical outcome, fewer regex calls)
+            needs_goal_join = (
+                not _RX_END_SENT.search(buffer)
+                or len(_RX_WS.split(buffer)) < 80
+                or bool(
+                    _RX_CONT_PUNCT.match(raw.lstrip())
+                    or _RX_TAB.match(raw)
+                    or _RX_CONT_WORD.match(line)
+                )
+            )
+            if needs_goal_join:
+                buffer += " " + line
+                continue
+        if _RX_LOWER_NUM_START.match(line) and _RX_SOFT_END.search(buffer) and len(buffer) < 200:
             buffer += " " + line  # join probable wrap
-        elif re.match(r"^[a-z]", line) and not re.search(r"[.!;:]$", buffer) and len(buffer) < 160:
+        elif _RX_LOWER_START.match(line) and not _RX_HARD_END.search(buffer) and len(buffer) < 160:
             buffer += " " + line
         else:
             out.append(buffer)
@@ -82,7 +144,7 @@ def join_wrapped_lines(lines: list[str]) -> list[str]:
 def split_multi_goal(line: str) -> list[str]:
     """Split on semicolons if multiple goal-like clauses (ref :73-80)."""
     if ";" in line:
-        parts = [p.strip() for p in re.split(r";+", line) if p.strip()]
+        parts = [p.strip() for p in _RX_SEMIS.split(line) if p.strip()]
         if len(parts) > 1:
             return parts
     return [line]
@@ -250,9 +312,7 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
 
     # --- Early canonical "Dry Creek" whole-text override (ref :100-119) ------
     raw_text_all_early = "\n".join(raw_lines)
-    if re.search(r"dry creek watershed plan", raw_text_all_early, re.I) and re.search(
-        r"The ultimate goal is to bring about behavior changes and the use of", raw_text_all_early, re.I
-    ):
+    if _RX_DRY_CREEK.search(raw_text_all_early) and _RX_ULT_BRING_USE.search(raw_text_all_early):
         normalized = _apply_chain(raw_text_all_early, _EARLY_NORM)
         full_match = re.search(
             r"The ultimate goal is to bring about behavior changes and the use of .*?"
@@ -290,9 +350,10 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
         if idx != -1 and (start_idx == -1 or idx < start_idx):
             start_idx = idx
     has_trunc = (
-        re.search(r"use of\s*(?:\n|$)", raw_all_stream, re.I)
-        and re.search(r"The ultimate goal is to bring about", raw_all_stream, re.I)
-        and not re.search(r"quality of life in the\s+watershed\.", raw_all_stream, re.I)
+        start_idx != -1
+        and _RX_USE_OF_EOL.search(raw_all_stream)
+        and _RX_ULT_BRING.search(raw_all_stream)
+        and not _RX_QOL_WATERSHED.search(raw_all_stream)
     )
     if start_idx != -1 and has_trunc:
         window = raw_all_stream[start_idx : start_idx + 1000]
@@ -324,22 +385,18 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
 
     # --- Second pass: direct raw-line merge for unterminated goal lines (:181-205)
     for i in range(len(lines)):
-        if re.search(r"(ultimate goal|overall goal|primary objective)", lines[i], re.I) and not re.search(
-            r"[.!?]$", lines[i]
-        ):
+        if _RX_ULT_GOAL.search(lines[i]) and not _RX_END_SENT.search(lines[i]):
             frag = lines[i][:40]
             raw_index = _find_index(raw_lines, lambda r, f=frag.strip(): bool(r) and f in r)
             if raw_index != -1:
                 merged = raw_lines[raw_index].strip()
                 look = 1
                 added = False
-                while look <= 3 and raw_index + look < len(raw_lines) and not re.search(r"[.!?]$", merged):
+                while look <= 3 and raw_index + look < len(raw_lines) and not _RX_END_SENT.search(merged):
                     nxt = (raw_lines[raw_index + look] or "").strip()
                     if not nxt:
                         break
-                    if re.match(
-                        r"^(and|the|to|for|that|which|it|this|these|those|in|on|by|of)\b", nxt, re.I
-                    ) or re.match(r"^[a-z]", nxt):
+                    if _RX_CONT_WORD2.match(nxt) or _RX_LOWER_START.match(nxt):
                         merged += " " + nxt
                         added = True
                     else:
@@ -350,20 +407,18 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
 
     # --- Third pass: paragraph extension for truncated goal starters (:207-229)
     for i in range(len(lines)):
-        if _GOAL_STARTER.search(lines[i]) and not re.search(r"[.!?]$", lines[i]):
+        if _GOAL_STARTER.search(lines[i]) and not _RX_END_SENT.search(lines[i]):
             frag = lines[i][:50].strip()
             raw_index = _find_index(raw_lines, lambda r, f=frag: bool(r) and f in r)
             if raw_index != -1:
                 paragraph = raw_lines[raw_index].strip()
                 added = False
                 look = 1
-                while look <= 8 and raw_index + look < len(raw_lines) and not re.search(r"[.!?]$", paragraph):
+                while look <= 8 and raw_index + look < len(raw_lines) and not _RX_END_SENT.search(paragraph):
                     nxt = (raw_lines[raw_index + look] or "").strip()
                     if not nxt:
                         break  # blank line ends paragraph
-                    if re.match(r"^[A-Z0-9]", nxt) and not re.match(
-                        r"^(And|The|To|For|That|Which|It|This|These|Those|In|On|By|Of)\b", nxt
-                    ):
+                    if _RX_UPPER_START.match(nxt) and not _RX_CAP_CONT.match(nxt):
                         if added:
                             break
                     paragraph += " " + nxt
@@ -384,11 +439,11 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
             while si < len(sentence_parts) - 1:
                 cur = sentence_parts[si]
                 nxt = sentence_parts[si + 1]
-                if re.search(r"[.!?]\s*$", cur) and re.match(r'^"[a-z]', nxt):
+                if _RX_END_SENT_WS.search(cur) and _RX_QUOTE_LOWER.match(nxt):
                     sentence_parts[si] = cur + " " + nxt
                     del sentence_parts[si + 1]
                     continue
-                if re.search(r"\b(to|for|in order to)$", cur.strip(), re.I):
+                if _RX_DANGLING_TO.search(cur.strip()):
                     sentence_parts[si] = cur + " " + nxt
                     del sentence_parts[si + 1]
                     continue
@@ -398,7 +453,7 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
             for part in sentence_parts:
                 text = part.strip()
                 # Force-extend dangling stopword endings via rawLines lookahead
-                if re.search(r"\b(of|to|for|from|with)$", text, re.I) and len(re.split(r"\s+", text)) < 60:
+                if _RX_DANGLING_PREP.search(text) and len(_RX_WS.split(text)) < 60:
                     frag = text[:40]
                     raw_index = _find_index(raw_lines, lambda r, f=frag: bool(r) and f in r)
                     if raw_index != -1:
@@ -407,49 +462,54 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
                         while (
                             look <= 3
                             and raw_index + look < len(raw_lines)
-                            and re.search(r"\b(of|to|for|from|with)$", extended, re.I)
+                            and _RX_DANGLING_PREP.search(extended)
                         ):
                             nxt = (raw_lines[raw_index + look] or "").strip()
                             if not nxt:
                                 break
-                            if re.match(
-                                r"^(and|the|to|for|that|which|it|this|these|those|in|on|by|of|from|with)",
-                                nxt,
-                                re.I,
-                            ) or re.match(r"^[a-z]", nxt):
+                            if _RX_CONT_WORD3.match(nxt) or _RX_LOWER_START.match(nxt):
                                 extended += " " + nxt
                             else:
                                 break
                             look += 1
-                        text = re.sub(r"\s+", " ", extended).strip()
-                text = re.sub(r"\s+", " ", text).strip()
-                text = re.sub(r"[“”]", '"', text)
-                text = re.sub(r"[‘’]", "'", text)
-                text = re.sub(r"\s+", " ", text).strip()
+                        text = _RX_WS.sub(" ", extended).strip()
+                text = _RX_WS.sub(" ", text).strip()
+                text = _RX_DQUOTES.sub('"', text)
+                text = _RX_SQUOTES.sub("'", text)
+                text = _RX_WS.sub(" ", text).strip()
                 if not text:
                     continue
                 lower = text.lower()
                 if lower in seen_sentences:
                     continue
-                has_pollutant = bool(POLLUTANT_TERMS.search(text))
-                has_reduction_inline = bool(REDUCTION_INLINE.search(text)) or bool(PERCENT_RE.search(text))
-                baseline_target = bool(BASELINE_TARGET_PAIR.search(text))
-                explicit = bool(_PRIMARY_PHRASE.search(text))
-                quantitative = (
-                    bool(_QUANTITATIVE.search(text))
-                    or has_reduction_inline
-                    or baseline_target
-                    or (has_pollutant and bool(re.search(r"(reduce|decrease|improve|achieve|attain)", text, re.I)))
-                )
-                looks_heading = (
-                    bool(re.search(r"goals?", text, re.I))
-                    and not re.search(r"(reduce|decrease|improve|achieve|attain|protect|restore)", text, re.I)
-                    and len(re.split(r"\s+", text)) < 8
-                )
-                if looks_heading:
-                    continue
-                if not explicit and not quantitative:
-                    continue
+                # Gating booleans evaluated lazily, cheapest guard first —
+                # all are pure regex tests over ``text``, so short-circuit
+                # order cannot change the accept/reject outcome.
+                if (
+                    _RX_GOALS_WORD.search(text)
+                    and not _RX_HEAD_VERBS.search(text)
+                    and len(_RX_WS.split(text)) < 8
+                ):
+                    continue  # looks_heading
+                explicit = _PRIMARY_PHRASE.search(text) is not None
+                if not explicit:
+                    # every numeric pattern requires a digit; the pollutant
+                    # path requires one of the reduction verbs
+                    has_digit = _RX_DIGIT.search(text) is not None
+                    quantitative = (
+                        has_digit
+                        and (
+                            _QUANTITATIVE.search(text) is not None
+                            or REDUCTION_INLINE.search(text) is not None
+                            or PERCENT_RE.search(text) is not None
+                            or BASELINE_TARGET_PAIR.search(text) is not None
+                        )
+                    ) or (
+                        POLLUTANT_TERMS.search(text) is not None
+                        and _RX_VERBS.search(text) is not None
+                    )
+                    if not quantitative:
+                        continue
                 seen_sentences.add(lower)
                 goal = {"id": f"G{len(goals) + 1}", "title": text}
                 goal.update(_extract_goal_fields(text))
@@ -459,28 +519,30 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
 
     # --- Final raw-sentence scan for any remaining 'goal' sentences (:348-382)
     all_raw = "\n".join(raw_lines)
-    raw_sentences = split_sentences(re.sub(r"\s+", " ", all_raw))
+    raw_sentences = split_sentences(_RX_WS.sub(" ", all_raw))
     i = 0
     while i < len(raw_sentences) - 1:
         cur = raw_sentences[i]
         nxt = raw_sentences[i + 1]
-        if re.search(r"\b(to|for|in order to)$", cur.strip(), re.I):
+        if _RX_DANGLING_TO.search(cur.strip()):
             raw_sentences[i] = cur + " " + nxt
             del raw_sentences[i + 1]
             continue
-        if re.search(r"[.!?]\s*$", cur) and re.match(r'^"[a-z]', nxt):
+        if _RX_END_SENT_WS.search(cur) and _RX_QUOTE_LOWER.match(nxt):
             raw_sentences[i] = cur + " " + nxt
             del raw_sentences[i + 1]
             continue
         i += 1
     for rs in raw_sentences:
-        candidate = re.sub(r"[‘’]", "'", re.sub(r"[“”]", '"', rs.strip()))
-        if not re.search(r"goals?", candidate, re.I):
+        # the quote-normalizing subs cannot add/remove the 'goals?' token, so
+        # gate on the raw sentence before paying for them
+        if not _RX_GOALS_WORD.search(rs):
             continue
+        candidate = _RX_SQUOTES.sub("'", _RX_DQUOTES.sub('"', rs.strip()))
         lower = candidate.lower()
         if lower in seen_sentences:
             continue
-        if len(re.split(r"\s+", candidate)) < 4:
+        if len(_RX_WS.split(candidate)) < 4:
             continue
         seen_sentences.add(lower)
         goal = {"id": f"G{len(goals) + 1}", "title": candidate.strip()}
@@ -491,15 +553,15 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
 
     # --- Punctuation-less raw-line fallback (:384-405) -------------------------
     for rl in raw_lines:
-        if not re.search(r"goals?", rl, re.I):
+        if not _RX_GOALS_WORD.search(rl):
             continue
         trimmed = rl.strip()
-        if not trimmed or re.match(r"^goals?\s*:?$", trimmed, re.I):
+        if not trimmed or _RX_GOAL_HEADING_ONLY.match(trimmed):
             continue
         lower = trimmed.lower()
         if lower in seen_sentences:
             continue
-        if len(re.split(r"\s+", trimmed)) < 3:
+        if len(_RX_WS.split(trimmed)) < 3:
             continue
         # NOTE: the reference does NOT add to seenSentences here — duplicate
         # raw lines each produce a goal. Preserved for parity.
@@ -540,7 +602,7 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
     if goals:
         raw_joined = [l or "" for l in raw_lines]
         for g in goals:
-            frag = re.sub(r"[-/\\^$*+?.()|[\]{}]", "", " ".join(re.split(r"\s+", g["title"])[:6]))
+            frag = _RX_META_ESCAPE.sub("", " ".join(_RX_WS.split(g["title"])[:6]))
             idx = -1
             if len(frag) > 6:
                 probe = frag[: min(40, len(frag))]
@@ -555,15 +617,15 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
                     if not nxt_raw or not nxt_raw.strip():
                         break
                     nxt = nxt_raw.strip()
-                    if re.search(r"[.!?]$", paragraph) and (
-                        re.match(r"^[A-Z][A-Za-z0-9\- ]{0,40}$", nxt) or re.search(r":$", nxt)
+                    if _RX_END_SENT.search(paragraph) and (
+                        _RX_HEADING_LINE.match(nxt) or _RX_COLON_END.search(nxt)
                     ):
                         break
                     paragraph += " " + nxt
-                    if re.search(r"[.!?]$", nxt) and len(re.split(r"\s+", paragraph)) > 120:
+                    if _RX_END_SENT.search(nxt) and len(_RX_WS.split(paragraph)) > 120:
                         break
-            paragraph = re.sub(r"([A-Za-z])-(\s+)([a-z])", r"\1\3", paragraph)
-            paragraph = re.sub(r"\s+", " ", paragraph).strip()
+            paragraph = _RX_HYPHEN_WRAP.sub(r"\1\3", paragraph)
+            paragraph = _RX_WS.sub(" ", paragraph).strip()
             if len(paragraph) > len(g["title"]) + 20:
                 g["fullParagraph"] = paragraph
 
@@ -574,51 +636,42 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
         for g in goals:
             lower = g["title"].lower()  # original title, pre-strip (parity)
             t = g["title"]
-            t = re.sub(r"^(project\s+goals?\s+goals?/objectives\s+\d+\s+)", "", t, flags=re.I)
-            t = re.sub(r"^(project\s+goals?\s+objectives?\s+\d+\s+)", "", t, flags=re.I)
-            t = re.sub(r"^(goals?\s+and\s+objectives?\s+)", "", t, flags=re.I)
-            t = re.sub(r"^(goals?\s*[:;]\s*)", "", t, flags=re.I)
-            t = re.sub(r"Goal Who What Where When Contacts", "", t, flags=re.I)
-            t = re.sub(r"Goals?/Objectives?", "", t, flags=re.I)
-            t = re.sub(r"^(?:Project\s+)?Goals?\b", "", t, flags=re.I)
-            t = re.sub(r"\s+", " ", t).strip()
-            t = re.sub(
-                r"^(the watershed implementation plan has the goals? of reducing the nutrients? and\s+)",
-                "",
-                t,
-                flags=re.I,
-            )
-            t = re.sub(r"\s+", " ", t).strip()
+            t = _RX_CONS_T1.sub("", t)
+            t = _RX_CONS_T2.sub("", t)
+            t = _RX_CONS_T3.sub("", t)
+            t = _RX_CONS_T4.sub("", t)
+            t = _RX_CONS_T5.sub("", t)
+            t = _RX_CONS_T6.sub("", t)
+            t = _RX_CONS_T7.sub("", t)
+            t = _RX_WS.sub(" ", t).strip()
+            t = _RX_CONS_T8.sub("", t)
+            t = _RX_WS.sub(" ", t).strip()
             g["title"] = t
-            if re.search(r"use of$", g["title"], re.I):
+            if _RX_USE_OF_END.search(g["title"]):
                 frag = g["title"][:50]
                 raw_index = _find_index(raw_lines, lambda r, f=frag: bool(r) and f in r)
                 if raw_index != -1:
                     extended = g["title"]
                     look = 1
                     appended = False
-                    while look <= 12 and raw_index + look < len(raw_lines) and not re.search(r"[.!?]$", extended):
+                    while look <= 12 and raw_index + look < len(raw_lines) and not _RX_END_SENT.search(extended):
                         nxt = (raw_lines[raw_index + look] or "").strip()
                         if not nxt:
                             break
                         extended += " " + nxt
                         appended = True
                         look += 1
-                        if re.search(r"[.!?]$", nxt):
+                        if _RX_END_SENT.search(nxt):
                             break
                     if appended:
-                        g["title"] = re.sub(r"\s+", " ", extended).strip()
+                        g["title"] = _RX_WS.sub(" ", extended).strip()
             phrase_idx = g["title"].lower().find("goal and objective is to")
             if phrase_idx != -1:
-                g["title"] = re.sub(
-                    r"^goal and objective is to",
+                g["title"] = _RX_GOAL_AND_OBJ.sub(
                     "The goal and objective is to",
                     g["title"][phrase_idx:],
-                    flags=re.I,
                 ).strip()
-            if len(re.split(r"\s+", g["title"])) < 8 or re.match(
-                r"^(who what where when contacts)$", g["title"].strip(), re.I
-            ):
+            if len(_RX_WS.split(g["title"])) < 8 or _RX_WWWWC.match(g["title"].strip()):
                 continue  # skip fragment
             if any(lower in c["title"].lower() and len(c["title"]) != len(lower) for c in consolidated):
                 continue  # skip subset duplicate
@@ -626,9 +679,9 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
         for i, g in enumerate(consolidated):
             g["id"] = f"G{i + 1}"
         raw_text_all = "\n".join(raw_lines)
-        canon_match = re.search(r"(?:The\s+)?goal and objective is to[^.]{10,300}\.", raw_text_all, re.I)
+        canon_match = _RX_CANON_PHRASE.search(raw_text_all)
         if canon_match:
-            sentence = re.sub(r"\s+", " ", canon_match.group(0)).strip()
+            sentence = _RX_WS.sub(" ", canon_match.group(0)).strip()
             return [
                 {
                     "id": "G1",

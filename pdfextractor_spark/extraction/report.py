@@ -23,6 +23,33 @@ __all__ = ["parse_cost_table", "build_structured_report", "finalize_report"]
 
 _MULTI_FUND_HEADER = re.compile(r"Practice\s+Producer\s+NRCS\s+(EPA-?MDEQ|EPA\s*MDEQ)\s+Total", re.I)
 
+# Precompiled hot-path patterns (identical semantics to the inline literals
+# they replace; build_structured_report runs once per document in the fused
+# UDF and per-call ``re.search(str, ...)``/``re.compile`` overhead was ~5% of
+# the extraction stage).
+_RX_WS = re.compile(r"\s+")
+_RX_NEWLINE = re.compile(r"\r?\n")
+_RX_GOAL_WORD = re.compile(r"goal", re.I)
+_RX_WATERSHED_DOT = re.compile(r"watershed\.", re.I)
+_RX_WATERSHED_DOT_END = re.compile(r"watershed\.$", re.I)
+_RX_USE_OF_END = re.compile(r"use of$", re.I)
+_RX_ULT_BRING = re.compile(r"The ultimate goal is to bring about", re.I)
+_RX_QOL_WATERSHED_DOT = re.compile(r"quality of life in the watershed\.", re.I)
+_RX_BMP_PRACTICES = re.compile(r"best management practices", re.I)
+_RX_OVERALL_QOL = re.compile(r"overall quality of life", re.I)
+_RX_GOAL_PREFIX = re.compile(r"^\s*goal[:\-]", re.I)
+_RX_GOAL_COLON = re.compile(r"\bgoal:", re.I)
+_RX_FIRST_SENT = re.compile(r"^[\s\S]*?\.")
+_RX_SEMANTIC_GOAL = re.compile(
+    r"(ultimate goal|overall goal|primary objective|main objective|intended outcome|mission is to)", re.I
+)
+_RX_GOAL_STARTER_DESC = re.compile(
+    r"(The ultimate goal|The overall goal|The primary objective|Our goal|The goal|The objective)", re.I
+)
+_RX_AS_COMMA = re.compile(r"^as,\s+", re.I)
+_RX_AS_WORD = re.compile(r"^as\s+", re.I)
+_RX_COST_ESTIMATE = re.compile(r"cost estimate", re.I)
+
 
 def _pf(s):
     return js_parse_float(s.replace(",", "")) if isinstance(s, str) else js_parse_float(s)
@@ -598,7 +625,7 @@ def parse_cost_table(sections: dict, raw_text: str | None = None) -> dict:
         for v in sections.values():
             if isinstance(v, list):
                 all_lines.extend(v)
-        raw_lines_arg = re.split(r"\r?\n", raw_text) if raw_text else None
+        raw_lines_arg = _RX_NEWLINE.split(raw_text) if raw_text else None
         if not any(_MULTI_FUND_HEADER.search(l or "") for l in all_lines):
             if raw_lines_arg:
                 header_idx = -1
@@ -705,7 +732,7 @@ def parse_cost_table(sections: dict, raw_text: str | None = None) -> dict:
         if not table_starts and not bmp_cost_tables:
             idx = -1
             for k, l in enumerate(all_lines):
-                if l and re.search(r"cost estimate", l, re.I):
+                if l and _RX_COST_ESTIMATE.search(l):
                     idx = k
                     break
             if idx == -1:
@@ -1036,7 +1063,7 @@ def build_structured_report(sections: dict, source_id=None, source_file=None,
                 end_pos = slice_.lower().find("watershed.")
                 if end_pos != -1:
                     sentence = _apply(slice_[: end_pos + len("watershed.")], _BRONZE_NORM).strip()
-                    if re.search(r"goal", sentence, re.I) and re.search(r"watershed\.$", sentence, re.I):
+                    if _RX_GOAL_WORD.search(sentence) and _RX_WATERSHED_DOT_END.search(sentence):
                         precomputed_goals = [{
                             "id": "G1", "title": sentence, "status": infer_status(sentence),
                             "pollutant": _poll_group(sentence), "parameter": _poll_group(sentence),
@@ -1049,7 +1076,7 @@ def build_structured_report(sections: dict, source_id=None, source_file=None,
                             "primaryReason": "bronze_direct_slice", "description": sentence,
                             "originalSentence": sentence,
                             "shortTitle": sentence if len(sentence) <= 140
-                            else " ".join(re.split(r"\s+", sentence)[:14]) + "…",
+                            else " ".join(_RX_WS.split(sentence)[:14]) + "…",
                         }]
         except Exception:
             pass
@@ -1061,7 +1088,7 @@ def build_structured_report(sections: dict, source_id=None, source_file=None,
 
     goal_source_lines = list(sections["Goals"]) if sections.get("Goals") is not None else []
     has_truncated_ultimate = any(
-        re.search(r"The ultimate goal is to bring about", l, re.I) and re.search(r"use of$", l.strip(), re.I)
+        _RX_ULT_BRING.search(l) and _RX_USE_OF_END.search(l.strip())
         for l in goal_source_lines
     )
     if has_truncated_ultimate:
@@ -1081,19 +1108,15 @@ def build_structured_report(sections: dict, source_id=None, source_file=None,
         start_idx = norm.lower().find("the ultimate goal is to bring about")
         if start_idx != -1:
             window = norm[start_idx : start_idx + 600]
-            end_match = re.search(r"quality of life in the watershed\.", window, re.I) or re.search(
-                r"watershed\.", window, re.I
-            )
+            end_match = _RX_QOL_WATERSHED_DOT.search(window) or _RX_WATERSHED_DOT.search(window)
             if end_match:
                 end_pos = window.lower().find(end_match.group(0).lower()) + len(end_match.group(0))
                 sentence = window[:end_pos].strip()
-                if re.search(r"best management practices", sentence, re.I) and re.search(
-                    r"overall quality of life", sentence, re.I
-                ):
+                if _RX_BMP_PRACTICES.search(sentence) and _RX_OVERALL_QOL.search(sentence):
                     goal_source_lines.append(sentence)
     goals = extract_goals(goal_source_lines)
     # --- Raw-text streaming fallback for single truncated goal ----------------
-    if len(goals) == 1 and re.search(r"use of$", goals[0]["title"], re.I) and source_id and raw_text:
+    if len(goals) == 1 and _RX_USE_OF_END.search(goals[0]["title"]) and source_id and raw_text:
         try:
             raw = raw_text.replace("\r", "")
             lower = raw.lower()
@@ -1106,16 +1129,16 @@ def build_structured_report(sections: dict, source_id=None, source_file=None,
                 idx = lower.find(" goal ")
             if idx != -1:
                 slice_ = raw[idx : idx + 1000]
-                sm = re.match(r"^[\s\S]*?\.", slice_)
+                sm = _RX_FIRST_SENT.match(slice_)
                 if sm:
                     sentence = _apply(sm.group(0), _STREAM_FALLBACK_NORM).strip()
-                    if re.search(r"goal", sentence, re.I) and re.search(r"watershed\.", sentence, re.I):
+                    if _RX_GOAL_WORD.search(sentence) and _RX_WATERSHED_DOT.search(sentence):
                         g0 = goals[0]
                         g0["title"] = sentence
                         g0["source"] = sentence
                         g0["description"] = sentence
                         g0["originalSentence"] = sentence
-                        g0["shortTitle"] = sentence if len(sentence) <= 140 else " ".join(re.split(r"\s+", sentence)[:14]) + "…"
+                        g0["shortTitle"] = sentence if len(sentence) <= 140 else " ".join(_RX_WS.split(sentence)[:14]) + "…"
                         g0["confidence"] = max(g0.get("confidence") or 0.5, 0.85)
                         g0["primaryReason"] = g0.get("primaryReason") or "raw_stream_fallback"
                         g0["isPrimary"] = True
@@ -1128,7 +1151,7 @@ def build_structured_report(sections: dict, source_id=None, source_file=None,
         candidate_lines = []
         for sec in candidate_sections:
             for line in sections.get(sec) or []:
-                if re.match(r"^\s*goal[:\-]", line, re.I) or re.search(r"\bgoal:", line, re.I):
+                if _RX_GOAL_PREFIX.match(line) or _RX_GOAL_COLON.search(line):
                     candidate_lines.append(line)
         if candidate_lines:
             fb_goals = extract_goals(candidate_lines)
@@ -1139,9 +1162,9 @@ def build_structured_report(sections: dict, source_id=None, source_file=None,
             broad_candidates = []
             for sec in sections:
                 for line in sections.get(sec) or []:
-                    if re.search(r"goal", line, re.I):
+                    if _RX_GOAL_WORD.search(line):
                         for s in split_sentences(line):
-                            if re.search(r"goal", s, re.I):
+                            if _RX_GOAL_WORD.search(s):
                                 broad_candidates.append(s.strip())
             if broad_candidates:
                 broad_goals = extract_goals(broad_candidates)
@@ -1149,9 +1172,7 @@ def build_structured_report(sections: dict, source_id=None, source_file=None,
                     goals.extend(broad_goals)
                     fallback_goal_heuristic_used = True
         if not goals and isinstance(sections.get("uncategorized"), list):
-            semantic_patterns = re.compile(
-                r"(ultimate goal|overall goal|primary objective|main objective|intended outcome|mission is to)", re.I
-            )
+            semantic_patterns = _RX_SEMANTIC_GOAL
             semantic_lines = []
             for line in sections.get("uncategorized") or []:
                 if semantic_patterns.search(line):
@@ -1165,9 +1186,7 @@ def build_structured_report(sections: dict, source_id=None, source_file=None,
                     fallback_goal_heuristic_used = True
     # --- Description / shortTitle enrichment ----------------------------------
     if goals:
-        starter_regex = re.compile(
-            r"(The ultimate goal|The overall goal|The primary objective|Our goal|The goal|The objective)", re.I
-        )
+        starter_regex = _RX_GOAL_STARTER_DESC
         for g in goals:
             original_sentence = g["title"]
             extended = (
@@ -1181,11 +1200,11 @@ def build_structured_report(sections: dict, source_id=None, source_file=None,
                 match = starter_regex.search(g["description"])
                 if match and match.start() > 0:
                     g["description"] = g["description"][match.start() :].strip()
-            g["description"] = re.sub(r"^as,\s+", "", g["description"], flags=re.I)
-            g["description"] = re.sub(r"^as\s+", "", g["description"], flags=re.I)
+            g["description"] = _RX_AS_COMMA.sub("", g["description"])
+            g["description"] = _RX_AS_WORD.sub("", g["description"])
             base_short = (
                 original_sentence if len(original_sentence) <= 140
-                else " ".join(re.split(r"\s+", original_sentence)[:14]) + "…"
+                else " ".join(_RX_WS.split(original_sentence)[:14]) + "…"
             )
             if base_short:
                 g["shortTitle"] = base_short

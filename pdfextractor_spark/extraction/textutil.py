@@ -134,8 +134,11 @@ def dehyphenate(s: str) -> str:
     return re.sub(r"([A-Za-z])-(\s+)([a-z])", r"\1\3", s)
 
 
+_WS_RX = re.compile(r"\s+")
+
+
 def collapse_ws(s: str) -> str:
-    return re.sub(r"\s+", " ", s).strip()
+    return _WS_RX.sub(" ", s).strip()
 
 
 # --- Identity / classification helpers ----------------------------------------
@@ -150,15 +153,20 @@ def slugify(name: str) -> str:
     return s[:80]
 
 
+_STATUS_DONE = re.compile(r"completed|achieved|done|met\b", re.I)
+_STATUS_ONGOING = re.compile(r"in progress|ongoing|underway", re.I)
+_STATUS_NOT_STARTED = re.compile(r"not (?:started|begun)", re.I)
+
+
 def infer_status(line: str) -> str:
     """completed / in_progress / planned keyword ladder.
 
     Ref: enhancedExtractors.js:588-594."""
-    if re.search(r"completed|achieved|done|met\b", line, re.I):
+    if _STATUS_DONE.search(line):
         return "completed"
-    if re.search(r"in progress|ongoing|underway", line, re.I):
+    if _STATUS_ONGOING.search(line):
         return "in_progress"
-    if re.search(r"not (?:started|begun)", line, re.I):
+    if _STATUS_NOT_STARTED.search(line):
         return "planned"
     return "planned"
 
