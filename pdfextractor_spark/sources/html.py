@@ -118,14 +118,128 @@ def _is_content(blk: _Block) -> bool:
     return n >= 25
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer path
+# ---------------------------------------------------------------------------
+#
+# html.parser.HTMLParser spends most of its time in goahead()'s pure-python
+# scanning; for well-formed markup the same event stream can be produced with
+# a handful of C-level regex matches per tag. The tokenizer below drives the
+# SAME _ContentParser handlers and falls back to the stdlib parser for the
+# whole document the moment it sees any construct whose stdlib semantics are
+# nontrivial (malformed tags, doctype-internal subsets, marked sections,
+# unterminated comments), so extracted text is byte-identical on every input:
+# either both paths see the same event stream, or the stdlib path runs alone.
+
+
+class _FastUnsupported(Exception):
+    pass
+
+
+_FAST_TAG = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9:._-]*)"                      # tag name
+    r"((?:\s+[a-zA-Z_:@#][a-zA-Z0-9:._@#-]*"            # attr name
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>\"'`=<]+))?" # attr value
+    r")*)"
+    r"\s*(/?)>"
+)
+_FAST_ENDTAG = re.compile(r"</([a-zA-Z][a-zA-Z0-9:._-]*)\s*>")
+_FAST_CDATA_CLOSE = {
+    elem: re.compile(r"</\s*%s\s*>" % elem, re.I) for elem in ("script", "style")
+}
+
+from html import unescape as _unescape
+
+
+def _fast_feed(parser: _ContentParser, html: str) -> None:
+    """Replay html.parser's event stream over ``parser`` for well-formed
+    markup; raises _FastUnsupported to defer to the stdlib parser."""
+    n = len(html)
+    i = 0
+    tag_match = _FAST_TAG.match
+    end_match = _FAST_ENDTAG.match
+    find = html.find
+    while i < n:
+        j = find("<", i)
+        if j < 0:
+            parser.handle_data(_unescape(html[i:]) if "&" in html[i:] else html[i:])
+            break
+        if j > i:
+            run = html[i:j]
+            parser.handle_data(_unescape(run) if "&" in run else run)
+        i = j
+        nxt = html[i + 1] if i + 1 < n else ""
+        if nxt == "/":
+            m = end_match(html, i)
+            if m is None:
+                raise _FastUnsupported  # tolerant-endtag / bogus-comment path
+            parser.handle_endtag(m.group(1).lower())
+            i = m.end()
+        elif nxt == "!":
+            if html.startswith("<!--", i):
+                e = find("-->", i + 4)
+                if e < 0:
+                    raise _FastUnsupported  # EOF-in-comment salvage differs
+                i = e + 3
+            else:
+                e = find(">", i + 2)
+                chunk = html[i:e] if e >= 0 else ""
+                if e < 0 or "[" in chunk or '"' in chunk or "'" in chunk:
+                    # marked section / internal subset / quoted external id:
+                    # markupbase scans these past a bare '>', so defer
+                    raise _FastUnsupported
+                i = e + 1  # doctype or bogus comment: no events either way
+        elif nxt == "?":
+            e = find(">", i + 2)
+            if e < 0:
+                raise _FastUnsupported
+            i = e + 1  # processing instruction: no events
+        elif nxt.isalpha() and nxt.isascii():
+            m = tag_match(html, i)
+            if m is None:
+                raise _FastUnsupported  # tolerant start-tag salvage differs
+            tag = m.group(1).lower()
+            i = m.end()
+            if m.group(3):  # '/>' — XHTML empty tag, never enters CDATA mode
+                parser.handle_startendtag(tag, [])
+            else:
+                parser.handle_starttag(tag, [])
+                if tag in ("script", "style"):
+                    # rawtext mode: stdlib ends it at the first close tag
+                    # matching endtagfind for this element (``</\s*elem\s*>``)
+                    # — false probes like ``</scriptx`` or ``</script foo>``
+                    # stay rawtext there AND fail this regex, so the end
+                    # position is identical. Data events inside are dropped
+                    # by the engine (script/style are _DROP_TAGS), so their
+                    # exact segmentation is irrelevant.
+                    c = _FAST_CDATA_CLOSE[tag].search(html, i)
+                    if c is None:
+                        # EOF inside rawtext: stdlib emits the rest as data
+                        parser.handle_data(html[i:])
+                        break
+                    parser.handle_data(html[i:c.start()])
+                    parser.handle_endtag(tag)
+                    i = c.end()
+        else:
+            # bare '<' before a non-tag char: stdlib emits it as one-char data
+            parser.handle_data("<")
+            i += 1
+
+
 def extract_html_text(html: str) -> str:
     """Main-content text of an HTML document, one block per line."""
     parser = _ContentParser()
     try:
-        parser.feed(html)
-        parser.close()
+        _fast_feed(parser, html)
+    except _FastUnsupported:
+        parser = _ContentParser()
+        try:
+            parser.feed(html)
+            parser.close()
+        except Exception:
+            pass  # salvage whatever blocks were finished
     except Exception:
-        pass  # salvage whatever blocks were finished
+        pass  # same salvage policy as the stdlib path
     # flush unclosed blocks in stack order
     for blk in parser.block_stack:
         parser._order += 1

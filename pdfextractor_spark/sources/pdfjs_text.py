@@ -192,7 +192,17 @@ class Lexer:
         depth = 1
         out = bytearray()
         n = len(data)
+        scan = self._PLAIN_STR.match
         while p < n:
+            # bulk-copy the run of ordinary chars (no \\ ( ) \r) in one
+            # C-level regex match instead of per-char appends; the loop body
+            # below then only ever handles a special char
+            e = scan(data, p).end()
+            if e > p:
+                out += data[p:e]
+                p = e
+                if p >= n:
+                    break
             c = data[p]
             if c == 0x5C:  # backslash
                 if p + 1 >= n:
@@ -1122,52 +1132,62 @@ _OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
 
 _NUM_TOKEN = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
 
+# whitespace + %-comment run: a comment ends before \r|\n, which the ws
+# class then consumes — same final position as Lexer.skip_ws for every input
+_WS_COMMENT_RUN = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*")
+
 
 def iter_operations(content: bytes):
     """Yield (operator: str, operands: list) in stream order."""
     lex = Lexer(content, 0)
     operands: list = []
     n = len(content)
+    pos = 0
+    skip = _WS_COMMENT_RUN.match
+    num_match = _NUM_TOKEN.match
+    op_match = _OP_RE.match
     while True:
-        lex.skip_ws()
-        if lex.pos >= n:
+        pos = skip(content, pos).end()
+        if pos >= n:
             break
-        c = content[lex.pos]
+        c = content[pos]
         if c in b"+-.0123456789":
             # numeric operand fast path: content streams carry no indirect
             # refs, so the general parser's "N G R" lookahead is dead weight
-            m = _NUM_TOKEN.match(content, lex.pos)
+            m = num_match(content, pos)
             if m:
                 tok = m.group()
                 operands.append(int(tok) if b"." not in tok else float(tok))
-                lex.pos = m.end()
+                pos = m.end()
                 continue
-            lex.pos += 1
+            pos += 1
             continue
         if c in b"/<([":
+            lex.pos = pos
             try:
                 operands.append(lex.parse_object())
             except PdfError:
                 lex.pos += 1
+            pos = lex.pos
             continue
-        m = _OP_RE.match(content, lex.pos)
+        m = op_match(content, pos)
         if not m:
-            lex.pos += 1
+            pos += 1
             operands = []
             continue
         op = m.group().decode("latin-1")
-        lex.pos = m.end()
+        pos = m.end()
         if op == "BI":  # inline image: skip to EI at whitespace boundary
-            e = lex.pos
+            e = pos
             while True:
                 e = content.find(b"EI", e)
                 if e == -1:
-                    lex.pos = n
+                    pos = n
                     break
                 if (e == 0 or content[e - 1] in _WS) and (
                     e + 2 >= n or content[e + 2] in _REGULAR_END
                 ):
-                    lex.pos = e + 2
+                    pos = e + 2
                     break
                 e += 2
             operands = []
@@ -1283,6 +1303,9 @@ class _TextContentBuilder:
         self.items: list[tuple[str, float]] = []
         self.item = _Item()
         self._font_cache: dict[int | str, Font] = {}
+        # (key, width-table, translate-table) for the simple-font show-op
+        # fast path; key = (font, k, Tc, Tw, Th, space-width params)
+        self._bi_cache: tuple | None = None
 
     # -- fonts ---------------------------------------------------------------
 
@@ -1359,26 +1382,44 @@ class _TextContentBuilder:
         buf = it.str
         append = buf.append
         if not font.composite:
-            # hot path: per-code table (unicode pre-normalized) + inlined
-            # advance math — this loop dominates whole-document parse time
-            tbl = font._tbl256 or font.table256()
-            ws_h = ws * h
-            for code in raw:
-                u, gwidth, is_space = tbl[code]
-                if is_space:
-                    width += (gwidth * k + cs + ws) * h
-                    # a space glyph renders as its literal ' ' plus fake
-                    # spaces covering the WORD-SPACING stretch (Tw
-                    # justification -> multiple spaces). charSpacing stretch
-                    # does NOT multiply spaces — pinned empirically against
-                    # the reference bronze: Tw=0.12/sw=0.278 doubles,
-                    # Tc=0.157/Tw=0 stays single.
-                    append(" ")
-                    if ws_h >= it.fake_space_min:
-                        self._add_fake_spaces(ws_h, buf)
-                else:
-                    width += (gwidth * k + cs) * h
-                    append(u)
+            # hot path: per-code width + replacement-string tables cached on
+            # the (font, spacing-state) key, so the per-glyph loop collapses
+            # to C-level ``sum(map(...))`` + ``str.translate``. Float
+            # semantics are bit-identical to the per-char loop it replaces:
+            # each code's contribution is the same expression evaluated once
+            # and summed left-to-right from zero, and a space glyph renders
+            # as its literal ' ' plus fake spaces covering the WORD-SPACING
+            # stretch only (Tw justification -> multiple spaces; charSpacing
+            # stretch does NOT multiply spaces — pinned empirically against
+            # the reference bronze: Tw=0.12/sw=0.278 doubles, Tc=0.157/Tw=0
+            # stays single), which is a constant string per state key.
+            key = (font, k, cs, ws, h, it.space_width, it.fake_space_min,
+                   it.fake_multi_space_min)
+            cache = self._bi_cache
+            if cache is not None and cache[0] == key:
+                wtbl, trans = cache[1], cache[2]
+            else:
+                tbl = font._tbl256 or font.table256()
+                ws_h = ws * h
+                wtbl = []
+                trans = {}
+                for code in range(256):
+                    u, gwidth, is_space = tbl[code]
+                    if is_space:
+                        wtbl.append((gwidth * k + cs + ws) * h)
+                        sp = " "
+                        if ws_h >= it.fake_space_min:
+                            if ws_h < it.fake_multi_space_min:
+                                sp += " "
+                            elif it.space_width:
+                                sp += " " * max(0, _js_math_round(ws_h / it.space_width))
+                        trans[code] = sp
+                    else:
+                        wtbl.append((gwidth * k + cs) * h)
+                        trans[code] = u
+                self._bi_cache = (key, wtbl, trans)
+            width = sum(map(wtbl.__getitem__, raw))
+            append(raw.decode("latin-1").translate(trans))
         else:
             for u, gwidth, is_space in font.chars_to_glyphs(raw):
                 u = NORMALIZED_UNICODES.get(u, u)
