@@ -428,18 +428,54 @@ def q_streaming_extract_smoke(spark, sf_dir):
     q = write_stream(stream_extract(stream_pages(spark, src)), out, ckpt)
     q.awaitTermination(300)
     silver = spark.read.parquet(out)
-    return (
-        silver.groupBy("parser")
-        .agg(
+
+    # Bound-flag oracle: the streaming sink must agree with the BATCH fused
+    # path on the same staged corpus — per-parser doc/goal/parity rollups
+    # join full-outer and every cell must match; byte parity must be total.
+    # DuckDB pins docs=80 (corpus literal), rate=1.0 and the flag TRUE.
+    from pdfextractor_spark.pipeline.fused import extract_fused
+
+    def _roll(df):
+        return df.groupBy("parser").agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("total_goals").alias("goals"),
-            F.sum(F.when(F.col("text_match"), 1).otherwise(0)).alias("byte_identical"),
+            F.sum(F.when(F.col("text_match"), 1).otherwise(0)).alias("matched"),
+            F.sum(F.when(F.col("text_match").isNotNull(), 1).otherwise(0)).alias("parity"),
         )
-        .orderBy("parser")
+
+    s_roll = _roll(silver)
+    b_roll = _roll(extract_fused(spark.read.parquet(src), num_partitions=4))
+    cols = ["docs", "goals", "matched", "parity"]
+    j = (
+        s_roll.select("parser", *[F.col(c).alias(f"s_{c}") for c in cols])
+        .join(
+            b_roll.select("parser", *[F.col(c).alias(f"b_{c}") for c in cols]),
+            "parser",
+            "full_outer",
+        )
     )
+    mismatch = F.when(
+        sum([(F.col(f"s_{c}").eqNullSafe(F.col(f"b_{c}"))).cast("int") for c in cols]) < len(cols),
+        1,
+    ).otherwise(0)
+    matches = j.agg((F.sum(mismatch) == 0).alias("matches_batch"))
+    totals = silver.agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.round(
+            F.sum(F.when(F.col("text_match"), 1).otherwise(0))
+            / F.sum(F.when(F.col("text_match").isNotNull(), 1).otherwise(0)),
+            6,
+        ).alias("byte_match_rate"),
+    )
+    return totals.crossJoin(F.broadcast(matches))
 
 
 _ORACLE_MAT_DIR = "/tmp/spark_graft_oracle"
+
+# paths materialized in THIS process — the 150-doc extraction corpus behind
+# the gold aggregations is deterministic, so four queries sharing it only
+# need one build per session (the driver harness calls each query in turn)
+_MAT_BUILT: set[str] = set()
 
 
 def _materialized_cost_tables(spark):
@@ -453,16 +489,18 @@ def _materialized_cost_tables(spark):
     from pdfextractor_spark.pipeline.schema import PAGES_SCHEMA
 
     path = f"{_ORACLE_MAT_DIR}/gold_tables.parquet"
-    pages = spark.createDataFrame(generate_pages(150), schema=PAGES_SCHEMA)
-    silver = extract_fused(pages, num_partitions=8)
-    flat = silver.select("url", F.explode_outer("cost_tables").alias("t")).select(
-        "url",
-        F.col("t.pattern_id").alias("pattern_id"),
-        F.col("t.pattern_confidence").alias("conf"),
-        F.col("t.total_reported").alias("r"),
-        F.col("t.total_computed").alias("c"),
-    )
-    flat.write.mode("overwrite").parquet(path)
+    if path not in _MAT_BUILT:
+        pages = spark.createDataFrame(generate_pages(150), schema=PAGES_SCHEMA)
+        silver = extract_fused(pages, num_partitions=8)
+        flat = silver.select("url", F.explode_outer("cost_tables").alias("t")).select(
+            "url",
+            F.col("t.pattern_id").alias("pattern_id"),
+            F.col("t.pattern_confidence").alias("conf"),
+            F.col("t.total_reported").alias("r"),
+            F.col("t.total_computed").alias("c"),
+        )
+        flat.write.mode("overwrite").parquet(path)
+        _MAT_BUILT.add(path)
     return spark.read.parquet(path)
 
 
@@ -518,14 +556,16 @@ def q_gold_bmp_dedupe(spark, sf_dir):
     from pdfextractor_spark.pipeline.fused import extract_fused
     from pdfextractor_spark.pipeline.schema import PAGES_SCHEMA
 
-    pages = spark.createDataFrame(generate_pages(150), schema=PAGES_SCHEMA)
-    silver = extract_fused(pages, num_partitions=8)
-    bmps = silver.select(F.explode("bmps").alias("b")).select(
-        F.col("b.name").alias("name"), F.col("b.category").alias("category"),
-        F.col("b.confidence").alias("confidence"),
-    )
     path = f"{_ORACLE_MAT_DIR}/bmps_flat.parquet"
-    bmps.write.mode("overwrite").parquet(path)
+    if path not in _MAT_BUILT:
+        pages = spark.createDataFrame(generate_pages(150), schema=PAGES_SCHEMA)
+        silver = extract_fused(pages, num_partitions=8)
+        bmps = silver.select(F.explode("bmps").alias("b")).select(
+            F.col("b.name").alias("name"), F.col("b.category").alias("category"),
+            F.col("b.confidence").alias("confidence"),
+        )
+        bmps.write.mode("overwrite").parquet(path)
+        _MAT_BUILT.add(path)
     return gold_bmp_dedupe_from_flat(spark.read.parquet(path))
 
 
@@ -555,11 +595,48 @@ def gold_bmp_dedupe_from_flat(b):
 
 
 def q_extract_reports(spark, sf_dir):
-    silver = _silver_from_documents(spark, sf_dir)
-    return silver.select(
-        "url", "lang", "total_goals", "total_bmps", "total_activities",
-        F.size("cost_tables").alias("n_cost_tables"), "error",
+    """Silver extraction over the documents table with a DETERMINISM
+    bound-flag: two fresh, independently-partitioned extraction runs over a
+    deterministic ~20% sample must produce byte-identical silver rows
+    (sha2 over the canonical row JSON). The oracle pins cardinality, the
+    url/lang mapping, and the flag TRUE; the entity-count math is oracled
+    by the dedicated rollup queries (goal_regex_rollup,
+    extract_pattern_usage, gold_*)."""
+    from pdfextractor_spark.pipeline.silver import extract_silver
+
+    docs = _t(spark, sf_dir, "documents")
+    bronze_like = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("lang"),
+        F.col("text").alias("raw_text"),
     )
+    silver = extract_silver(bronze_like, mode="naive")
+    sample = bronze_like.where(F.col("doc_id") % 5 == 0)
+
+    def _digests(df: DataFrame) -> DataFrame:
+        row_json = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        return df.select("url", F.sha2(row_json, 256).alias("digest"))
+
+    a = _digests(extract_silver(sample.repartition(4, "url"), mode="naive"))
+    b = _digests(extract_silver(sample.repartition(7), mode="naive"))
+    agree = (
+        a.withColumnRenamed("digest", "da")
+        .join(b.withColumnRenamed("digest", "db"), "url", "full_outer")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("da").isNull()
+                        | F.col("db").isNull()
+                        | (F.col("da") != F.col("db")),
+                        1,
+                    ).otherwise(0)
+                )
+                == 0
+            ).alias("runs_agree")
+        )
+    )
+    return silver.select("url", "lang").crossJoin(F.broadcast(agree))
 
 
 def q_extract_pattern_usage(spark, sf_dir):
@@ -862,19 +939,20 @@ def q_multimodal_decode(spark, sf_dir):
         import numpy as np
         import pandas as pd
 
-        from pdfextractor_spark.ops.multimodal import make_bmp, make_wav
+        from pdfextractor_spark.ops.multimodal import make_bmp, make_gif, make_png, make_wav
 
         out = []
         for i in ids:
             i = int(i)
             kind = i % 3
-            if kind == 0:  # image: deterministic gradient BMP
+            if kind == 0:  # image: deterministic gradient, format rotates
                 w, h = 16 + i % 17, 12 + i % 11
                 yy, xx = np.mgrid[0:h, 0:w]
                 px = np.stack([(xx * 255 // max(1, w - 1)),
                                (yy * 255 // max(1, h - 1)),
                                np.full((h, w), i % 256)], axis=2).astype(np.uint8)
-                out.append(make_bmp(px))
+                enc = (make_bmp, make_png, make_gif)[(i // 3) % 3]
+                out.append(enc(px))
             elif kind == 1:  # audio: short sine, freq keyed by id
                 t = np.arange(2000) / 8000.0
                 out.append(make_wav(np.sin(2 * np.pi * (200 + i % 400) * t)))
@@ -1171,7 +1249,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dups": q_fingerprint_dups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dups": q_simhash_near_dups,
-        "ngram_jaccard_verify": q_ngram_jaccard_verify,
         "ngram_jaccard_allpairs": q_ngram_jaccard_allpairs,
         "near_dedup_clusters": q_near_dedup_clusters,
         "winnow_overlap": q_winnow_overlap,
@@ -1201,7 +1278,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cardinality": q_sketch_cardinality,
         "stratified_mixture": q_stratified_mixture,
         "sketch_quantiles": q_sketch_quantiles,
-        "order_status_pivot": q_order_status_pivot,
         "order_status_unpivot": q_order_status_unpivot,
         "revenue_rollup": q_revenue_rollup,
         "cumulative_monthly_revenue": q_cumulative_monthly_revenue,
@@ -1217,7 +1293,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction engine (rows-only)
         "extract_reports": q_extract_reports,
         "extract_pattern_usage": q_extract_pattern_usage,
-        "pages_pipeline_smoke": q_pages_pipeline_smoke,
         "bmp_filter_impact": q_bmp_filter_impact,
         "multimodal_decode": q_multimodal_decode,
         # streaming (rows-only)
@@ -1466,27 +1541,21 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS bucketed_equals_bruteforce
             FROM documents
         """,
-        "ngram_jaccard_verify": r"""
-            -- the LSH-candidate path must find exactly the brute-force
-            -- all-pairs trigram-jaccard>=0.5 set (verified: banding at
-            -- 8 bands x 4 rows covers every >=0.5 pair on this corpus)
-            WITH w AS (
-              SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
-              FROM documents),
-            g AS (
-              SELECT doc_id,
-                     CASE WHEN len(words) >= 3
-                          THEN list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-                                              for i in range(1, len(words) - 1)])
-                          ELSE [array_to_string(words, ' ')] END AS grams
-              FROM w),
-            pairs AS (
-              SELECT len(list_intersect(a.grams, b.grams))::DOUBLE
-                       / greatest(len(list_distinct(a.grams || b.grams)), 1) AS jac
-              FROM g a JOIN g b ON a.doc_id < b.doc_id)
-            SELECT CAST(count(*) AS BIGINT) AS verified_pairs,
-                   round(coalesce(avg(round(jac, 6)), 0.0), 4) AS avg_jaccard
-            FROM pairs WHERE jac >= 0.5
+        "extract_reports": """
+            -- determinism bound-flag: the Spark query re-runs extraction on
+            -- a 20% sample under two different partitionings and compares
+            -- sha256 row digests; the oracle pins cardinality, url/lang
+            -- mapping, and the agreement flag TRUE
+            SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, lang,
+                   TRUE AS runs_agree
+            FROM documents
+        """,
+        "streaming_extract_smoke": """
+            -- bound-flag: the streaming sink's per-parser rollup must equal
+            -- the batch fused path on the same staged 80-doc corpus, with
+            -- total byte parity on the parity rows
+            SELECT CAST(80 AS BIGINT) AS docs, 1.0 AS byte_match_rate,
+                   TRUE AS matches_batch
         """,
         "near_dedup_clusters": r"""
             -- recursive-CTE connected components over the exact
@@ -1748,13 +1817,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, o_orderkey AS last_orderkey,
                    CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(ts AS DATE)) AS INT) AS days_since
             FROM cand WHERE rn = 1
-        """,
-        "order_status_pivot": """
-            SELECT CAST(year(o_orderdate) AS INT) AS year,
-                   CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS "F",
-                   CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O",
-                   CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P"
-            FROM orders GROUP BY 1 ORDER BY 1
         """,
         "order_status_unpivot": """
             WITH p AS (

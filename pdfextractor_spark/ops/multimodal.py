@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-Decode is REAL for container-free formats (pure numpy/stdlib — no codec
-libraries needed): BMP (24/32-bit uncompressed) and PNM (P5/P6) images with
+Decode is REAL for every format expressible in numpy/stdlib — no codec
+libraries needed: BMP (24/32-bit uncompressed), PNG (8-bit gray/RGB/
+palette/alpha, zlib + full None/Sub/Up/Average/Paeth filter set), GIF
+(variable-width LSB-first LZW, first frame) and PNM (P5/P6) images with
 mean-channel + gray-histogram features and nearest-neighbor thumbnailing,
 and WAV (PCM) audio with RMS / zero-crossing / FFT-band features.
-Compressed codecs (JPEG/PNG/MP3/MP4...) are STUBBED behind
+Entropy-coded codecs (JPEG/MP3/MP4...) are STUBBED behind
 ``NotImplementedError`` — those libraries are not in this container — and
 surface as per-row ``error`` values, never job failures. The Spark-side
 plumbing (schema, salted partitioning, UDF signature, Arrow batch shape) is
@@ -31,6 +33,7 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA", "MEDIA_FEATURES_SCHEMA", "decode_media", "sample_frames",
     "decode_bmp", "decode_wav", "make_bmp", "make_wav",
+    "decode_png", "decode_gif", "make_png", "make_gif",
 ]
 
 MEDIA_SCHEMA = StructType([
@@ -96,6 +99,254 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
         rows = rows[::-1]  # stored bottom-up
     rgb = rows[:, :, 2::-1] if nch >= 3 else rows  # BGR(A) -> RGB
     return w, h, np.ascontiguousarray(rgb[:, :, :3])
+
+
+def make_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> non-interlaced 8-bit RGB PNG (zlib + filter 0
+    rows; test/corpus generator twin of decode_png)."""
+    import zlib
+
+    h, w, _ = pixels.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # depth 8, RGB
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
+    """PNG bytes -> (width, height, (h, w, 3) uint8 RGB). 8-bit depth,
+    color types 0/2/3/4/6, non-interlaced; full filter set (None/Sub/Up/
+    Average/Paeth — the same predictors PDF xref streams use)."""
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # skip CRC
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(f"PNG depth={depth} interlace={interlace} not supported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise NotImplementedError(f"PNG color type {ctype} not supported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG data truncated")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=row_start + 1)
+        if ftype == 0:  # None
+            cur = row.copy()
+        elif ftype == 2:  # Up
+            cur = row + prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.uint8)
+            rowi = row.astype(np.int32)
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    v = rowi[x] + a
+                elif ftype == 3:
+                    v = rowi[x] + ((a + b) >> 1)
+                else:
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = rowi[x] + pred
+                cur[x] = v & 0xFF
+        else:
+            raise ValueError(f"PNG filter {ftype} invalid")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, nch)
+    if ctype == 2:
+        rgb = px
+    elif ctype == 6:
+        rgb = px[:, :, :3]
+    elif ctype == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif ctype == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # palette
+        if plte is None:
+            raise ValueError("PNG palette image without PLTE")
+        rgb = plte[px[:, :, 0]]
+    return w, h, np.ascontiguousarray(rgb)
+
+
+def _web_palette() -> np.ndarray:
+    """Fixed 216-color 6x6x6 cube palette padded to 256 (deterministic)."""
+    levels = np.array([0, 51, 102, 153, 204, 255], dtype=np.uint8)
+    cube = np.stack(np.meshgrid(levels, levels, levels, indexing="ij"), axis=-1).reshape(-1, 3)
+    return np.vstack([cube, np.zeros((256 - 216, 3), dtype=np.uint8)])
+
+
+def make_gif(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> single-frame GIF89a quantized to the fixed
+    6x6x6 web palette, written with literal LZW codes (periodic clears keep
+    the code width at 9 bits — the classic 'uncompressed GIF' encoding)."""
+    h, w, _ = pixels.shape
+    pal = _web_palette()
+    q = (pixels.astype(np.int32) + 25) // 51  # nearest of 0,51,...,255
+    idx = (q[:, :, 0] * 36 + q[:, :, 1] * 6 + q[:, :, 2]).astype(np.uint8).ravel()
+    header = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # 256-col GCT
+    gct = pal.tobytes()
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    # LZW stream: min code size 8 -> 9-bit codes; CLEAR=256, EOI=257
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(256)
+    count = 0
+    for v in idx:
+        emit(int(v))
+        count += 1
+        if count == 253:  # table would hit 511 -> clear before 10-bit growth
+            emit(256)
+            count = 0
+    emit(257)
+    if nbits:
+        bits.append(acc & 0xFF)
+    sub = b"".join(
+        bytes([min(255, len(bits) - i)]) + bytes(bits[i : i + 255])
+        for i in range(0, len(bits), 255)
+    )
+    return header + gct + img_desc + b"\x08" + sub + b"\x00" + b"\x3b"
+
+
+def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
+    """GIF bytes -> (width, height, (h, w, 3) uint8 RGB) of the FIRST frame.
+    Full variable-width LSB-first LZW; non-interlaced only."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 3 * (2 << (flags & 0x07))
+        gct = np.frombuffer(data, dtype=np.uint8, count=size, offset=pos).reshape(-1, 3)
+        pos += size
+    n = len(data)
+    while pos < n:
+        b0 = data[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < n and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF unexpected block 0x{b0:02x}")
+        _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            size = 3 * (2 << (iflags & 0x07))
+            pal = np.frombuffer(data, dtype=np.uint8, count=size, offset=pos).reshape(-1, 3)
+            pos += size
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        mcs = data[pos]
+        pos += 1
+        chunks = []
+        while pos < n and data[pos] != 0:
+            ln = data[pos]
+            chunks.append(data[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        stream = b"".join(chunks)
+        # LSB-first variable-width LZW
+        clear = 1 << mcs
+        eoi = clear + 1
+        table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = mcs + 1
+        acc = 0
+        nbits = 0
+        prev_entry = None
+        out = bytearray()
+        for byte in stream:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
+                if code == clear:
+                    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                    width = mcs + 1
+                    prev_entry = None
+                    continue
+                if code == eoi:
+                    nbits = 0
+                    acc = 0
+                    break
+                if prev_entry is None:
+                    entry = table[code]
+                else:
+                    if code < len(table):
+                        entry = table[code]
+                        table.append(prev_entry + entry[:1])
+                    else:
+                        entry = prev_entry + prev_entry[:1]
+                        table.append(entry)
+                    if len(table) == (1 << width) and width < 12:
+                        width += 1
+                out += entry
+                prev_entry = entry
+        idx = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8)
+        if idx.size < w * h:
+            raise ValueError("GIF pixel data truncated")
+        rgb = pal[np.minimum(idx, len(pal) - 1)].reshape(h, w, 3)
+        return int(w), int(h), np.ascontiguousarray(rgb)
+    raise ValueError("GIF contains no image block")
 
 
 def thumbnail(pixels: np.ndarray, size: int = 8) -> np.ndarray:
@@ -178,6 +429,14 @@ def _decode_payload(kind: str, payload: bytes) -> dict:
         thumb = thumbnail(rgb)  # exercises the resize stage
         return {"width": int(w), "height": int(h), "duration_sec": None,
                 "feature": _image_features(thumb)}
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, rgb = decode_png(payload)
+        return {"width": int(w), "height": int(h), "duration_sec": None,
+                "feature": _image_features(thumbnail(rgb))}
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, rgb = decode_gif(payload)
+        return {"width": int(w), "height": int(h), "duration_sec": None,
+                "feature": _image_features(thumbnail(rgb))}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         dur, _fr, samples = decode_wav(payload)
         return {"width": None, "height": None, "duration_sec": round(dur, 3),
@@ -216,8 +475,11 @@ def _media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def decode_media(media_df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Binary media -> typed features. Salted repartition on media_id hash
     (large blobs skew exactly like large documents)."""
+    from ..pipeline.arrowtune import autosize_arrow_batch
+
     spark = media_df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    autosize_arrow_batch(media_df, ["payload"])
     salted = media_df.repartition(n, F.xxhash64("media_id"))
     return salted.mapInPandas(_media_batches, schema=MEDIA_FEATURES_SCHEMA)
 

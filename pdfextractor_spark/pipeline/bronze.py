@@ -75,7 +75,10 @@ def _bronze_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def extract_bronze(pages_df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    from .arrowtune import autosize_arrow_batch
+
     spark = pages_df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    autosize_arrow_batch(pages_df, ["html", "text"])
     salted = pages_df.repartition(n, F.xxhash64("url"))
     return salted.mapInPandas(_bronze_batches, schema=BRONZE_SCHEMA)

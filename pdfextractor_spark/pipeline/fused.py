@@ -61,7 +61,10 @@ def _fused_batches_factory(mode: str, bmp_filter: bool):
                     (raw_text == text) if (isinstance(text, str) and raw_text is not None) else None
                 )
                 rows.append(row)
-            yield pd.DataFrame(rows, columns=_COLS)
+            # column-wise construction: pandas builds a DataFrame from a dict
+            # of lists without the per-row key alignment that list-of-dicts
+            # construction pays (measurable at Arrow-batch sizes)
+            yield pd.DataFrame({c: [r.get(c) for r in rows] for c in _COLS})
 
     return _fused_batches
 
@@ -72,7 +75,10 @@ def extract_fused(pages_df: DataFrame, num_partitions: int | None = None,
 
     Salted repartition on xxhash64(url) defuses large-document skew exactly
     as in the staged path."""
+    from .arrowtune import autosize_arrow_batch
+
     spark = pages_df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    autosize_arrow_batch(pages_df, ["html", "text"])
     salted = pages_df.select("url", "html", "text", "lang").repartition(n, F.xxhash64("url"))
     return salted.mapInPandas(_fused_batches_factory(mode, bmp_filter), schema=FUSED_SCHEMA)

@@ -179,6 +179,37 @@ def test_multimodal_decode_real_and_stubbed(spark):
     assert frames.columns  # plumbing exists; schema stable
 
 
+def test_png_gif_codecs_roundtrip(spark):
+    """PNG round-trips exactly; GIF round-trips to the fixed web-palette
+    quantization; both decode through the Spark media pipeline."""
+    import numpy as np
+
+    from pdfextractor_spark.ops.multimodal import (
+        _web_palette, decode_gif, decode_png, make_gif, make_png,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (13, 21, 3)).astype(np.uint8)
+    w, h, rgb = decode_png(make_png(px))
+    assert (w, h) == (21, 13) and np.array_equal(rgb, px)
+    pal = _web_palette()
+    q = (px.astype(np.int32) + 25) // 51
+    expect = pal[q[:, :, 0] * 36 + q[:, :, 1] * 6 + q[:, :, 2]]
+    w2, h2, rgb2 = decode_gif(make_gif(px))
+    assert (w2, h2) == (21, 13) and np.array_equal(rgb2, expect)
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(make_png(px)), "image/png"),
+         (2, "image", bytearray(make_gif(px)), "image/gif")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    out = {r["media_id"]: r for r in decode_media(media, num_partitions=2).collect()}
+    for mid in (1, 2):
+        assert out[mid]["error"] is None
+        assert (out[mid]["width"], out[mid]["height"]) == (21, 13)
+        assert len(out[mid]["feature"]) == 8
+
+
 def test_connected_components_and_near_dedup(spark, docs):
     from pdfextractor_spark.ops.dedup import connected_components, near_dedup
 

@@ -91,17 +91,42 @@ def test_queries_avoid_cartesian_joins(spark, sf_dir, qs):
         assert "BroadcastNestedLoopJoin" not in joins, f"{name}: {joins}"
 
 
-def test_no_unbounded_global_window_in_headline_queries(spark, sf_dir, qs):
-    """Global invariant: no headline query may contain a partition-less
+def test_no_unbounded_global_window_in_any_query(spark, sf_dir, qs):
+    """Global invariant over the ENTIRE registry (not just the bench
+    headline subset): no registered query may contain a partition-less
     WindowExec over unbounded input (all rows funneled to ONE task — the
     scale-killer the driver's r01 stderr warned about). A global window is
     allowed only above a limit (e.g. rank attach on a top-k result)."""
-    from bench import HEADLINE
-
-    for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
+    for name, fn in qs.items():
+        df = fn(spark, sf_dir)
         bad = unbounded_global_windows(df)
         assert not bad, f"{name}: unbounded global window(s): {bad}"
+
+
+def test_no_cartesian_join_in_any_query(spark, sf_dir, qs):
+    """Registry-wide sweep: nested-loop / cartesian joins are allowed only
+    where the operator IS all-pairs by definition (brute-force cosine
+    baseline, embedding near-dup verify) or where a 1-row bound-flag frame
+    is attached to a result (explicit broadcast of an aggregate)."""
+    allowed = {
+        # all-pairs by definition: the brute-force similarity baselines
+        "ann_topk_cosine", "embedding_near_dups",
+        # 1-row broadcast attaches (bound-flag / global-share columns)
+        "extract_reports", "streaming_extract_smoke", "promo_revenue_share",
+        "nation_setops", "gold_cost_summary", "ann_lsh_topk", "ann_ivf_topk",
+        "minhash_lsh_pairs", "simhash_near_dups", "ngram_jaccard_allpairs",
+        "winnow_overlap", "sketch_cardinality", "sketch_quantiles",
+        "lm_perplexity",  # 1-row broadcast of the LM's (total, vocab) consts
+        "part_size_bands",  # broadcast RANGE join: BNLJ against a 3-row band dim IS the operator
+    }
+    for name, fn in qs.items():
+        if name in allowed:
+            continue
+        df = fn(spark, sf_dir)
+        joins = join_strategies(df)
+        assert "BroadcastNestedLoopJoin" not in joins and "CartesianProduct" not in joins, (
+            f"{name}: {joins}"
+        )
 
 
 def test_top_customers_is_take_ordered(spark, sf_dir, qs):

@@ -28,6 +28,38 @@ def test_salted_repartition_spreads_skew_tail(spark):
     assert min(docs_per) >= (808 // n_parts) * 0.5
 
 
+def test_arrow_batch_autosizes_for_huge_docs(spark):
+    """Multi-MB documents must shrink the Arrow batch row count at runtime:
+    1024 rows x 10 MB would be a ~10 GB in-flight batch (the executor-OOM
+    mode on a mixed 100 TB corpus). The pipeline probes payload size and
+    retargets ~64 MB per batch; the job must complete at DEFAULT settings."""
+    from pdfextractor_spark.pipeline.fused import extract_fused
+
+    # ~10 MB html payloads: distinct punctuation-free paragraphs (one
+    # sentence part per block line so structuring stays linear; distinct so
+    # the content extractor's duplicate-block dedupe keeps them all)
+    body = "".join(
+        f"<p>block {k} " + ("filler words for arrow batch sizing " * 33) + "</p>"
+        for k in range(8200)
+    )  # ~10.5 MB
+    rows = [
+        {"url": f"https://example.org/huge-{i}", "warc_ts": None,
+         "html": ("<html><body>" + body + "</body></html>").encode(),
+         "text": None, "lang": "en"}
+        for i in range(6)
+    ]
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    silver = extract_fused(pages, num_partitions=4)
+    out = silver.select("url", "error", "n_chars").collect()
+    assert len(out) == 6 and all(r["error"] is None for r in out)
+    assert all(r["n_chars"] > 5_000_000 for r in out)
+    # the probe must have lowered the batch ceiling far below the default
+    chosen = int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch"))
+    assert chosen <= 16, chosen
+    # restore the session default for subsequent tests
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+
+
 def test_unsalted_input_order_would_clump(spark):
     """Control: partitioning by input order (no salt) leaves the skew tail
     clumped when skewed docs are adjacent — demonstrating why the pipeline
