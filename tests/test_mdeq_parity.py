@@ -53,10 +53,14 @@ def test_bronze_text_parity_against_reference_corpus(ground_truth):
     exact = sum(1 for r in res.values() if r["exact"])
     min_sim = min(r["sim"] for r in res.values())
     bad = {k: v["sim"] for k, v in res.items() if not v["exact"]}
-    # pinned at the measured level: 9/10 byte-identical, the one remaining
-    # doc (a flattened per-glyph-positioned chart) at >=0.9999 similarity
+    # ADJUDICATED divergence (PARITY_MDEQ.md): 9/10 docs byte-identical; the
+    # one remaining doc is Upper_Piney's flattened per-cell chart (each cell
+    # its own q/BT/Tm/ET block), 3 spaces off in ~55k chars — a pdf.js
+    # fake-space corner that two rounds of archaeology could not pin down
+    # (see PARITY_MDEQ.md adjudication note). Pinned at the measured floor:
+    # similarity may not regress below 0.9999.
     assert exact >= 9, f"byte-exact regressed: {exact}/{len(res)}; non-exact: {bad}"
-    assert min_sim >= 0.999, f"similarity regressed: {bad}"
+    assert min_sim >= 0.9999, f"similarity regressed: {bad}"
     for k, v in res.items():
         assert v["pages"] == v["ref_pages"], f"{k}: page count {v['pages']} != {v['ref_pages']}"
 
