@@ -597,7 +597,7 @@ def gold_bmp_dedupe_from_flat(b):
 def q_extract_reports(spark, sf_dir):
     """Silver extraction over the documents table with a DETERMINISM
     bound-flag: two fresh, independently-partitioned extraction runs over a
-    deterministic ~20% sample must produce byte-identical silver rows
+    deterministic ~10% sample must produce byte-identical silver rows
     (sha2 over the canonical row JSON). The oracle pins cardinality, the
     url/lang mapping, and the flag TRUE; the entity-count math is oracled
     by the dedicated rollup queries (goal_regex_rollup,
@@ -611,7 +611,7 @@ def q_extract_reports(spark, sf_dir):
         F.col("text").alias("raw_text"),
     )
     silver = extract_silver(bronze_like, mode="naive")
-    sample = bronze_like.where(F.col("doc_id") % 5 == 0)
+    sample = bronze_like.where(F.col("doc_id") % 10 == 0)
 
     def _digests(df: DataFrame) -> DataFrame:
         row_json = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
@@ -939,6 +939,7 @@ def q_multimodal_decode(spark, sf_dir):
         import numpy as np
         import pandas as pd
 
+        from pdfextractor_spark.ops.jpeg import make_jpeg
         from pdfextractor_spark.ops.multimodal import make_bmp, make_gif, make_png, make_wav
 
         out = []
@@ -951,7 +952,7 @@ def q_multimodal_decode(spark, sf_dir):
                 px = np.stack([(xx * 255 // max(1, w - 1)),
                                (yy * 255 // max(1, h - 1)),
                                np.full((h, w), i % 256)], axis=2).astype(np.uint8)
-                enc = (make_bmp, make_png, make_gif)[(i // 3) % 3]
+                enc = (make_bmp, make_png, make_gif, make_jpeg)[(i // 3) % 4]
                 out.append(enc(px))
             elif kind == 1:  # audio: short sine, freq keyed by id
                 t = np.arange(2000) / 8000.0
@@ -1543,7 +1544,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_reports": """
             -- determinism bound-flag: the Spark query re-runs extraction on
-            -- a 20% sample under two different partitionings and compares
+            -- a 10% sample under two different partitionings and compares
             -- sha256 row digests; the oracle pins cardinality, url/lang
             -- mapping, and the agreement flag TRUE
             SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, lang,
@@ -1694,9 +1695,10 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT count(*) AS c FROM documents GROUP BY text)
         """,
         "multimodal_decode": """
-            -- per-kind counts are data-derived; image(BMP)/audio(WAV)
-            -- decode natively so only the video (compressed container)
-            -- rows hit the stub boundary; wellformed flags pinned TRUE
+            -- per-kind counts are data-derived; images (BMP/PNG/GIF/JPEG
+            -- rotation) and audio (WAV) decode natively so only the video
+            -- (compressed container) rows hit the stub boundary;
+            -- wellformed flags pinned TRUE
             SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
                                    WHEN 1 THEN 'audio'
                                    ELSE 'video' END AS kind,

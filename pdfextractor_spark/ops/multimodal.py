@@ -1,15 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-Decode is REAL for every format expressible in numpy/stdlib — no codec
-libraries needed: BMP (24/32-bit uncompressed), PNG (8-bit gray/RGB/
-palette/alpha, zlib + full None/Sub/Up/Average/Paeth filter set), GIF
-(variable-width LSB-first LZW, first frame) and PNM (P5/P6) images with
-mean-channel + gray-histogram features and nearest-neighbor thumbnailing,
-and WAV (PCM) audio with RMS / zero-crossing / FFT-band features.
-Entropy-coded codecs (JPEG/MP3/MP4...) are STUBBED behind
-``NotImplementedError`` — those libraries are not in this container — and
-surface as per-row ``error`` values, never job failures. The Spark-side
+Decode is REAL for every still-image format plus PCM audio — pure
+numpy/stdlib, no codec libraries needed: BMP (24/32-bit uncompressed),
+PNG (8-bit gray/RGB/palette/alpha, zlib + full None/Sub/Up/Average/Paeth
+filter set), GIF (variable-width LSB-first LZW, first frame), baseline
+JPEG (``ops/jpeg.py``: T.81 sequential DCT, 4:4:4/4:2:2/4:2:0, restart
+intervals) and PNM (P5/P6) images with mean-channel + gray-histogram
+features and nearest-neighbor thumbnailing, and WAV (PCM) audio with
+RMS / zero-crossing / FFT-band features. Compressed AUDIO/VIDEO
+containers (MP3/MP4...) are STUBBED behind ``NotImplementedError`` —
+codec libraries are not in this container — and surface as per-row
+``error`` values, never job failures. The Spark-side
 plumbing (schema, salted partitioning, UDF signature, Arrow batch shape) is
 identical for both paths, so swapping in PIL/ffmpeg on a cluster image
 touches only ``_decode_payload``.
@@ -435,6 +437,12 @@ def _decode_payload(kind: str, payload: bytes) -> dict:
                 "feature": _image_features(thumbnail(rgb))}
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h, rgb = decode_gif(payload)
+        return {"width": int(w), "height": int(h), "duration_sec": None,
+                "feature": _image_features(thumbnail(rgb))}
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg
+
+        w, h, rgb = decode_jpeg(payload)
         return {"width": int(w), "height": int(h), "duration_sec": None,
                 "feature": _image_features(thumbnail(rgb))}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":

@@ -210,6 +210,44 @@ def test_png_gif_codecs_roundtrip(spark):
         assert len(out[mid]["feature"]) == 8
 
 
+def test_jpeg_codec_baseline(spark):
+    """Baseline JPEG: encode->decode round-trip within lossy tolerance
+    (PSNR) across 4:4:4 / 4:2:0 / restart intervals; decodes through the
+    Spark media pipeline; progressive input hits the honest stub."""
+    import numpy as np
+
+    from pdfextractor_spark.ops.jpeg import decode_jpeg, make_jpeg
+
+    yy, xx = np.mgrid[0:21, 0:33]
+    px = np.stack([(xx * 255 // 32), (yy * 255 // 20), np.full((21, 33), 70)],
+                  axis=2).astype(np.uint8)
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255 * 255 / mse)
+
+    for sub, ri, floor in (("444", 0, 40), ("420", 0, 30), ("444", 3, 40), ("420", 3, 30)):
+        w, h, dec = decode_jpeg(make_jpeg(px, 90, subsampling=sub, restart_interval=ri))
+        assert (w, h) == (33, 21)
+        assert psnr(px, dec) > floor, (sub, ri)
+
+    # progressive (SOF2) must raise the stub error, not crash
+    prog = make_jpeg(px)
+    prog = prog.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(make_jpeg(px, 90)), "image/jpeg")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    (row,) = decode_media(media, num_partitions=1).collect()
+    assert row["error"] is None and (row["width"], row["height"]) == (33, 21)
+    assert len(row["feature"]) == 8
+
+
 def test_connected_components_and_near_dedup(spark, docs):
     from pdfextractor_spark.ops.dedup import connected_components, near_dedup
 
