@@ -313,7 +313,9 @@ def _write_baseline(result: dict) -> None:
         "Noise handling: this VM's throughput swings ~25% over minutes",
         "(cloud steal), so each (2-core, 8-core) pair runs BACK TO BACK —",
         "drift cancels within a pair — and the headline is the MEDIAN",
-        "paired ratio of 3 pairs (all pairs reported). The",
+        "paired ratio of 5 pairs, leg order alternating between pairs so a",
+        "monotonic host-state drift cannot bias a fixed low-then-high",
+        "order (all pairs reported). The",
         "`scaling_efficiency_solo_baseline` cross-check (no fillers) lets",
         "the 2-core run turbo-boost, bracketing from the conservative",
         "side; the equalized-clock headline can exceed 1 because in local",
