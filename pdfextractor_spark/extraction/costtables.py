@@ -1027,42 +1027,54 @@ _ACT_MATCH_HEADER = re.compile(r"Activity.*Size.*Estimated Cost.*Landowner Match
 _ITEM_COST_HEADER = re.compile(r"Item\s+Cost", re.I)
 _TECH_ASSIST_WORD = re.compile(r"Technical Assistance", re.I)
 
-PATTERNS: list[tuple[str, object, object]] = [
-    ("sparse_inline_costs", _sparse_header, _sparse_parse),
-    ("narrative_cost_block", _narrative_header, _narrative_parse),
-    ("coded_activity_budget_loose", _coded_loose_header, _coded_loose_parse),
-    ("practice_unit_cost_range", _practice_range_header, _practice_range_parse),
-    ("activity_unit_cost_range", _activity_range_header, _activity_range_parse),
-    ("practice_unit_nrcs_costs",
+# Registry entries carry a NEEDLE GATE: alternatives of lowercase single-word
+# substrings, every word of some alternative required on the lowered line for
+# the header test to possibly fire. Each needle is a literal the header regex
+# REQUIRES (single words only — multi-word literals are split because \s+
+# matches runs of whitespace), so gating with C-level ``in`` checks before the
+# regex battery is a pure optimization with identical accept/reject behavior.
+# The driver loop asserts the structure; derivations:
+#   $-gates: _has_dollar / MONEY / _CODE_TRIGGER / _RANGE_ROW_TRIGGER all
+#   require a literal "$"; word-gates quote the header regex literals.
+PATTERNS: list[tuple[str, tuple, object, object]] = [
+    ("sparse_inline_costs", (("$",),), _sparse_header, _sparse_parse),
+    ("narrative_cost_block", (("$",),), _narrative_header, _narrative_parse),
+    ("coded_activity_budget_loose", (("$",),), _coded_loose_header, _coded_loose_parse),
+    ("practice_unit_cost_range", (("practice", "unit", "cost"), ("$",)),
+     _practice_range_header, _practice_range_parse),
+    ("activity_unit_cost_range", (("activity", "unit", "cost"), ("$",)),
+     _activity_range_header, _activity_range_parse),
+    ("practice_unit_nrcs_costs", (("nrcs",),),
      lambda line, a, i: bool(_NRCS_HEADER.search(line)),
      _nrcs_parse),
-    ("multi_funding_source_costs",
+    ("multi_funding_source_costs", (("nrcs",),),
      lambda line, a, i: bool(_MULTI_FUND_HEADER.search(line)) or bool(_MULTI_FUND_HEADER2.search(line)),
      _multi_fund_parse),
-    ("implementation_plan_coded_budget",
+    ("implementation_plan_coded_budget", (("watershed", "implementation", "plan"),),
      lambda line, a, i: bool(_IMPL_HEADER.search(line)),
      _impl_budget_parse),
-    ("generic_activity_costs",
+    ("generic_activity_costs", (("activity", "amount", "estimated"),),
      lambda line, a, i: bool(_GENERIC_ACT_HEADER.search(line)) and not _LANDOWNER_MATCH.search(line),
      _generic_activity_parse),
-    ("total_estimated_project_cost_block",
+    ("total_estimated_project_cost_block", (("total", "estimated", "project", "cost"),),
      lambda line, a, i: bool(_TOTAL_EST_PROJECT.search(line)) and bool(_MATCH_WORD.search(line)),
      _total_block_parse),
-    ("booths_creek_bmps",
+    ("booths_creek_bmps", (("code", "practice", "units"),),
      lambda line, a, i: bool(_BOOTHS_HEADER.search(line)),
      _booths_parse),
-    ("phase1_bmps",
+    ("phase1_bmps", (("bmps", "amount"),),
      lambda line, a, i: bool(_PHASE1_HEADER.search(line)),
      _phase1_parse),
-    ("activity_match",
+    ("activity_match", (("activity", "landowner", "match"),),
      lambda line, a, i: bool(_ACT_MATCH_HEADER.search(line)),
      _activity_match_parse),
-    ("practice_costs", _practice_costs_header, _practice_costs_parse),
-    ("bell_creek_bmps", lambda line, a, i: bool(_BELL_HEADER.search(line)), _bell_parse),
-    ("tech_assistance",
+    ("practice_costs", (("practice",),), _practice_costs_header, _practice_costs_parse),
+    ("bell_creek_bmps", (("practice", "area", "affected"),),
+     lambda line, a, i: bool(_BELL_HEADER.search(line)), _bell_parse),
+    ("tech_assistance", (("item", "cost"),),
      lambda line, a, i: bool(_ITEM_COST_HEADER.search(line)) and not _TECH_ASSIST_WORD.search(line),
      _tech_parse),
-    ("adaptive_generic_costs", _adaptive_header, _adaptive_parse),
+    ("adaptive_generic_costs", (("$",),), _adaptive_header, _adaptive_parse),
 ]
 
 REGISTERED_COST_PATTERNS = [p[0] for p in PATTERNS]
@@ -1099,13 +1111,25 @@ def parse_cost_tables_with_patterns(all_lines: list[str], raw_lines: list[str] |
                 all_lines.append(l)
     header_idx_global = -1
     for idx, l in enumerate(all_lines):
-        if l and _MULTI_FUND_HEADER.search(l):
+        # "nrcs" is a required literal of _MULTI_FUND_HEADER (pure gate)
+        if l and "nrcs" in l.lower() and _MULTI_FUND_HEADER.search(l):
             header_idx_global = idx
             break
     for i, line in enumerate(all_lines):
         if not line or not _SCAN_GATE.search(line):
             continue
-        for pid, header_test, parse in PATTERNS:
+        low = line.lower()
+        for pid, gates, header_test, parse in PATTERNS:
+            gate_ok = False
+            for alt in gates:
+                for n in alt:
+                    if n not in low:
+                        break
+                else:
+                    gate_ok = True
+                    break
+            if not gate_ok:
+                continue
             try:
                 if header_test(line, all_lines, i):
                     parsed = parse(all_lines, i)

@@ -113,12 +113,17 @@ def join_wrapped_lines(lines: list[str]) -> list[str]:
             buffer = line
             continue
         lower_buf = buffer.lower()
+        # end-of-buffer checks are O(1) char tests, not end-anchored regex
+        # searches (those scan the WHOLE accumulated buffer per line — the
+        # quadratic hot spot of this join). Buffers are built from stripped
+        # lines, so there is no trailing-newline '$' subtlety to preserve.
+        last = buffer[-1]
         if "goal" in lower_buf:
             # starts_continuation only matters inside needs_goal_join; with
             # short-circuiting it is only evaluated when the first two
             # alternatives are false (identical outcome, fewer regex calls)
             needs_goal_join = (
-                not _RX_END_SENT.search(buffer)
+                last not in ".!?"
                 or len(_RX_WS.split(buffer)) < 80
                 or bool(
                     _RX_CONT_PUNCT.match(raw.lstrip())
@@ -129,9 +134,13 @@ def join_wrapped_lines(lines: list[str]) -> list[str]:
             if needs_goal_join:
                 buffer += " " + line
                 continue
-        if _RX_LOWER_NUM_START.match(line) and _RX_SOFT_END.search(buffer) and len(buffer) < 200:
+        # [a-z],?$ == last char ascii-lower, or ',' preceded by ascii-lower
+        soft_end = ("a" <= last <= "z") or (
+            last == "," and len(buffer) > 1 and "a" <= buffer[-2] <= "z"
+        )
+        if _RX_LOWER_NUM_START.match(line) and soft_end and len(buffer) < 200:
             buffer += " " + line  # join probable wrap
-        elif _RX_LOWER_START.match(line) and not _RX_HARD_END.search(buffer) and len(buffer) < 160:
+        elif _RX_LOWER_START.match(line) and last not in ".!;:" and len(buffer) < 160:
             buffer += " " + line
         else:
             out.append(buffer)

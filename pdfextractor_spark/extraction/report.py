@@ -626,11 +626,13 @@ def parse_cost_table(sections: dict, raw_text: str | None = None) -> dict:
             if isinstance(v, list):
                 all_lines.extend(v)
         raw_lines_arg = _RX_NEWLINE.split(raw_text) if raw_text else None
-        if not any(_MULTI_FUND_HEADER.search(l or "") for l in all_lines):
+        # "nrcs" is a required literal of _MULTI_FUND_HEADER — gating the
+        # scans with a C-level substring check is a pure optimization
+        if not any(l and "nrcs" in l.lower() and _MULTI_FUND_HEADER.search(l) for l in all_lines):
             if raw_lines_arg:
                 header_idx = -1
                 for k, l in enumerate(raw_lines_arg):
-                    if l and _MULTI_FUND_HEADER.search(l):
+                    if l and "nrcs" in l.lower() and _MULTI_FUND_HEADER.search(l):
                         header_idx = k
                         break
                 if header_idx != -1:
