@@ -1116,9 +1116,16 @@ def parse_cost_tables_with_patterns(all_lines: list[str], raw_lines: list[str] |
             header_idx_global = idx
             break
     for i, line in enumerate(all_lines):
-        if not line or not _SCAN_GATE.search(line):
+        if not line:
             continue
         low = line.lower()
+        # same alternatives as _SCAN_GATE, as C-level substring tests over
+        # the lowercased line (which the pattern-needle loop needs anyway)
+        if ("total" not in low and "practice" not in low and "bmp" not in low
+                and "activit" not in low and "item" not in low
+                and "watershed" not in low and "projected" not in low
+                and not ("$" in line and _HAS_DOLLAR.search(line))):
+            continue
         for pid, gates, header_test, parse in PATTERNS:
             gate_ok = False
             for alt in gates:
@@ -1140,7 +1147,11 @@ def parse_cost_tables_with_patterns(all_lines: list[str], raw_lines: list[str] |
                             if not l or _SPAN_END_RX.match(l):
                                 break
                             end_idx += 1
-                        dollar_line_indices = [d for d in range(i, end_idx) if _HAS_DOLLAR.search(all_lines[d] or "")]
+                        # '$' substring gate: _HAS_DOLLAR is r"\$[0-9]"
+                        dollar_line_indices = [
+                            d for d in range(i, end_idx)
+                            if "$" in (all_lines[d] or "") and _HAS_DOLLAR.search(all_lines[d])
+                        ]
                         entry = {"id": pid, "title": line.strip(), "spanStart": i, "spanEnd": end_idx,
                                  "dollarLineIndices": dollar_line_indices}
                         entry.update(parsed)  # parsed's own dollarLineIndices wins (JS spread order)

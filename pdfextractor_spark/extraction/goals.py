@@ -101,6 +101,13 @@ def join_wrapped_lines(lines: list[str]) -> list[str]:
     Ref: enhancedExtractors.js:45-71."""
     out: list[str] = []
     buffer = ""
+    # 'goal' membership and word count are tracked INCREMENTALLY: every
+    # merge appends " " + stripped line, so the substring can never span a
+    # join boundary and the \s+-token count is exactly additive — lowering
+    # or splitting the whole accumulated buffer per input line was the
+    # quadratic hot spot of this join.
+    buf_has_goal = False
+    buf_wc = 0
     for raw in lines:
         raw = raw if raw is not None else ""
         line = raw.strip()
@@ -111,20 +118,20 @@ def join_wrapped_lines(lines: list[str]) -> list[str]:
             continue
         if not buffer:
             buffer = line
+            buf_has_goal = "goal" in line.lower()
+            buf_wc = len(line.split())
             continue
-        lower_buf = buffer.lower()
         # end-of-buffer checks are O(1) char tests, not end-anchored regex
-        # searches (those scan the WHOLE accumulated buffer per line — the
-        # quadratic hot spot of this join). Buffers are built from stripped
-        # lines, so there is no trailing-newline '$' subtlety to preserve.
+        # searches. Buffers are built from stripped lines, so there is no
+        # trailing-newline '$' subtlety to preserve.
         last = buffer[-1]
-        if "goal" in lower_buf:
+        if buf_has_goal:
             # starts_continuation only matters inside needs_goal_join; with
             # short-circuiting it is only evaluated when the first two
             # alternatives are false (identical outcome, fewer regex calls)
             needs_goal_join = (
                 last not in ".!?"
-                or len(_RX_WS.split(buffer)) < 80
+                or buf_wc < 80
                 or bool(
                     _RX_CONT_PUNCT.match(raw.lstrip())
                     or _RX_TAB.match(raw)
@@ -133,6 +140,7 @@ def join_wrapped_lines(lines: list[str]) -> list[str]:
             )
             if needs_goal_join:
                 buffer += " " + line
+                buf_wc += len(line.split())
                 continue
         # [a-z],?$ == last char ascii-lower, or ',' preceded by ascii-lower
         soft_end = ("a" <= last <= "z") or (
@@ -140,11 +148,17 @@ def join_wrapped_lines(lines: list[str]) -> list[str]:
         )
         if _RX_LOWER_NUM_START.match(line) and soft_end and len(buffer) < 200:
             buffer += " " + line  # join probable wrap
+            buf_has_goal = buf_has_goal or "goal" in line.lower()
+            buf_wc += len(line.split())
         elif _RX_LOWER_START.match(line) and last not in ".!;:" and len(buffer) < 160:
             buffer += " " + line
+            buf_has_goal = buf_has_goal or "goal" in line.lower()
+            buf_wc += len(line.split())
         else:
             out.append(buffer)
             buffer = line
+            buf_has_goal = "goal" in line.lower()
+            buf_wc = len(line.split())
     if buffer:
         out.append(buffer)
     return out
@@ -319,9 +333,15 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
     raw_lines = ["" if l is None else l for l in raw_lines]
     lines = join_wrapped_lines(raw_lines)
 
-    # --- Early canonical "Dry Creek" whole-text override (ref :100-119) ------
+    # One whole-text join + one lowercase pass, shared by the early
+    # override, the streaming capture, and the final raw scans (the
+    # reference recomputes the join at each site — identical string).
     raw_text_all_early = "\n".join(raw_lines)
-    if _RX_DRY_CREEK.search(raw_text_all_early) and _RX_ULT_BRING_USE.search(raw_text_all_early):
+    lower_all = raw_text_all_early.lower()
+
+    # --- Early canonical "Dry Creek" whole-text override (ref :100-119) ------
+    # "dry creek" is a required literal of _RX_DRY_CREEK (pure gate)
+    if "dry creek" in lower_all and _RX_DRY_CREEK.search(raw_text_all_early) and _RX_ULT_BRING_USE.search(raw_text_all_early):
         normalized = _apply_chain(raw_text_all_early, _EARLY_NORM)
         full_match = re.search(
             r"The ultimate goal is to bring about behavior changes and the use of .*?"
@@ -347,8 +367,7 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
             ]
 
     # --- Simple streaming sentence capture on persistent truncation (:120-178)
-    raw_all_stream = "\n".join(raw_lines)
-    lower_all = raw_all_stream.lower()
+    raw_all_stream = raw_text_all_early
     goal_keywords = [
         "the ultimate goal", "the overall goal", "the primary goal",
         "primary goal", "overall goal", "main goal", "goal is to",
@@ -392,8 +411,16 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
                 }
             ]
 
-    # --- Second pass: direct raw-line merge for unterminated goal lines (:181-205)
+    # --- Second + third passes, fused per line. Both triggers require a
+    # "goal" or "objective" literal (every _RX_ULT_GOAL / _GOAL_STARTER
+    # alternative contains one), so goal-less lines skip all four regexes.
+    # Fusing is order-equivalent: each pass only rewrites lines[i] inside
+    # its own iteration i (no cross-index effects), so pass 3 sees exactly
+    # the pass-2-merged line either way.
     for i in range(len(lines)):
+        _ll = lines[i].lower()
+        if "goal" not in _ll and "objective" not in _ll:
+            continue
         if _RX_ULT_GOAL.search(lines[i]) and not _RX_END_SENT.search(lines[i]):
             frag = lines[i][:40]
             raw_index = _find_index(raw_lines, lambda r, f=frag.strip(): bool(r) and f in r)
@@ -413,9 +440,6 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
                     look += 1
                 if added:
                     lines[i] = merged
-
-    # --- Third pass: paragraph extension for truncated goal starters (:207-229)
-    for i in range(len(lines)):
         if _GOAL_STARTER.search(lines[i]) and not _RX_END_SENT.search(lines[i]):
             frag = lines[i][:50].strip()
             raw_index = _find_index(raw_lines, lambda r, f=frag: bool(r) and f in r)
@@ -462,7 +486,8 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
             for part in sentence_parts:
                 text = part.strip()
                 # Force-extend dangling stopword endings via rawLines lookahead
-                if _RX_DANGLING_PREP.search(text) and len(_RX_WS.split(text)) < 60:
+                # (str.split() == \s+-split for a stripped operand)
+                if _RX_DANGLING_PREP.search(text) and len(text.split()) < 60:
                     frag = text[:40]
                     raw_index = _find_index(raw_lines, lambda r, f=frag: bool(r) and f in r)
                     if raw_index != -1:
@@ -483,9 +508,10 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
                             look += 1
                         text = _RX_WS.sub(" ", extended).strip()
                 text = _RX_WS.sub(" ", text).strip()
+                # quote normalization replaces quote chars with quote chars —
+                # it cannot introduce whitespace, so one ws-collapse suffices
                 text = _RX_DQUOTES.sub('"', text)
                 text = _RX_SQUOTES.sub("'", text)
-                text = _RX_WS.sub(" ", text).strip()
                 if not text:
                     continue
                 lower = text.lower()
@@ -495,9 +521,9 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
                 # all are pure regex tests over ``text``, so short-circuit
                 # order cannot change the accept/reject outcome.
                 if (
-                    _RX_GOALS_WORD.search(text)
+                    "goal" in lower
                     and not _RX_HEAD_VERBS.search(text)
-                    and len(_RX_WS.split(text)) < 8
+                    and len(text.split()) < 8
                 ):
                     continue  # looks_heading
                 explicit = _PRIMARY_PHRASE.search(text) is not None
@@ -527,8 +553,11 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
                 goals.append(goal)
 
     # --- Final raw-sentence scan for any remaining 'goal' sentences (:348-382)
-    all_raw = "\n".join(raw_lines)
-    raw_sentences = split_sentences(_RX_WS.sub(" ", all_raw))
+    # Both fallback scans only ever ACCEPT sentences matching r"goals?"/i;
+    # a document with no "goal" substring at all produces zero candidates,
+    # so the splits/rejoin loops would be dead work (doc-level pure gate).
+    doc_has_goal = "goal" in lower_all
+    raw_sentences = split_sentences(_RX_WS.sub(" ", raw_text_all_early)) if doc_has_goal else []
     i = 0
     while i < len(raw_sentences) - 1:
         cur = raw_sentences[i]
@@ -543,15 +572,16 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
             continue
         i += 1
     for rs in raw_sentences:
-        # the quote-normalizing subs cannot add/remove the 'goals?' token, so
+        # r"goals?"/i matches iff the lowercased text contains "goal";
+        # the quote-normalizing subs cannot add/remove that token, so
         # gate on the raw sentence before paying for them
-        if not _RX_GOALS_WORD.search(rs):
+        if "goal" not in rs.lower():
             continue
         candidate = _RX_SQUOTES.sub("'", _RX_DQUOTES.sub('"', rs.strip()))
         lower = candidate.lower()
         if lower in seen_sentences:
             continue
-        if len(_RX_WS.split(candidate)) < 4:
+        if len(candidate.split()) < 4:
             continue
         seen_sentences.add(lower)
         goal = {"id": f"G{len(goals) + 1}", "title": candidate.strip()}
@@ -561,8 +591,8 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
         goals.append(goal)
 
     # --- Punctuation-less raw-line fallback (:384-405) -------------------------
-    for rl in raw_lines:
-        if not _RX_GOALS_WORD.search(rl):
+    for rl in raw_lines if doc_has_goal else ():
+        if "goal" not in rl.lower():
             continue
         trimmed = rl.strip()
         if not trimmed or _RX_GOAL_HEADING_ONLY.match(trimmed):
@@ -570,7 +600,7 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
         lower = trimmed.lower()
         if lower in seen_sentences:
             continue
-        if len(_RX_WS.split(trimmed)) < 3:
+        if len(trimmed.split()) < 3:
             continue
         # NOTE: the reference does NOT add to seenSentences here — duplicate
         # raw lines each produce a goal. Preserved for parity.
@@ -611,7 +641,7 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
     if goals:
         raw_joined = [l or "" for l in raw_lines]
         for g in goals:
-            frag = _RX_META_ESCAPE.sub("", " ".join(_RX_WS.split(g["title"])[:6]))
+            frag = _RX_META_ESCAPE.sub("", " ".join(g["title"].split()[:6]))
             idx = -1
             if len(frag) > 6:
                 probe = frag[: min(40, len(frag))]
@@ -631,7 +661,7 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
                     ):
                         break
                     paragraph += " " + nxt
-                    if _RX_END_SENT.search(nxt) and len(_RX_WS.split(paragraph)) > 120:
+                    if _RX_END_SENT.search(nxt) and len(paragraph.split()) > 120:
                         break
             paragraph = _RX_HYPHEN_WRAP.sub(r"\1\3", paragraph)
             paragraph = _RX_WS.sub(" ", paragraph).strip()
@@ -680,7 +710,7 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
                     "The goal and objective is to",
                     g["title"][phrase_idx:],
                 ).strip()
-            if len(_RX_WS.split(g["title"])) < 8 or _RX_WWWWC.match(g["title"].strip()):
+            if len(g["title"].split()) < 8 or _RX_WWWWC.match(g["title"].strip()):
                 continue  # skip fragment
             if any(lower in c["title"].lower() and len(c["title"]) != len(lower) for c in consolidated):
                 continue  # skip subset duplicate

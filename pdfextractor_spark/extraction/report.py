@@ -699,7 +699,13 @@ def parse_cost_table(sections: dict, raw_text: str | None = None) -> dict:
         # all twelve regexes (pure optimization, identical semantics).
         table_starts = []
         for i, l in enumerate(all_lines):
-            if not l or not _LEGACY_GATE.search(l):
+            if not l:
+                continue
+            # same needles as _LEGACY_GATE, as C-level substring tests —
+            # a case-insensitive regex scan per line was ~10x the cost
+            _ll = l.lower()
+            if ("cost" not in _ll and "table" not in _ll and "practice" not in _ll
+                    and "bmp" not in _ll and "activit" not in _ll and "code" not in _ll):
                 continue
             if _LG_FULL_PROJECT.match(l):
                 table_starts.append({"index": i, "kind": "full_project", "title": l.strip()})

@@ -34,6 +34,32 @@ def js_round(x: float) -> int:
 
 _MONEY_RE = re.compile(r"\$?([0-9][0-9,]*(?:\.[0-9]{2})?)")
 
+# Precompiled module-level patterns (identical semantics to the inline
+# literals they replace; these functions run per-entity inside the fused
+# extraction UDF, and ``re.sub(str, ...)`` pays a compile-cache dict lookup
+# per call).
+_RX_DIGIT_COMMA = re.compile(r"\d,")
+_RX_MOJI_DQ = re.compile(r"[\u201c\u201d]")
+_RX_MOJI_A = re.compile(r"\u00e2\u20ac\u0153|\u00e2")
+_RX_MOJI_B = re.compile(r"\u00e2\u20ac")
+_RX_MOJI_C = re.compile(r"\u0393\u00c7\u00a3|\u0393\u00c7\u00a5")
+_RX_MOJI_D = re.compile(r"\u0393\u00c7\u00d6|\u00e2\u20ac\u2122")
+_RX_MOJI_E = re.compile(r"\u00e2\u20ac\u201c|\u00e2\u20ac\u201d|\u0393\u00c7\u00f4")
+_RX_WS_PLUS = re.compile(r"\s+")
+_RX_DEHYPHEN = re.compile(r"([A-Za-z])-(\s+)([a-z])")
+_RX_SLUG_NONALNUM = re.compile(r"[^a-z0-9]+")
+_RX_SLUG_DASHES = re.compile(r"-{2,}")
+_RX_AUD_COMMUNITY = re.compile(r"public|community", re.I)
+_RX_AUD_SCHOOL = re.compile(r"school|student", re.I)
+_RX_CANON_TRAILPUNCT = re.compile(r"[,:;]+$")
+_RX_CANON_FEET = re.compile(r"\((feet|ft)\)")
+_RX_CANON_SIMPLE = re.compile(r"^[a-z0-9 \-()\/]{4,}$")
+_RX_EVAL_KEEP = re.compile(r"[^a-z0-9% ]+")
+_RX_SENT_END_WS = re.compile(r"[.!?]\s*$")
+_RX_QUOTE_LOWER_START = re.compile(r'^"[a-z]')
+_RX_DANGLING_INF = re.compile(r"\b(to|for|in order to)$", re.I)
+
+
 
 def money_to_number(s) -> float | None:
     """``$1,234.56`` -> 1234.56 (first match, comma strip).
@@ -57,7 +83,7 @@ def normalize_value(s) -> float | None:
     if not s:
         return None
     low = str(s).lower()
-    if low.endswith("k") and not re.search(r"\d,", low):
+    if low.endswith("k") and not _RX_DIGIT_COMMA.search(low):
         base = js_parse_float(low.replace("k", ""))
         return base * 1000 if base is not None else None
     return js_parse_float(low.replace(",", ""))
@@ -117,13 +143,13 @@ def normalize_mojibake(s: str) -> str:
     Ref: enhancedExtractors.js:105-112 (order preserved: the broad ``â€œ|â``
     alternation runs before the narrower ``â€`` replacement).
     """
-    s = re.sub(r"[“”]", '"', s)
-    s = re.sub(r"â€œ|â", '"', s)
-    s = re.sub(r"â€", '"', s)
-    s = re.sub(r"ΓÇ£|ΓÇ¥", '"', s)
-    s = re.sub(r"ΓÇÖ|â€™", "'", s)
-    s = re.sub(r"â€“|â€”|ΓÇô", "-", s)
-    s = re.sub(r"\s+", " ", s)
+    s = _RX_MOJI_DQ.sub('"', s)
+    s = _RX_MOJI_A.sub('"', s)
+    s = _RX_MOJI_B.sub('"', s)
+    s = _RX_MOJI_C.sub('"', s)
+    s = _RX_MOJI_D.sub("'", s)
+    s = _RX_MOJI_E.sub("-", s)
+    s = _RX_WS_PLUS.sub(" ", s)
     return s
 
 
@@ -131,7 +157,7 @@ def dehyphenate(s: str) -> str:
     """Join line-break hyphens: ``improve-\\n ment`` -> ``improvement``.
 
     Ref: enhancedExtractors.js:477."""
-    return re.sub(r"([A-Za-z])-(\s+)([a-z])", r"\1\3", s)
+    return _RX_DEHYPHEN.sub(r"\1\3", s)
 
 
 _WS_RX = re.compile(r"\s+")
@@ -148,8 +174,8 @@ def slugify(name: str) -> str:
     """Lowercase, non-alnum -> '-', trim/collapse dashes, cap 80 chars.
 
     Ref: backend/routes/upload.js:59-63."""
-    s = re.sub(r"[^a-z0-9]+", "-", name.lower())
-    s = re.sub(r"-{2,}", "-", s).strip("-")
+    s = _RX_SLUG_NONALNUM.sub("-", name.lower())
+    s = _RX_SLUG_DASHES.sub("-", s).strip("-")
     return s[:80]
 
 
@@ -173,9 +199,9 @@ def infer_status(line: str) -> str:
 
 def infer_audience(line: str) -> str:
     """Ref: reportBuilder.js:12-16."""
-    if re.search(r"public|community", line, re.I):
+    if _RX_AUD_COMMUNITY.search(line):
         return "Community"
-    if re.search(r"school|student", line, re.I):
+    if _RX_AUD_SCHOOL.search(line):
         return "Education"
     return "General"
 
@@ -187,10 +213,10 @@ def canon_bmp_name(name: str) -> str:
     if not name:
         return ""
     n = name.lower().strip()
-    n = re.sub(r"\s+", " ", n)
-    n = re.sub(r"[,:;]+$", "", n)
-    n = re.sub(r"\((feet|ft)\)", "(ft)", n)
-    if re.match(r"^[a-z0-9 \-()\/]{4,}$", n) and n.endswith("s") and len(n) > 4:
+    n = _RX_WS_PLUS.sub(" ", n)
+    n = _RX_CANON_TRAILPUNCT.sub("", n)
+    n = _RX_CANON_FEET.sub("(ft)", n)
+    if _RX_CANON_SIMPLE.match(n) and n.endswith("s") and len(n) > 4:
         singular = n[:-1]
         if len(singular) > 3:
             n = singular
@@ -201,7 +227,7 @@ def eval_normalize(s: str) -> str:
     """Normalization used by P/R/F1 evaluation: lowercase, keep [a-z0-9%],
     collapse whitespace. Ref: backend/validation/evaluate.js:28-31."""
     s = s.lower()
-    s = re.sub(r"[^a-z0-9% ]+", " ", s)
+    s = _RX_EVAL_KEEP.sub(" ", s)
     return collapse_ws(s)
 
 
@@ -226,9 +252,7 @@ def rejoin_sentence_parts(parts: list[str]) -> list[str]:
         # The two rules are mutually exclusive (a part cannot end both with
         # [.!?] and with a bare infinitive marker), so check order is moot;
         # after a merge we stay at index i (JS ``si--; continue``).
-        if (re.search(r"[.!?]\s*$", cur) and re.match(r'^"[a-z]', nxt)) or re.search(
-            r"\b(to|for|in order to)$", cur.strip(), re.I
-        ):
+        if (_RX_SENT_END_WS.search(cur) and _RX_QUOTE_LOWER_START.match(nxt)) or _RX_DANGLING_INF.search(cur.strip()):
             parts[i] = cur + " " + nxt
             del parts[i + 1]
             continue

@@ -38,15 +38,23 @@ _WS = re.compile(r"\s+")
 
 
 class _Block:
-    __slots__ = ("tag", "chars", "link_chars")
+    __slots__ = ("tag", "chars", "link_chars", "_text", "_text_nchunks")
 
     def __init__(self, tag: str):
         self.tag = tag
         self.chars: list[str] = []
         self.link_chars = 0
+        self._text: str | None = None
+        self._text_nchunks = -1
 
     def text(self) -> str:
-        return _WS.sub(" ", "".join(self.chars)).strip()
+        # memoized on the chunk count: ``chars`` is append-only, so an
+        # unchanged length means unchanged content (text() is evaluated
+        # twice per kept block — the content gate and the output pass)
+        if self._text_nchunks != len(self.chars):
+            self._text = _WS.sub(" ", "".join(self.chars)).strip()
+            self._text_nchunks = len(self.chars)
+        return self._text
 
 
 class _ContentParser(HTMLParser):
