@@ -838,6 +838,8 @@ def finalize_report(goals, sections, source_id, source_file, fallback_goal_heuri
         all_section_lines = [l for v in sections.values() for l in (v if isinstance(v, list) else []) if isinstance(l, str)]
         existing_lower = {b["name"].lower() for b in bmps}
         for line in all_section_lines:
+            if "$" not in line:  # '$' is a required literal of the pattern
+                continue
             m = _DOLLAR_LINE_RE.match(line.strip())
             if not m:
                 continue

@@ -14,6 +14,12 @@ import re
 SECTION_HEADERS = ["Goals", "BMPs", "Implementation", "Monitoring", "Outreach", "Geography"]
 
 _HEADER_RES = [(h, re.compile(rf"^{h}[:]?$", re.I)) for h in SECTION_HEADERS]
+# ^Header:?$ with re.I over an ASCII line is exact equality of the
+# lowercased line (sans optional trailing ':') — a dict probe instead of
+# up to six anchored regex matches per document line. Non-ASCII lines
+# take the regex path so sre's Unicode case-folding rules stay authoritative.
+_HEADER_BY_LOWER = {h.lower(): h for h in SECTION_HEADERS}
+_RX_LINE_SPLIT = re.compile(r"\r?\n")
 
 
 def empty_sections(extra_activities: bool = False) -> dict[str, list[str]]:
@@ -27,17 +33,24 @@ def empty_sections(extra_activities: bool = False) -> dict[str, list[str]]:
 def extract_sections(raw_text: str) -> dict[str, list[str]]:
     """Stateful scan: an exact header line switches the current bucket;
     non-empty lines append to the current section; default 'uncategorized'."""
-    lines = [l.strip() for l in re.split(r"\r?\n", raw_text)]
+    lines = [l.strip() for l in _RX_LINE_SPLIT.split(raw_text)]
     current = "uncategorized"
     sections = empty_sections()
     for line in lines:
         if not line:
             continue
-        matched = None
-        for name, rx in _HEADER_RES:
-            if rx.match(line):
-                matched = name
-                break
+        if line.isascii():
+            if len(line) <= 15:  # longest header + ':' is 15 chars
+                key = line.lower()
+                matched = _HEADER_BY_LOWER.get(key[:-1] if key.endswith(":") else key)
+            else:
+                matched = None  # no header can match a longer line
+        else:
+            matched = None
+            for name, rx in _HEADER_RES:
+                if rx.match(line):
+                    matched = name
+                    break
         if matched is not None:
             current = matched
             continue
