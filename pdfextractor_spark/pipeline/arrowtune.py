@@ -25,15 +25,41 @@ _LO, _HI = 16, 1024
 _PROBE_ROWS = 256
 
 
+# (session id, plan semantic hash, payload cols) -> chosen rows/batch.
+# The probe is a tuning decision about a TABLE, not about one query run:
+# re-running the same extraction over the same source must not pay a probe
+# job per call (it shows up as fixed per-job overhead in throughput runs).
+_PROBE_CACHE: dict[tuple, int] = {}
+
+
+def _cache_key(df: DataFrame, payload_cols: list[str]):
+    try:
+        sem = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return None
+    spark = df.sparkSession
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        app_id = id(spark)
+    return (app_id, sem, tuple(payload_cols))
+
+
 def autosize_arrow_batch(df: DataFrame, payload_cols: list[str]) -> int:
     """Set ``arrow.maxRecordsPerBatch`` for this session from the average
     payload bytes of ``df`` over ``payload_cols``; returns the chosen rows
     per batch. No-op (returns the env value) when SPARK_GRAFT_ARROW_BATCH
-    is set explicitly."""
+    is set explicitly. Memoized per (session, source plan): repeated stages
+    over the same table reuse the first probe instead of running a new job."""
     spark = df.sparkSession
     env = os.environ.get("SPARK_GRAFT_ARROW_BATCH")
     if env:
         return int(env)
+    key = _cache_key(df, payload_cols)
+    if key is not None and key in _PROBE_CACHE:
+        rows = _PROBE_CACHE[key]
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(rows))
+        return rows
     probe = (
         df.select(
             sum(
@@ -48,4 +74,6 @@ def autosize_arrow_batch(df: DataFrame, payload_cols: list[str]) -> int:
     avg = probe["avg_sz"] or 0.0
     rows = _HI if avg <= 0 else max(_LO, min(_HI, int(TARGET_BATCH_BYTES / max(avg, 1.0))))
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(rows))
+    if key is not None:
+        _PROBE_CACHE[key] = rows
     return rows

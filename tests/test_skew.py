@@ -60,6 +60,27 @@ def test_arrow_batch_autosizes_for_huge_docs(spark):
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
 
 
+def test_arrow_probe_memoized_per_source(spark, tmp_path):
+    """The batch-size probe is a per-TABLE tuning decision: two stages over
+    the same source must share one probe job (the probe otherwise shows up
+    as fixed per-job overhead in repeated-run throughput measurements)."""
+    import time
+
+    from pdfextractor_spark.pipeline.arrowtune import _PROBE_CACHE, autosize_arrow_batch
+
+    path = str(tmp_path / "pages.parquet")
+    pages = spark.createDataFrame(generate_pages(64), schema=PAGES_SCHEMA)
+    pages.write.parquet(path)
+    _PROBE_CACHE.clear()
+    r1 = autosize_arrow_batch(spark.read.parquet(path), ["html", "text"])
+    t0 = time.perf_counter()
+    r2 = autosize_arrow_batch(spark.read.parquet(path), ["html", "text"])
+    cached_sec = time.perf_counter() - t0
+    assert r1 == r2 and len(_PROBE_CACHE) == 1
+    assert cached_sec < 0.5  # dict probe, no Spark job
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+
+
 def test_unsalted_input_order_would_clump(spark):
     """Control: partitioning by input order (no salt) leaves the skew tail
     clumped when skewed docs are adjacent — demonstrating why the pipeline
