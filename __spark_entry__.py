@@ -923,10 +923,12 @@ def q_winnow_overlap(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """Multimodal decode over deterministic REAL payloads: BMP images and
-    PCM WAV audio decode natively (numpy/stdlib — dimensions, duration,
-    channel/spectral features); 'video' rows carry a compressed-container
-    payload that exercises the honest stub boundary (per-row error)."""
+    """Multimodal decode over deterministic REAL payloads: BMP/PNG/GIF/JPEG
+    images and PCM WAV audio decode natively (numpy/stdlib — dimensions,
+    duration, channel/spectral features); MP3 audio and MP4 video get real
+    container-metadata parses (frame-header walk / ISO-BMFF box walk);
+    every 4th video row carries a truncated container that exercises the
+    honest per-row-error path."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
@@ -939,6 +941,7 @@ def q_multimodal_decode(spark, sf_dir):
         import numpy as np
         import pandas as pd
 
+        from pdfextractor_spark.ops.containers import make_mp3, make_mp4
         from pdfextractor_spark.ops.jpeg import make_jpeg
         from pdfextractor_spark.ops.multimodal import make_bmp, make_gif, make_png, make_wav
 
@@ -954,11 +957,20 @@ def q_multimodal_decode(spark, sf_dir):
                                np.full((h, w), i % 256)], axis=2).astype(np.uint8)
                 enc = (make_bmp, make_png, make_gif, make_jpeg)[(i // 3) % 4]
                 out.append(enc(px))
-            elif kind == 1:  # audio: short sine, freq keyed by id
-                t = np.arange(2000) / 8000.0
-                out.append(make_wav(np.sin(2 * np.pi * (200 + i % 400) * t)))
-            else:  # video: compressed container -> stub boundary
-                out.append(b"\x00\x00\x00\x18ftypmp42" + bytes([i % 256]) * 16)
+            elif kind == 1:  # audio: WAV sine / MP3 frame stream alternate
+                if (i // 3) % 2 == 0:
+                    t = np.arange(2000) / 8000.0
+                    out.append(make_wav(np.sin(2 * np.pi * (200 + i % 400) * t)))
+                else:
+                    out.append(make_mp3(20 + i % 30, 1 + (i // 3) % 14, i % 3,
+                                        id3=bool(i % 2), vbr=(i % 4 == 1)))
+            else:  # video: real minimal MP4; every 4th row truncated (stub)
+                if (i // 3) % 4 == 3:
+                    out.append(b"\x00\x00\x00\x18ftypmp42" + bytes([i % 256]) * 16)
+                else:
+                    out.append(make_mp4(160 + i % 320, 120 + i % 200,
+                                        1.0 + (i % 100) / 10.0,
+                                        timescale=600, n_tracks=1 + i % 2))
         return pd.Series(out)
 
     media = docs.select(
@@ -974,6 +986,8 @@ def q_multimodal_decode(spark, sf_dir):
         & (F.size("feature") == 8)
         & ((F.col("kind") != "image") | (F.col("width") > 0))
         & ((F.col("kind") != "audio") | (F.col("duration_sec") > 0))
+        & ((F.col("kind") != "video")
+           | ((F.col("width") > 0) & (F.col("duration_sec") > 0)))
     )
     return (
         feats.groupBy("kind")
@@ -1696,14 +1710,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_decode": """
             -- per-kind counts are data-derived; images (BMP/PNG/GIF/JPEG
-            -- rotation) and audio (WAV) decode natively so only the video
-            -- (compressed container) rows hit the stub boundary;
-            -- wellformed flags pinned TRUE
+            -- rotation) and audio (WAV/MP3 alternate) decode or
+            -- metadata-parse natively, video rows are real minimal MP4s
+            -- except every 4th ((doc_id//3)%4==3), which is truncated and
+            -- must surface as a per-row error; wellformed flags pinned TRUE
             SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
                                    WHEN 1 THEN 'audio'
                                    ELSE 'video' END AS kind,
                    CAST(count(*) AS BIGINT) AS media,
-                   CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS decode_errors,
+                   CAST(sum(CASE WHEN doc_id % 3 = 2
+                                  AND (doc_id // 3) % 4 = 3
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS decode_errors,
                    TRUE AS decoded_wellformed
             FROM documents WHERE doc_id < 200
             GROUP BY 1 ORDER BY 1

@@ -8,10 +8,13 @@ filter set), GIF (variable-width LSB-first LZW, first frame), baseline
 JPEG (``ops/jpeg.py``: T.81 sequential DCT, 4:4:4/4:2:2/4:2:0, restart
 intervals) and PNM (P5/P6) images with mean-channel + gray-histogram
 features and nearest-neighbor thumbnailing, and WAV (PCM) audio with
-RMS / zero-crossing / FFT-band features. Compressed AUDIO/VIDEO
-containers (MP3/MP4...) are STUBBED behind ``NotImplementedError`` —
-codec libraries are not in this container — and surface as per-row
-``error`` values, never job failures. The Spark-side
+RMS / zero-crossing / FFT-band features. Compressed A/V containers get
+real METADATA parses (``ops/containers.py``: MP3 frame-header walk ->
+duration/rates, MP4 ISO-BMFF box walk -> dims/duration/tracks) — which
+is what a pipeline filters on before decode — while the raw SAMPLE /
+PIXEL decode for those codecs is STUBBED behind ``NotImplementedError``
+(codec libraries are not in this container) and any corrupt container
+surfaces as a per-row ``error`` value, never a job failure. The Spark-side
 plumbing (schema, salted partitioning, UDF signature, Arrow batch shape) is
 identical for both paths, so swapping in PIL/ffmpeg on a cluster image
 touches only ``_decode_payload``.
@@ -421,6 +424,16 @@ def _audio_features(samples: np.ndarray) -> list[float]:
             (rms, zcr, *[float(b.sum()) / total for b in bands])]
 
 
+def _container_features(*vals: float) -> list[float]:
+    """8-dim feature from container metadata: log1p-scaled values padded
+    with zeros (deterministic, unit-free; the sample-level spectral/pixel
+    features require the codec decode that stays behind the stub)."""
+    import math
+
+    out = [round(math.log1p(abs(float(v))), 6) for v in vals[:8]]
+    return out + [0.0] * (8 - len(out))
+
+
 def _decode_payload(kind: str, payload: bytes) -> dict:
     """Dispatch on magic bytes; compressed codecs raise NotImplementedError
     (recorded as per-row errors — the honest stub boundary)."""
@@ -455,6 +468,30 @@ def _decode_payload(kind: str, payload: bytes) -> dict:
         w, h = int(parts[1]), int(parts[2])
         return {"width": w, "height": h, "duration_sec": None,
                 "feature": [round(b / 255.0, 6) for b in payload[-8:]]}
+    if payload[:3] == b"ID3" or (
+            len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xFE) == 0xFA):
+        # MP3: frame-header walk gives real duration/rates; MPEG audio
+        # SAMPLE synthesis stays behind the stub boundary, so features are
+        # container-level (rates/frame structure), not spectral.
+        from .containers import parse_mp3
+
+        m = parse_mp3(bytes(payload))
+        return {"width": None, "height": None,
+                "duration_sec": round(m["duration_sec"], 3),
+                "feature": _container_features(
+                    m["duration_sec"], m["avg_bitrate_kbps"], m["sample_rate"] / 48000.0,
+                    float(m["n_frames"]), 1.0 if m["vbr"] else 0.0)}
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        # MP4/ISO-BMFF: box walk gives real dims/duration/track count;
+        # frame PIXEL decode stays behind the stub boundary.
+        from .containers import parse_mp4
+
+        m = parse_mp4(bytes(payload))
+        return {"width": m["width"] or None, "height": m["height"] or None,
+                "duration_sec": round(m["duration_sec"], 3),
+                "feature": _container_features(
+                    m["duration_sec"], float(m["width"]), float(m["height"]),
+                    float(m["n_tracks"]), float(len(payload)))}
     raise NotImplementedError(
         f"{kind}: compressed codec not available in this container "
         f"(magic {payload[:4]!r}); plug PIL/ffmpeg into _decode_payload"

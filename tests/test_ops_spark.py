@@ -248,6 +248,41 @@ def test_jpeg_codec_baseline(spark):
     assert len(row["feature"]) == 8
 
 
+def test_av_container_metadata_parse(spark):
+    """MP3 frame-header walk and MP4 box walk recover real duration /
+    dims / rates from minimal valid containers; truncated containers
+    surface as per-row errors through the Spark media pipeline."""
+    from pdfextractor_spark.ops.containers import make_mp3, make_mp4, parse_mp3, parse_mp4
+
+    mp3 = make_mp3(50, bitrate_idx=9, rate_idx=1, id3=True, vbr=True)
+    m = parse_mp3(mp3)
+    assert m["n_frames"] == 50 and m["sample_rate"] == 48000 and m["vbr"]
+    assert abs(m["duration_sec"] - 50 * 1152 / 48000) < 1e-9
+
+    mp4 = make_mp4(1280, 720, 90.5, timescale=600, n_tracks=2)
+    v = parse_mp4(mp4)
+    assert (v["width"], v["height"], v["n_tracks"]) == (1280, 720, 2)
+    assert abs(v["duration_sec"] - 90.5) < 1 / 600 + 1e-9
+    assert v["brand"] == "mp42"
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(mp3), "audio/mpeg"),
+         (2, "video", bytearray(mp4), "video/mp4"),
+         (3, "video", bytearray(b"\x00\x00\x00\x18ftypmp42" + b"\x07" * 16), "video/mp4"),
+         (4, "audio", bytearray(mp3[:3]), "audio/mpeg")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    out = {r["media_id"]: r for r in decode_media(media, num_partitions=2).collect()}
+    assert out[1]["error"] is None and abs(out[1]["duration_sec"] - 1.2) < 0.01
+    assert out[2]["error"] is None
+    assert (out[2]["width"], out[2]["height"]) == (1280, 720)
+    assert abs(out[2]["duration_sec"] - 90.5) < 0.01
+    assert len(out[1]["feature"]) == 8 and len(out[2]["feature"]) == 8
+    # truncated MP4 (no moov) and truncated MP3: per-row errors, no crash
+    assert out[3]["error"] is not None
+    assert out[4]["error"] is not None
+
+
 def test_connected_components_and_near_dedup(spark, docs):
     from pdfextractor_spark.ops.dedup import connected_components, near_dedup
 
