@@ -91,10 +91,10 @@ def _sparse_parse(all_lines, start_index):
             continue
         blanks = 0
         dollars = _money_all(L)
-        if len(dollars) == 1 and re.search(r"[A-Za-z]{3,}", L):
-            m = re.match(r"^(.*?)(" + MONEY + r")\s*$", L)
+        if len(dollars) == 1 and _ALPHA3_RUN.search(L):
+            m = _NAME_MONEY_EOL.match(L)
             if m:
-                name = re.sub(r"[:•\-]+\s*$", "", m.group(1).strip())
+                name = _TRAIL_PUNCT_SUB.sub("", m.group(1).strip())
                 if name:
                     rows.append({"Item": name, "Cost": m.group(2), "Raw": L})
     if len(rows) < 5:
@@ -118,6 +118,52 @@ def _sparse_parse(all_lines, start_index):
                        "patternId": "sparse_inline_costs", "patternConfidence": 0.45},
         "dollarLineIndices": dollar_idx,
     }
+
+
+# Precompiled hot-parse patterns: identical literals to the inline re.*
+# calls they replace (the registry driver runs these parsers per candidate
+# line, and module-level re.match/search/sub pays a compile-cache probe per
+# call — measurable at 40k docs).
+_ALPHA3_RUN = re.compile(r"[A-Za-z]{3,}")
+_NAME_MONEY_EOL = re.compile(r"^(.*?)(" + MONEY + r")\s*$")
+_TRAIL_PUNCT_SUB = re.compile(r"[:•\-]+\s*$")
+_LEAD_BULLET_ONE = re.compile(r"[\-•]+\s*")
+_SPAN_HDR4 = re.compile(r"^(Goal|Objective|Section|Table)\b", re.I)
+_SUBTOTAL_HDR = re.compile(r"^Subtotal:", re.I)
+_SUBTOTAL_AMT = re.compile(r"Subtotal:\s*\$([0-9][0-9,]*(?:\.[0-9]{2})?)", re.I)
+_CONT_ROW_START = re.compile(r"^(?:\(|for\b|to\b|and\b)", re.I)
+_ROMAN_SEC = re.compile(r"^(I+\.)\s+", re.I)
+_IMPL_END = re.compile(r"^III\.|^Section\s+3|^VII\.", re.I)
+_TRAIL_DOTS_SUB = re.compile(r"\.+$")
+_TOTAL_EST_LINE = re.compile(r"^Total\s+Estimated\s+Project\s+Cost", re.I)
+_GEN_ACT_END = re.compile(r"Element\s+[A-I]:|Technical Assistance|Education/Outreach", re.I)
+_NAME_WS_MONEY_EOL = re.compile(r"^(.*?)\s+(" + MONEY + r")\s*$")
+_LEAD_DASH_SUB = re.compile(r"^[-•]+\s*")
+_SIZE_TOKEN = re.compile(r"([0-9][0-9,]*\s*(ft|feet|ac|acre|acres|each|ea|structures|ponds?)|[0-9][0-9,]*\s*@)", re.I)
+_ADAPT_END = re.compile(r"(Goal|Objective|Section|Table\s+\d+|Implementation Plan)", re.I)
+_ITEM_2MONEY = re.compile(r"^(.*?)\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?)(?:\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?))?\s*$")
+_TOTAL_DOLLAR_LINE = re.compile(r"^Total\s*\$[0-9]", re.I)
+_BOOTHS_END = re.compile(r"In addition to these costs|Element\s+[A-I]:", re.I)
+_TOTAL_ANY_DOLLAR = re.compile(r"^Total.*\$[0-9]", re.I)
+_PHASE1_END = re.compile(r"Technical Assistance|Education and Outreach|Monitoring|Project Management", re.I)
+_NON_NUMDOT_SUB = re.compile(r"[^0-9.]")
+_TOTAL_EST_WORD = re.compile(r"Total Estimated Project Cost", re.I)
+_ACT_MATCH_ROW = re.compile(r"(.*?)(" + MONEY + r")(?:\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?))?\s*$")
+_TRAIL_COLONS_SUB = re.compile(r":+$")
+_LEAD_BMPS_SUB = re.compile(r"^BMPs\s*", re.I)
+_TOTAL_UPPER = re.compile(r"^TOTAL", re.I)
+_TOTAL_WORD = re.compile(r"TOTAL", re.I)
+_UNIT_WORD = re.compile(r"(acres?|acre|ft|feet|sqft|structures|each|ea|ponds?)", re.I)
+_PRACTICE_ONLY = re.compile(r"^Practice\s*$", re.I)
+_UNIT_COST_LIT = re.compile(r"Unit Cost", re.I)
+_TOTAL_COST_LIT = re.compile(r"Total Cost", re.I)
+_TOTAL_ONLY = re.compile(r"^Total\s*$", re.I)
+_TOTALS_WORD = re.compile(r"Totals", re.I)
+_MULTI_WS2 = re.compile(r"\s{2,}")
+_TOTAL_PREFIX = re.compile(r"^Total", re.I)
+_TABLE_GOAL_OBJ = re.compile(r"Table\s+\d+|Goal|Objective", re.I)
+_NUM_GRP = re.compile(r"([0-9][0-9,]*)")
+_LEAD_NUM_SUB = re.compile(r"^[0-9][0-9,]*")
 
 
 _KNOWN_HEADERS = re.compile(r"Practice\s+Producer\s+NRCS|Activity\s+Size|Practice\s+Average\s+Unit", re.I)
@@ -145,13 +191,13 @@ def _narrative_parse(all_lines, start_index):
     j = start_index
     while j < len(all_lines) and j < start_index + 40:
         l = all_lines[j]
-        if not l or re.match(r"^\s*$", l):
+        if not l or l.isspace():
             break
         if not _HAS_DOLLAR.search(l):
             break
-        m = re.match(r"^(.*?)(" + MONEY + r")\s*$", l)
+        m = _NAME_MONEY_EOL.match(l)
         if m:
-            name = re.sub(r"[\-•]+\s*", "", m.group(1).strip(), count=1)
+            name = _LEAD_BULLET_ONE.sub("", m.group(1).strip(), count=1)
             if name:
                 rows.append({"Item": name, "Cost": m.group(2)})
         j += 1
@@ -191,10 +237,10 @@ def _coded_loose_parse(all_lines, start_index):
     for raw in window:
         if not raw:
             break
-        if re.match(r"^(Goal|Objective|Section|Table)\b", raw, re.I):
+        if _SPAN_HDR4.match(raw):
             break
-        if re.match(r"^Subtotal:", raw, re.I):
-            m_sub = re.search(r"Subtotal:\s*\$([0-9][0-9,]*(?:\.[0-9]{2})?)", raw, re.I)
+        if _SUBTOTAL_HDR.match(raw):
+            m_sub = _SUBTOTAL_AMT.search(raw)
             if m_sub:
                 grand_total += _pf(m_sub.group(1)) or 0.0
             continue
@@ -205,7 +251,7 @@ def _coded_loose_parse(all_lines, start_index):
             if amount_num is not None:
                 grand_total += amount_num
             continue
-        if rows and re.match(r"^(?:\(|for\b|to\b|and\b)", raw.strip(), re.I) and not _HAS_DOLLAR.search(raw):
+        if rows and _CONT_ROW_START.match(raw.strip()) and not _HAS_DOLLAR.search(raw):
             rows[-1]["Description"] += " " + raw.strip()
             continue
         if len(rows) >= 5:
@@ -257,9 +303,9 @@ _PRACTICE_RANGE_ROW = re.compile(
 def _range_norm_rows(rows):
     norm = []
     for r in rows:
-        qty_m = re.search(r"([0-9][0-9,]*)", r["Units"])
+        qty_m = _NUM_GRP.search(r["Units"])
         quantity = _pf(qty_m.group(1)) if qty_m else None
-        unit_tok = re.sub(r"^[0-9][0-9,]*", "", r["Units"]).strip().split()
+        unit_tok = _LEAD_NUM_SUB.sub("", r["Units"]).strip().split()
         unit_tok = unit_tok[0] if unit_tok else None
         unit = canonicalize_unit(unit_tok) if unit_tok else None
         total_cost = (r["totalMin"] + r["totalMax"]) / 2
@@ -280,16 +326,16 @@ def _practice_range_parse(all_lines, start_index):
     for raw in window:
         if not raw:
             break
-        if re.match(r"^Total", raw.strip(), re.I):
+        if _TOTAL_PREFIX.match(raw.strip()):
             dollars = [_pf(d.replace("$", "")) for d in _money_all(raw)]
             if dollars:
                 nums = sorted(v for v in dollars if v is not None)
                 if nums:
                     reported_min, reported_max = nums[0], nums[-1]
             break
-        if re.search(r"Table\s+\d+|Goal|Objective", raw, re.I):
+        if _TABLE_GOAL_OBJ.search(raw):
             break
-        if re.match(r"^\$[0-9]", raw.strip()) and rows:
+        if _HAS_DOLLAR.match(raw.strip()) and rows:
             rows[-1].setdefault("continuation", []).append(raw.strip())
             continue
         m = _PRACTICE_RANGE_ROW.match(raw)
@@ -349,13 +395,13 @@ def _activity_range_parse(all_lines, start_index):
     for raw in window:
         if not raw:
             break
-        if re.search(r"TOTAL", raw.strip(), re.I):
+        if _TOTAL_WORD.search(raw.strip()):
             d = [_pf(m.replace("$", "")) for m in _money_all(raw)]
             d = [v for v in d if v is not None]
             if d:
                 reported_total = sum(d) / len(d)
             break
-        if re.search(r"Table\s+\d+|Goal|Objective", raw, re.I):
+        if _TABLE_GOAL_OBJ.search(raw):
             break
         m = _ACTIVITY_RANGE_ROW.match(raw)
         if m:
@@ -374,9 +420,9 @@ def _activity_range_parse(all_lines, start_index):
         return None
     norm = []
     for r in rows:
-        qty_m = re.search(r"([0-9][0-9,]*)", r["Units"])
+        qty_m = _NUM_GRP.search(r["Units"])
         quantity = _pf(qty_m.group(1)) if qty_m else None
-        unit_tok = re.sub(r"^[0-9][0-9,]*", "", r["Units"]).strip().split()
+        unit_tok = _LEAD_NUM_SUB.sub("", r["Units"]).strip().split()
         unit_tok = unit_tok[0] if unit_tok else None
         norm.append({
             "name": r["Name"], "quantity": quantity,
@@ -414,7 +460,7 @@ def _nrcs_parse(all_lines, start_index):
     for line in window[1:]:
         if not line:
             continue
-        if re.match(r"^TOTAL", line.strip(), re.I):
+        if _TOTAL_UPPER.match(line.strip()):
             m = _MONEY_RX.search(line)
             if m:
                 reported_total = money_to_number(m.group(0))
@@ -433,11 +479,11 @@ def _nrcs_parse(all_lines, start_index):
     norm = []
     for r in rows:
         unit_cost = money_to_number(r["Average Unit NRCS Cost"])
-        qty = js_parse_float(re.sub(r"[^0-9.]", "", r["Units"]))
+        qty = js_parse_float(_NON_NUMDOT_SUB.sub("", r["Units"]))
         t = money_to_number(r["Total Cost"])
         if t is not None:
             total += t
-        unit_m = re.search(r"(acres?|acre|ft|feet|sqft|structures|each|ea|ponds?)", r["Units"], re.I)
+        unit_m = _UNIT_WORD.search(r["Units"])
         unit = canonicalize_unit(unit_m.group(1)) if unit_m else None
         per_unit = unit_cost if (unit_cost and qty) else (t / qty if (qty and t) else None)
         norm.append({"name": r["Practice"], "quantity": qty if qty is not None else None, "unit": unit,
@@ -467,12 +513,12 @@ def _multi_fund_parse(all_lines, start_index):
     for line in window[1:]:
         if not line:
             continue
-        if re.search(r"Totals", line, re.I):
+        if _TOTALS_WORD.search(line):
             dollars = [money_to_number(m.group(0)) for m in re.finditer(r"\$\s*([0-9][0-9,]*(?:\.[0-9]{2})?)", line)]
             if dollars:
                 reported_total = dollars[-1]
             break
-        normalized = re.sub(r"\s{2,}", " ", line)
+        normalized = _MULTI_WS2.sub(" ", line)
         m = _MULTI_FUND_ROW.match(normalized)
         if m:
             practice_raw, prod_raw, nrcs_raw, other_raw, total_raw = m.groups()
@@ -532,20 +578,20 @@ def _impl_budget_parse(all_lines, start_index):
     for line in window[1:]:
         if not line:
             continue
-        if re.match(r"^(I+\.)\s+", line, re.I):
+        if _ROMAN_SEC.match(line):
             current_section = line.strip()
             continue
-        if re.match(r"^Subtotal:", line, re.I):
-            m = re.search(r"Subtotal:\s*\$([0-9][0-9,]*(?:\.[0-9]{2})?)", line, re.I)
+        if _SUBTOTAL_HDR.match(line):
+            m = _SUBTOTAL_AMT.search(line)
             if m:
                 val = money_to_number("$" + m.group(1))
                 grand_total += val or 0
             continue
-        if re.match(r"^III\.|^Section\s+3|^VII\.", line, re.I):
+        if _IMPL_END.match(line):
             break
         m = _IMPL_ROW.match(line)
         if m:
-            rows.append({"Code": re.sub(r"\.+$", "", m.group(1)), "Description": m.group(2).strip(),
+            rows.append({"Code": _TRAIL_DOTS_SUB.sub("", m.group(1)), "Description": m.group(2).strip(),
                          "Amount": "$" + m.group(3), "Section": current_section})
     if not rows:
         return None
@@ -568,19 +614,19 @@ def _generic_activity_parse(all_lines, start_index):
     for line in window[1:]:
         if not line:
             continue
-        if re.match(r"^Total\s+Estimated\s+Project\s+Cost", line, re.I):
+        if _TOTAL_EST_LINE.match(line):
             m = _MONEY_RX.search(line)
             if m:
                 reported_total = money_to_number(m.group(0))
             break
-        if re.search(r"Element\s+[A-I]:|Technical Assistance|Education/Outreach", line, re.I):
+        if _GEN_ACT_END.search(line):
             break
-        m = re.match(r"^(.*?)\s+(" + MONEY + r")\s*$", line)
+        m = _NAME_WS_MONEY_EOL.match(line)
         if m:
             left = m.group(1).strip()
-            left = re.sub(r"^[-•]+\s*", "", left)
+            left = _LEAD_DASH_SUB.sub("", left)
             size_part = ""
-            sm = re.search(r"([0-9][0-9,]*\s*(ft|feet|ac|acre|acres|each|ea|structures|ponds?)|[0-9][0-9,]*\s*@)", left, re.I)
+            sm = _SIZE_TOKEN.search(left)
             name = left
             if sm:
                 name = left[: sm.start()].strip()
@@ -662,12 +708,12 @@ def _booths_parse(all_lines, start_index):
     for line in window[1:]:
         if not line:
             continue
-        if re.match(r"^Total\s*\$[0-9]", line, re.I):
+        if _TOTAL_DOLLAR_LINE.match(line):
             m = _MONEY_RX.search(line)
             if m:
                 reported_total = money_to_number(m.group(0))
             break
-        if re.search(r"In addition to these costs|Element\s+[A-I]:", line, re.I):
+        if _BOOTHS_END.search(line):
             break
         m = _BOOTHS_ROW.match(line)
         if m:
@@ -705,12 +751,12 @@ def _phase1_parse(all_lines, start_index):
     for line in window[1:]:
         if not line:
             continue
-        if re.match(r"^Total.*\$[0-9]", line, re.I):
+        if _TOTAL_ANY_DOLLAR.match(line):
             m = _MONEY_RX.search(line)
             if m:
                 reported_total = money_to_number(m.group(0))
             break
-        if re.search(r"Technical Assistance|Education and Outreach|Monitoring|Project Management", line, re.I):
+        if _PHASE1_END.search(line):
             break
         m = _PHASE1_ROW.match(line)
         if m:
@@ -722,7 +768,7 @@ def _phase1_parse(all_lines, start_index):
     norm = []
     for r in rows:
         amount_text = r["Amount"]
-        quantity = js_parse_float(re.sub(r"[^0-9.]", "", amount_text))
+        quantity = js_parse_float(_NON_NUMDOT_SUB.sub("", amount_text))
         total = money_to_number(r["Estimated Cost"])
         if total is not None:
             computed += total
@@ -745,27 +791,27 @@ def _activity_match_parse(all_lines, start_index):
     reported_total = reported_match_total = None
     candidate_lines = [l for l in all_lines if l and _HAS_DOLLAR.search(l)]
     for raw_line in candidate_lines:
-        if re.search(r"Total Estimated Project Cost", raw_line, re.I):
+        if _TOTAL_EST_WORD.search(raw_line):
             dollars = _money_all(raw_line)
             if len(dollars) > 0:
                 reported_total = money_to_number(dollars[0])
             if len(dollars) > 1:
                 reported_match_total = money_to_number(dollars[1])
             continue
-        m = re.search(r"(.*?)(" + MONEY + r")(?:\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?))?\s*$", raw_line)
+        m = _ACT_MATCH_ROW.search(raw_line)
         if not m:
             continue
         left = m.group(1).strip()
         est = m.group(2)
         match_val = ("$" + m.group(3)) if m.group(3) else None
-        left = re.sub(r"^[-•]+\s*", "", left)
+        left = _LEAD_DASH_SUB.sub("", left)
         sm = re.search(r"(\b[0-9][0-9,]*\b.*@|\b[0-9][0-9,]*\b|N/A)", left)
         name = left
         size_part = ""
         if sm:
             name = left[: sm.start()].strip()
             size_part = left[sm.start() :].strip()
-        name = re.sub(r":+$", "", re.sub(r"^BMPs\s*", "", name, flags=re.I)).strip()
+        name = _TRAIL_COLONS_SUB.sub("", _LEAD_BMPS_SUB.sub("", name)).strip()
         if not name:
             continue
         rows.append({"Activity": name, "Size/Amount": size_part, "Estimated Cost": est, "Landowner Match": match_val})
@@ -798,10 +844,10 @@ _PRACTICE_COSTS_ROW = re.compile(r"^(.*?)\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?)\s+([
 
 
 def _practice_costs_header(line, all_lines, i):
-    if not re.match(r"^Practice\s*$", line, re.I):
+    if not _PRACTICE_ONLY.match(line):
         return False
     lookahead = " ".join(all_lines[i : i + 6])
-    return bool(re.search(r"Unit Cost", lookahead, re.I)) and bool(re.search(r"Total Cost", lookahead, re.I))
+    return bool(_UNIT_COST_LIT.search(lookahead)) and bool(_TOTAL_COST_LIT.search(lookahead))
 
 
 def _practice_costs_parse(all_lines, start_index):
@@ -816,7 +862,7 @@ def _practice_costs_parse(all_lines, start_index):
         j += 1
         if not line:
             continue
-        if re.match(r"^Total\s*$", line.strip(), re.I):
+        if _TOTAL_ONLY.match(line.strip()):
             for k in range(j, len(window)):
                 dl = window[k]
                 m = _MONEY_RX.search(dl) if dl else None
@@ -882,7 +928,7 @@ def _bell_parse(all_lines, start_index):
         j += 1
         if not line or not line.strip():
             continue
-        if re.match(r"^Total\s*$", line.strip(), re.I):
+        if _TOTAL_ONLY.match(line.strip()):
             for k in range(j, len(window)):
                 dl = window[k]
                 m = re.search(r"\$([0-9][0-9,]*(?:\.[0-9]{2})?)", dl) if dl else None
@@ -978,16 +1024,16 @@ def _adaptive_parse(all_lines, start_index):
     for j, line in enumerate(window):
         if not line:
             break
-        if re.match(r"^\s*$", line) or re.search(r"(Goal|Objective|Section|Table\s+\d+|Implementation Plan)", line, re.I):
+        if line.isspace() or _ADAPT_END.search(line):
             break
         if _HAS_DOLLAR.search(line):
             dollar_line_indices.append(start_index + j)
-            m = re.match(r"^(.*?)\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?)(?:\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?))?\s*$", line)
+            m = _ITEM_2MONEY.match(line)
             if m:
                 rows.append({"Item": m.group(1).strip(), "Cost": "$" + m.group(2),
                              "Extra": ("$" + m.group(3)) if m.group(3) else None})
             else:
-                sm = re.search(r"\$[0-9]", line)
+                sm = _HAS_DOLLAR.search(line)
                 first_dollar_idx = sm.start() if sm else -1
                 if first_dollar_idx > 5:
                     name = line[:first_dollar_idx].strip()
@@ -1167,7 +1213,7 @@ def parse_cost_tables_with_patterns(all_lines: list[str], raw_lines: list[str] |
         for line in window[1:]:
             if not line:
                 continue
-            if re.search(r"Totals", line, re.I):
+            if _TOTALS_WORD.search(line):
                 dollars = [money_to_number(m.group(0)) for m in re.finditer(r"\$\s*([0-9][0-9,]*(?:\.[0-9]{2})?)", line)]
                 if dollars:
                     reported_total = dollars[-1]

@@ -88,6 +88,32 @@ _RX_CANON_PHRASE = re.compile(r"(?:The\s+)?goal and objective is to[^.]{10,300}\
 _RX_HYPHEN_WRAP = re.compile(r"([A-Za-z])-(\s+)([a-z])")
 
 
+# every ASCII char \s matches except the plain space (re treats the
+# C0 separators \x1c-\x1f as whitespace too)
+_WS_ASCII_NONSPACE = frozenset("\t\n\r\x0b\x0c\x1c\x1d\x1e\x1f")
+
+
+def _squash_ws(s: str) -> str:
+    """``_RX_WS.sub(" ", s)`` with a C-speed gate: for ASCII strings whose
+    only whitespace is single spaces the sub is an identity copy, and most
+    hot-loop sentences are exactly that. Non-ASCII strings always take the
+    regex path (\\s matches Unicode spaces). Equivalence is property-pinned
+    (tests/test_properties.py::test_squash_ws_gate_equivalent)."""
+    if s.isascii():
+        if "  " in s or not _WS_ASCII_NONSPACE.isdisjoint(s):
+            return _RX_WS.sub(" ", s)
+        return s
+    return _RX_WS.sub(" ", s)
+
+
+def _norm_quotes(s: str) -> str:
+    """Curly->straight quote normalization; both patterns match only
+    non-ASCII characters, so ASCII strings skip both regex scans."""
+    if s.isascii():
+        return s
+    return _RX_SQUOTES.sub("'", _RX_DQUOTES.sub('"', s))
+
+
 def _find_index(lines: list[str], pred) -> int:
     for i, l in enumerate(lines):
         if pred(l):
@@ -472,11 +498,15 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
             while si < len(sentence_parts) - 1:
                 cur = sentence_parts[si]
                 nxt = sentence_parts[si + 1]
-                if _RX_END_SENT_WS.search(cur) and _RX_QUOTE_LOWER.match(nxt):
+                # anchored 2-char quote test first (cheap + selective);
+                # end-anchored searches gated on a C-speed suffix test
+                if _RX_QUOTE_LOWER.match(nxt) and _RX_END_SENT_WS.search(cur):
                     sentence_parts[si] = cur + " " + nxt
                     del sentence_parts[si + 1]
                     continue
-                if _RX_DANGLING_TO.search(cur.strip()):
+                cur_end = cur.rstrip()
+                if (cur_end[-3:].lower().endswith(("to", "for"))
+                        and _RX_DANGLING_TO.search(cur_end)):
                     sentence_parts[si] = cur + " " + nxt
                     del sentence_parts[si + 1]
                     continue
@@ -487,7 +517,8 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
                 text = part.strip()
                 # Force-extend dangling stopword endings via rawLines lookahead
                 # (str.split() == \s+-split for a stripped operand)
-                if _RX_DANGLING_PREP.search(text) and len(text.split()) < 60:
+                if (text[-5:].lower().endswith(("of", "to", "for", "from", "with"))
+                        and _RX_DANGLING_PREP.search(text) and len(text.split()) < 60):
                     frag = text[:40]
                     raw_index = _find_index(raw_lines, lambda r, f=frag: bool(r) and f in r)
                     if raw_index != -1:
@@ -506,12 +537,11 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
                             else:
                                 break
                             look += 1
-                        text = _RX_WS.sub(" ", extended).strip()
-                text = _RX_WS.sub(" ", text).strip()
+                        text = _squash_ws(extended).strip()
+                text = _squash_ws(text).strip()
                 # quote normalization replaces quote chars with quote chars —
                 # it cannot introduce whitespace, so one ws-collapse suffices
-                text = _RX_DQUOTES.sub('"', text)
-                text = _RX_SQUOTES.sub("'", text)
+                text = _norm_quotes(text)
                 if not text:
                     continue
                 lower = text.lower()
@@ -526,7 +556,13 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
                     and len(text.split()) < 8
                 ):
                     continue  # looks_heading
-                explicit = _PRIMARY_PHRASE.search(text) is not None
+                # every _PRIMARY_PHRASE alternative contains one of these
+                # literals (pure gate over the already-lowered text)
+                explicit = (
+                    ("goal" in lower or "objective" in lower
+                     or "mission" in lower or "vision" in lower)
+                    and _PRIMARY_PHRASE.search(text) is not None
+                )
                 if not explicit:
                     # every numeric pattern requires a digit; the pollutant
                     # path requires one of the reduction verbs
@@ -562,11 +598,13 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
     while i < len(raw_sentences) - 1:
         cur = raw_sentences[i]
         nxt = raw_sentences[i + 1]
-        if _RX_DANGLING_TO.search(cur.strip()):
+        cur_end = cur.rstrip()
+        if (cur_end[-3:].lower().endswith(("to", "for"))
+                and _RX_DANGLING_TO.search(cur_end)):
             raw_sentences[i] = cur + " " + nxt
             del raw_sentences[i + 1]
             continue
-        if _RX_END_SENT_WS.search(cur) and _RX_QUOTE_LOWER.match(nxt):
+        if _RX_QUOTE_LOWER.match(nxt) and _RX_END_SENT_WS.search(cur):
             raw_sentences[i] = cur + " " + nxt
             del raw_sentences[i + 1]
             continue
@@ -577,7 +615,7 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
         # gate on the raw sentence before paying for them
         if "goal" not in rs.lower():
             continue
-        candidate = _RX_SQUOTES.sub("'", _RX_DQUOTES.sub('"', rs.strip()))
+        candidate = _norm_quotes(rs.strip())
         lower = candidate.lower()
         if lower in seen_sentences:
             continue

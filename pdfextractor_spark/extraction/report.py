@@ -66,6 +66,45 @@ def _canonicalize_unit_full(u):
 # ---------------------------------------------------------------------------
 
 
+# Precompiled legacy-parser patterns (identical literals to the inline
+# re.* calls they replace; these loops run per candidate line).
+_R_TOTAL_EST_PROJ = re.compile(r"Total Estimated Project Cost", re.I)
+_R_BMPS_ONLY = re.compile(r"^BMPs$", re.I)
+_R_ROW_MONEY_PAIR = re.compile(r"(.*?)(" + MONEY + r")(?:\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?))?\s*$")
+_R_LEAD_DASH = re.compile(r"^[-•]+\s*")
+_R_SIZE_OR_NA = re.compile(r"(\b[0-9][0-9,]*\b.*@|\b[0-9][0-9,]*\b|N/A)")
+_R_TRAIL_COLON = re.compile(r":+$")
+_R_LEAD_BMPS = re.compile(r"^BMPs\s*", re.I)
+_R_MONEY_TOK = re.compile(r"\$[0-9,.]+")
+_R_NUM_TOK = re.compile(r"([0-9][0-9,]*(?:\.[0-9]+)?)")
+_R_WS_SPLIT = re.compile(r"\s+")
+_R_LOW_DO = re.compile(r"Low DO/Organic", re.I)
+_R_PARTICIPANTS = re.compile(r"^Participants", re.I)
+_R_TOTAL_ONLY = re.compile(r"^Total\s*$", re.I)
+_R_MULTI_WS = re.compile(r"\s{2,}")
+_R_FEET_END = re.compile(r"\(feet\)$", re.I)
+_R_FEET_PAREN = re.compile(r"feet\)", re.I)
+_R_BELL_HDR = re.compile(r"Practice\s+Area Affected\s+BMP Cost\s+BMP Total", re.I)
+_R_MONEY_GRP = re.compile(r"\$([0-9][0-9,]*(?:\.[0-9]{2})?)")
+_R_TABLE82 = re.compile(r"Table\s*8\.2|Technical Assistance", re.I)
+_R_NON_NUMDOT = re.compile(r"[^0-9.]")
+_R_UNITCOST_GRP = re.compile(r"\$([0-9][0-9,]*(?:\.[0-9]+)?)")
+_R_ITEM_COST_HDR = re.compile(r"Item\s+Cost", re.I)
+_R_TOTAL_MONEY = re.compile(r"^Total\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?)", re.I)
+_R_NAME_MONEY = re.compile(r"^(.*?)\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?)\s*$")
+_R_PHASE1_HDR = re.compile(r"BMPs\s*Amount\s*Estimated Cost", re.I)
+_R_TOTAL_ANYMONEY = re.compile(r"^Total.*\$([0-9][0-9,]*(?:\.[0-9]{2})?)", re.I)
+_R_PHASE1_END = re.compile(r"Technical Assistance|Education and Outreach|Monitoring|Project Management", re.I)
+_R_BOOTHS_HDR = re.compile(r"Code\s+Practice\s+Units\s+Cost", re.I)
+_R_TOTAL_MONEY2 = re.compile(r"^Total\s*\$([0-9][0-9,]*(?:\.[0-9]{2})?)", re.I)
+_R_BOOTHS_END = re.compile(r"In addition to these costs|Element|Activity.*Estimated Cost", re.I)
+_R_NON_UNIT = re.compile(r"[^a-z0-9_]")
+_R_BMPS_STAR = re.compile(r"BMPs\*", re.I)
+_R_SIZE_AMOUNT = re.compile(r"Size/Amount", re.I)
+_R_TOTAL_EST_PH1 = re.compile(r"Total Estimated (Phase 1 )?Cost", re.I)
+_R_ELEMENT_AI = re.compile(r"^Element\s+[a-i]:", re.I)
+
+
 def _legacy_activity_match(all_lines):
     rows = []
     reported_total = reported_match_total = None
@@ -84,7 +123,7 @@ def _legacy_activity_match(all_lines):
     for raw_line in merged:
         if not raw_line:
             continue
-        if re.search(r"Total Estimated Project Cost", raw_line, re.I):
+        if _R_TOTAL_EST_PROJ.search(raw_line):
             dollars = _MONEY_RX.findall(raw_line)
             if len(dollars) > 0:
                 reported_total = _pf(dollars[0].replace("$", ""))
@@ -92,23 +131,23 @@ def _legacy_activity_match(all_lines):
                 reported_match_total = _pf(dollars[1].replace("$", ""))
             continue
         line = raw_line.strip()
-        if re.match(r"^BMPs$", line, re.I):
+        if _R_BMPS_ONLY.match(line):
             continue
         if not _HAS_DOLLAR.search(line):
             continue
-        m = re.search(r"(.*?)(" + MONEY + r")(?:\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?))?\s*$", line)
+        m = _R_ROW_MONEY_PAIR.search(line)
         if not m:
             continue
-        left = re.sub(r"^[-•]+\s*", "", m.group(1).strip())
+        left = _R_LEAD_DASH.sub("", m.group(1).strip())
         est_cost = m.group(2)
         match_cost = ("$" + m.group(3)) if m.group(3) else None
-        sm = re.search(r"(\b[0-9][0-9,]*\b.*@|\b[0-9][0-9,]*\b|N/A)", left)
+        sm = _R_SIZE_OR_NA.search(left)
         name = left
         size_part = ""
         if sm:
             name = left[: sm.start()].strip()
             size_part = left[sm.start() :].strip()
-        name = re.sub(r":+$", "", re.sub(r"^BMPs\s*", "", name, flags=re.I)).strip()
+        name = _R_TRAIL_COLON.sub("", _R_LEAD_BMPS.sub("", name)).strip()
         if not name:
             continue
         rows.append({"Activity": name, "Size/Amount": size_part, "Estimated Cost": est_cost, "Landowner Match": match_cost})
@@ -134,18 +173,18 @@ def _legacy_activity_match(all_lines):
                 sum_match += num
         at_parts = size_text.split("@")
         if len(at_parts) > 1:
-            ucm = re.search(r"\$[0-9,.]+", at_parts[1])
+            ucm = _R_MONEY_TOK.search(at_parts[1])
             if ucm:
                 uc = _pf(ucm.group(0).replace("$", ""))
                 if uc is not None:
                     unit_cost = uc
         before_at = at_parts[0]
         if before_at:
-            qm = re.search(r"([0-9][0-9,]*(?:\.[0-9]+)?)", before_at)
+            qm = _R_NUM_TOK.search(before_at)
             if qm:
                 quantity = _pf(qm.group(1))
                 remainder = before_at[qm.start() + len(qm.group(1)) :].strip()
-                toks = [t for t in re.split(r"\s+", remainder) if t]
+                toks = [t for t in _R_WS_SPLIT.split(remainder) if t]
                 if toks:
                     unit = toks[0].rstrip(".")
         if quantity is not None and unit_cost is not None and (total_cost is None or total_cost == 0):
@@ -181,11 +220,11 @@ def _legacy_practice_costs(all_lines, start_idx):
             collected.append(line)
             j += 1
             continue
-        if re.search(r"Low DO/Organic", line, re.I):
+        if _R_LOW_DO.search(line):
             break
-        if re.match(r"^Participants", line, re.I):
+        if _R_PARTICIPANTS.match(line):
             break
-        if re.match(r"^Total\s*$", line.strip(), re.I):
+        if _R_TOTAL_ONLY.match(line.strip()):
             for k in range(j + 1, len(window)):
                 dl = window[k]
                 if dl and _HAS_DOLLAR.search(dl):
@@ -213,8 +252,8 @@ def _legacy_practice_costs(all_lines, start_idx):
         m = row_re.match(raw)
         if not m:
             continue
-        name = re.sub(r"\s{2,}", " ", m.group(1).strip())
-        if re.search(r"\(feet\)$", name, re.I) and not re.search(r"feet\)", name, re.I):
+        name = _R_MULTI_WS.sub(" ", m.group(1).strip())
+        if _R_FEET_END.search(name) and not _R_FEET_PAREN.search(name):
             name += " (feet)"
         rows.append({"Practice": name, "Unit Cost w/Installation": "$" + m.group(2),
                      "Number of Units": m.group(3), "Total Cost": "$" + m.group(4)})
@@ -250,7 +289,7 @@ def _legacy_bell_creek(all_lines, start_idx):
     rows = []
     reported_total = None
     j = 0
-    while j < len(window) and not re.search(r"Practice\s+Area Affected\s+BMP Cost\s+BMP Total", window[j] or "", re.I):
+    while j < len(window) and not _R_BELL_HDR.search(window[j] or ""):
         j += 1
     j += 1
     while j < len(window):
@@ -258,16 +297,16 @@ def _legacy_bell_creek(all_lines, start_idx):
         j += 1
         if not line or not line.strip():
             continue
-        if re.match(r"^Total\s*$", line.strip(), re.I):
+        if _R_TOTAL_ONLY.match(line.strip()):
             for k in range(j, len(window)):
                 dl = window[k]
                 if dl and _HAS_DOLLAR.search(dl):
-                    m = re.search(r"\$([0-9][0-9,]*(?:\.[0-9]{2})?)", dl)
+                    m = _R_MONEY_GRP.search(dl)
                     if m:
                         reported_total = _pf(m.group(1))
                     break
             break
-        if re.search(r"Table\s*8\.2|Technical Assistance", line, re.I):
+        if _R_TABLE82.search(line):
             break
         m = _LEGACY_BELL_ROW.match(line)
         if m:
@@ -283,9 +322,9 @@ def _legacy_bell_creek(all_lines, start_idx):
     computed = 0.0
     for r in rows:
         area_text = r["Area Affected"] or ""
-        quantity = js_parse_float(re.sub(r"[^0-9.]", "", area_text))
+        quantity = js_parse_float(_R_NON_NUMDOT.sub("", area_text))
         cost_text = r["BMP Cost"] or ""
-        ucm = re.search(r"\$([0-9][0-9,]*(?:\.[0-9]+)?)", cost_text)
+        ucm = _R_UNITCOST_GRP.search(cost_text)
         unit_cost = _pf(ucm.group(1)) if ucm else None
         total_cost = _pf(r["BMP Total"].replace("$", ""))
         if total_cost is not None:
@@ -306,7 +345,7 @@ def _legacy_tech_assistance(all_lines, start_idx):
     rows = []
     reported_total = None
     j = 0
-    while j < len(window) and not re.search(r"Item\s+Cost", window[j] or "", re.I):
+    while j < len(window) and not _R_ITEM_COST_HDR.search(window[j] or ""):
         j += 1
     j += 1
     while j < len(window):
@@ -314,12 +353,12 @@ def _legacy_tech_assistance(all_lines, start_idx):
         j += 1
         if not line or not line.strip():
             continue
-        if re.match(r"^Total\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?)", line, re.I):
-            m = re.search(r"\$([0-9][0-9,]*(?:\.[0-9]{2})?)", line)
+        if _R_TOTAL_MONEY.match(line):
+            m = _R_MONEY_GRP.search(line)
             if m:
                 reported_total = _pf(m.group(1))
             break
-        m = re.match(r"^(.*?)\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?)\s*$", line)
+        m = _R_NAME_MONEY.match(line)
         if m:
             rows.append({"Item": m.group(1).strip(), "Cost": "$" + m.group(2)})
     if not rows:
@@ -349,7 +388,7 @@ def _legacy_phase1(all_lines, start_idx):
     rows = []
     reported_total = None
     j = 0
-    while j < len(window) and not re.search(r"BMPs\s*Amount\s*Estimated Cost", window[j] or "", re.I):
+    while j < len(window) and not _R_PHASE1_HDR.search(window[j] or ""):
         j += 1
     j += 1
     while j < len(window):
@@ -357,12 +396,12 @@ def _legacy_phase1(all_lines, start_idx):
         j += 1
         if not line or not line.strip():
             continue
-        if re.match(r"^Total.*\$([0-9][0-9,]*(?:\.[0-9]{2})?)", line, re.I):
-            m = re.search(r"\$([0-9][0-9,]*(?:\.[0-9]{2})?)", line)
+        if _R_TOTAL_ANYMONEY.match(line):
+            m = _R_MONEY_GRP.search(line)
             if m:
                 reported_total = _pf(m.group(1))
             break
-        if re.search(r"Technical Assistance|Education and Outreach|Monitoring|Project Management", line, re.I):
+        if _R_PHASE1_END.search(line):
             break
         m = _LEGACY_PHASE1_ROW.match(line)
         if m:
@@ -375,7 +414,7 @@ def _legacy_phase1(all_lines, start_idx):
     computed = 0.0
     for r in rows:
         amount_text = r["Amount"] or ""
-        quantity = js_parse_float(re.sub(r"[^0-9.]", "", amount_text))
+        quantity = js_parse_float(_R_NON_NUMDOT.sub("", amount_text))
         unit = ("each" if "each" in amount_text else "ac" if "ac" in amount_text else
                 "cy" if "cy" in amount_text else (amount_text.split(" ")[-1] if amount_text else None))
         total_cost = _pf(r["Estimated Cost"].replace("$", ""))
@@ -403,7 +442,7 @@ def _legacy_booths(all_lines, start_idx):
     rows = []
     reported_total = None
     j = 0
-    while j < len(window) and not re.search(r"Code\s+Practice\s+Units\s+Cost", window[j] or "", re.I):
+    while j < len(window) and not _R_BOOTHS_HDR.search(window[j] or ""):
         j += 1
     j += 1
     while j < len(window):
@@ -411,12 +450,12 @@ def _legacy_booths(all_lines, start_idx):
         j += 1
         if not line or not line.strip():
             continue
-        if re.match(r"^Total\s*\$([0-9][0-9,]*(?:\.[0-9]{2})?)", line, re.I):
-            m = re.search(r"\$([0-9][0-9,]*(?:\.[0-9]{2})?)", line)
+        if _R_TOTAL_MONEY2.match(line):
+            m = _R_MONEY_GRP.search(line)
             if m:
                 reported_total = _pf(m.group(1))
             break
-        if re.search(r"In addition to these costs|Element|Activity.*Estimated Cost", line, re.I):
+        if _R_BOOTHS_END.search(line):
             break
         m = _LEGACY_BOOTHS_ROW.match(line)
         if m:
@@ -437,7 +476,7 @@ def _legacy_booths(all_lines, start_idx):
         if total_cost is not None:
             computed += total_cost
         raw_u = unit_text.lower().rstrip(".") if unit_text else None
-        unit = unit_map.get(raw_u, re.sub(r"[^a-z0-9_]", "", raw_u or "")) if raw_u else None
+        unit = unit_map.get(raw_u, _R_NON_UNIT.sub("", raw_u or "")) if raw_u else None
         norm_rows.append({"name": f"{r['Code']} - {r['Practice']}", "quantity": quantity, "unit": unit,
                           "unitRaw": unit_text, "unitCost": unit_cost, "totalCost": total_cost,
                           "rawSize": f"{r['Estimated Units']} {unit_text}", "rawCost": r["Total"]})
@@ -453,12 +492,12 @@ def _legacy_default(all_lines, start_idx):
     window = all_lines[start_idx : start_idx + 110]
     header_idx = -1
     for k, l in enumerate(window):
-        if l and re.search(r"BMPs\*", l, re.I) and re.search(r"Size/Amount", l, re.I):
+        if l and _R_BMPS_STAR.search(l) and _R_SIZE_AMOUNT.search(l):
             header_idx = k
             break
     total_idx = -1
     for k, l in enumerate(window):
-        if l and re.search(r"Total Estimated (Phase 1 )?Cost", l, re.I):
+        if l and _R_TOTAL_EST_PH1.search(l):
             total_idx = k
             break
     rows = []
@@ -469,7 +508,7 @@ def _legacy_default(all_lines, start_idx):
         j += 1
         if not line:
             continue
-        if re.match(r"^Element\s+[a-i]:", line, re.I):
+        if _R_ELEMENT_AI.match(line):
             break
         if re.search(r"Cost Estimate:", line, re.I) and (j - 1) > 3:
             break
@@ -527,18 +566,18 @@ def _legacy_default(all_lines, start_idx):
                 total_cost = num
         at_parts = size_text.split("@")
         if len(at_parts) > 1:
-            ucm = re.search(r"\$[0-9,.]+", at_parts[1])
+            ucm = _R_MONEY_TOK.search(at_parts[1])
             if ucm:
                 uc = _pf(ucm.group(0).replace("$", ""))
                 if uc is not None:
                     unit_cost = uc
         before_at = at_parts[0]
         if before_at:
-            qm = re.search(r"([0-9][0-9,]*(?:\.[0-9]+)?)", before_at)
+            qm = _R_NUM_TOK.search(before_at)
             if qm:
                 quantity = _pf(qm.group(1))
                 remainder = before_at[qm.start() + len(qm.group(1)) :].strip()
-                toks = [t for t in re.split(r"\s+", remainder) if t and not re.match(r"^(each|@)$", t, re.I)]
+                toks = [t for t in _R_WS_SPLIT.split(remainder) if t and not re.match(r"^(each|@)$", t, re.I)]
                 if toks:
                     unit = toks[0].rstrip(".")
         if quantity is not None and unit_cost is not None and (total_cost is None or total_cost == 0):

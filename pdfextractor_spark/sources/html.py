@@ -37,6 +37,24 @@ _HEADING_TAGS = {"h1", "h2", "h3", "h4"}
 _WS = re.compile(r"\s+")
 
 
+# every ASCII char \s matches except the plain space (re treats the
+# C0 separators \x1c-\x1f as whitespace too)
+_WS_ASCII_NONSPACE = frozenset("\t\n\r\x0b\x0c\x1c\x1d\x1e\x1f")
+
+
+def _squash_ws(s: str) -> str:
+    """``_WS.sub(" ", s)`` with a C-speed gate: ASCII strings whose only
+    whitespace is single spaces pass through unchanged (the sub would be
+    an identity copy). Non-ASCII always takes the regex (\\s matches
+    Unicode spaces). Equivalence is property-pinned
+    (tests/test_properties.py::test_squash_ws_gate_equivalent)."""
+    if s.isascii():
+        if "  " in s or not _WS_ASCII_NONSPACE.isdisjoint(s):
+            return _WS.sub(" ", s)
+        return s
+    return _WS.sub(" ", s)
+
+
 class _Block:
     __slots__ = ("tag", "chars", "link_chars", "_text", "_text_nchunks")
 
@@ -52,7 +70,7 @@ class _Block:
         # unchanged length means unchanged content (text() is evaluated
         # twice per kept block — the content gate and the output pass)
         if self._text_nchunks != len(self.chars):
-            self._text = _WS.sub(" ", "".join(self.chars)).strip()
+            self._text = _squash_ws("".join(self.chars)).strip()
             self._text_nchunks = len(self.chars)
         return self._text
 
@@ -110,7 +128,7 @@ class _ContentParser(HTMLParser):
             blk = self.block_stack[-1]
             blk.chars.append(data)
             if self.link_depth:
-                blk.link_chars += len(_WS.sub(" ", data))
+                blk.link_chars += len(_squash_ws(data))
 
 
 def _is_content(blk: _Block) -> bool:

@@ -83,6 +83,14 @@ class StreamObj:
         self.raw = raw
 
 
+_RXB_DIGITS = re.compile(rb"(\d+)")
+_RXB_NONHEX = re.compile(rb"[^0-9A-Fa-f]")
+_RXB_WS = re.compile(rb"\s")
+_RXB_TWO_INTS = re.compile(rb"(\d+)\s+(\d+)")
+_RXB_XREF_ENT = re.compile(rb"(\d{10})\s(\d{5})\s([nf])")
+_RXB_ENDSTREAM = re.compile(rb"\s*endstream")
+
+
 class Lexer:
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
@@ -160,7 +168,7 @@ class Lexer:
                 save = self.pos
                 try:
                     self.skip_ws()
-                    m = re.match(rb"(\d+)", data[self.pos :][:12])
+                    m = _RXB_DIGITS.match(data[self.pos :][:12])
                     if m and num >= 0:
                         p2 = self.pos + m.end()
                         l2 = Lexer(data, p2)
@@ -256,7 +264,7 @@ class Lexer:
         e = data.find(b">", self.pos + 1)
         if e == -1:
             raise PdfError("unterminated hex string")
-        hexs = re.sub(rb"[^0-9A-Fa-f]", b"", data[self.pos + 1 : e])
+        hexs = _RXB_NONHEX.sub(b"", data[self.pos + 1 : e])
         if len(hexs) % 2:
             hexs += b"0"
         self.pos = e + 1
@@ -425,13 +433,13 @@ def _decode_stream_data(doc: "PdfDocument", sdict: dict, raw: bytes) -> bytes:
                 raise PdfError("TIFF predictor unsupported")
         elif f in ("ASCIIHexDecode", "AHx"):
             data = bytes.fromhex(
-                re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0]).decode("ascii")
+                _RXB_NONHEX.sub(b"", data.split(b">")[0]).decode("ascii")
             )
         elif f in ("ASCII85Decode", "A85"):
             import base64
 
             body = data.split(b"~>")[0]
-            body = re.sub(rb"\s", b"", body)
+            body = _RXB_WS.sub(b"", body)
             if body.startswith(b"<~"):
                 body = body[2:]
             data = base64.a85decode(body)
@@ -540,7 +548,7 @@ class PdfDocument:
                 if not isinstance(t, dict):
                     raise PdfError("bad trailer")
                 return t
-            m = re.match(rb"(\d+)\s+(\d+)", self.data[lex.pos : lex.pos + 40])
+            m = _RXB_TWO_INTS.match(self.data[lex.pos : lex.pos + 40])
             if not m:
                 raise PdfError("bad xref subsection header")
             start, count = int(m.group(1)), int(m.group(2))
@@ -548,7 +556,7 @@ class PdfDocument:
             lex.skip_ws()
             for i in range(count):
                 ent = self.data[lex.pos : lex.pos + 20]
-                em = re.match(rb"(\d{10})\s(\d{5})\s([nf])", ent)
+                em = _RXB_XREF_ENT.match(ent)
                 if not em:
                     raise PdfError("bad xref entry")
                 if em.group(3) == b"n" and (start + i) not in self.xref:
@@ -610,7 +618,7 @@ class PdfDocument:
             if isinstance(length, int) and length >= 0:
                 cand = self.data[dstart : dstart + length]
                 after = self.data[dstart + length : dstart + length + 20]
-                if re.match(rb"\s*endstream", after):
+                if _RXB_ENDSTREAM.match(after):
                     raw = cand
             if raw is None:  # length wrong/indirect-unresolvable: scan
                 e = self.data.find(b"endstream", dstart)

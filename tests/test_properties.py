@@ -88,3 +88,18 @@ def test_extract_goals_total(s):
     assert isinstance(goals, list)
     for i, g in enumerate(goals):
         assert g["id"] == f"G{i+1}"
+
+
+@given(st.text(min_size=0, max_size=200))
+@settings(max_examples=300)
+def test_squash_ws_gate_equivalent(s):
+    # the C-speed gates must be byte-equivalent to the regexes they skip
+    import re as _re
+
+    from pdfextractor_spark.extraction.goals import _norm_quotes, _squash_ws
+    from pdfextractor_spark.sources.html import _squash_ws as _squash_html
+
+    expect = _re.sub(r"\s+", " ", s)
+    assert _squash_ws(s) == expect
+    assert _squash_html(s) == expect
+    assert _norm_quotes(s) == _re.sub(r"[‘’]", "'", _re.sub(r"[“”]", '"', s))
