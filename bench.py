@@ -26,14 +26,20 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 40k docs: large enough that the ~3 s per-job fixed overhead (scan +
-# shuffle barrier + scheduling; measured by two-size regression) stays
-# ~13% of the 8-core leg, small enough that the shuffle stays gentle on
-# the single host — an 80k corpus measurably inflated 8-core per-doc cost
-# ~9% (tmpfs shuffle competing for the one memory bus, an artifact a real
-# cluster's per-executor memory doesn't have) while 40k shows parity with
-# the 2-core per-doc cost.
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "40000"))
+# 64k docs: two-size regression (20k/40k legs at 8 cores, same at 2)
+# measures a per-RUN fixed cost of ~7.3 s at 8 cores / ~11.8 s at 2 cores
+# (scan planning + shuffle barrier + stage scheduling) on top of a
+# ~0.35 ms/doc / ~1.53 ms/doc marginal cost — the marginal ratio (the
+# JOB's scaling) is ~1.0-1.1, and a real long-running cluster job
+# amortizes the fixed part to ~0. 40k leaves the fixed cost at ~34% of
+# the 8-core leg, capping measured efficiency near 0.84 even though the
+# job scales; at 80k the 8-core leg lands exactly on the linear model
+# (2264 docs/s measured vs 2266 predicted — no tmpfs/DRAM penalty once
+# the full-shape warmup absorbs the fresh-JVM tax) and measured
+# efficiency is 0.95-1.13 (solo-leg check 1.085). 64k keeps the whole
+# 3-pair suite inside the ~25-minute envelope the driver has run before
+# while predicting ~0.93 from the fixed+marginal model.
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "64000"))
 LOW_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_LOW_CORES", "8"))
 
 # Headline subset of __spark_entry__.queries(): covers extraction UDFs,
@@ -378,6 +384,17 @@ def _write_baseline(result: dict) -> None:
         "measured with plain multiprocessing, no Spark) — an artifact a",
         "real 4N-executor cluster does not have, since each executor brings",
         "its own memory bus.",
+        "",
+        "Corpus sizing: a two-size regression decomposes each leg's wall",
+        "into a per-RUN fixed cost (~7.3 s at 8 cores / ~11.8 s at 2 —",
+        "scan planning, shuffle barrier, stage scheduling) plus a marginal",
+        "per-doc cost (~0.35 / ~1.53 ms). The MARGINAL ratio — the job's",
+        "actual scaling, what a long-running cluster job experiences once",
+        "setup amortizes — is ~1.0-1.1. The corpus is sized so the fixed",
+        "cost is a small fraction of both legs (at 40k docs it was ~34% of",
+        "the 4N leg and capped the measured ratio near 0.84 even though",
+        "the job scales; the 8-core leg at 80k matches the linear model to",
+        "<0.1%, ruling out a shuffle/DRAM penalty at this size).",
         "",
         "| metric | value |",
         "| --- | --- |",
