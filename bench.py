@@ -235,8 +235,11 @@ def main() -> None:
     # solo-pinned 2-core cross-check: the turbo-boosted bracket (the solo
     # run may boost above the 8-active-core clock, understating
     # efficiency; the spin-filler headline can overstate it through the
-    # local-mode driver-stack share at N)
-    a_low_solo = _pinned_extraction(corpus_path, 2, reps=2)
+    # local-mode driver-stack share at N). reps=1: it is a diagnostic
+    # bracket, not the headline, and the full-shape warmup absorbs the
+    # fresh-JVM tax to within a few percent — not worth 2 extra minutes
+    # of a ~30-minute suite.
+    a_low_solo = _pinned_extraction(corpus_path, 2, reps=1)
     eff_solo = (a_high["docs_per_sec"] / a_low_solo["docs_per_sec"]) / 4.0
     n_docs = a_high["docs"]
 
