@@ -923,9 +923,10 @@ def q_winnow_overlap(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """Multimodal decode over deterministic REAL payloads: BMP/PNG/GIF/JPEG
-    images and PCM WAV audio decode natively (numpy/stdlib — dimensions,
-    duration, channel/spectral features); MP3 audio and MP4 video get real
+    """Multimodal decode over deterministic REAL payloads:
+    BMP/PNG/GIF/JPEG-baseline/JPEG-progressive images and PCM WAV audio
+    decode natively (numpy/stdlib — dimensions, duration,
+    channel/spectral features); MP3 audio and MP4 video get real
     container-metadata parses (frame-header walk / ISO-BMFF box walk);
     every 4th video row carries a truncated container that exercises the
     honest per-row-error path."""
@@ -942,7 +943,7 @@ def q_multimodal_decode(spark, sf_dir):
         import pandas as pd
 
         from pdfextractor_spark.ops.containers import make_mp3, make_mp4
-        from pdfextractor_spark.ops.jpeg import make_jpeg
+        from pdfextractor_spark.ops.jpeg import make_jpeg, make_jpeg_progressive
         from pdfextractor_spark.ops.multimodal import make_bmp, make_gif, make_png, make_wav
 
         out = []
@@ -955,7 +956,8 @@ def q_multimodal_decode(spark, sf_dir):
                 px = np.stack([(xx * 255 // max(1, w - 1)),
                                (yy * 255 // max(1, h - 1)),
                                np.full((h, w), i % 256)], axis=2).astype(np.uint8)
-                enc = (make_bmp, make_png, make_gif, make_jpeg)[(i // 3) % 4]
+                enc = (make_bmp, make_png, make_gif, make_jpeg,
+                       make_jpeg_progressive)[(i // 3) % 5]
                 out.append(enc(px))
             elif kind == 1:  # audio: WAV sine / MP3 frame stream alternate
                 if (i // 3) % 2 == 0:

@@ -1,16 +1,26 @@
-"""Baseline JPEG (ITU-T T.81) codec in pure numpy/stdlib.
+"""JPEG (ITU-T T.81) codec in pure numpy/stdlib.
 
-Decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
-per-component sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart
-intervals (DRI/RSTn), multiple DQT/DHT segments. Progressive (SOF2),
-arithmetic coding, and 12-bit precision raise NotImplementedError — they
-surface as per-row errors at the pipeline layer, never job failures.
+Decoder: baseline sequential DCT (SOF0/1) and progressive DCT (SOF2),
+8-bit, grayscale or YCbCr with per-component sampling factors up to 2x2
+(4:4:4 / 4:2:2 / 4:2:0), restart intervals (DRI/RSTn), multiple DQT/DHT
+segments. Progressive covers the full Annex G Huffman feature set:
+spectral selection, successive approximation (DC + AC first/refinement
+scans), and cross-block EOB runs — scan semantics mirror libjpeg's
+jdphuff.c. Arithmetic coding, hierarchical (SOF5+), and 12-bit precision
+raise NotImplementedError — they surface as per-row errors at the
+pipeline layer, never job failures.
 
-Encoder (test/corpus twin): 4:4:4 YCbCr, standard Annex K quantization
-tables scaled for a quality setting, standard Annex K Huffman tables.
+Encoders (test/corpus twins): ``make_jpeg`` — baseline 4:4:4/4:2:0 YCbCr,
+Annex K quantization scaled for a quality setting, Annex K Huffman
+tables; ``make_jpeg_progressive`` — SOF2 with a scan script exercising
+every progressive decode path (DC first+refine, split spectral bands,
+AC Al=1 first + refinement, EOB runs).
 
-Everything here derives from the published T.81 spec; the usual encode →
-decode round-trip is checked in tests via PSNR (JPEG is lossy by design).
+Everything here derives from the published T.81 spec. The baseline
+encode → decode round-trip is checked via PSNR (JPEG is lossy by
+design); the progressive round-trip is checked EXACTLY — a fully refined
+progressive file shares the baseline twin's quantization, so both must
+reconstruct pixel-identical images.
 """
 
 from __future__ import annotations
@@ -219,6 +229,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None
     restart_interval = 0
+    prog_coefs = None  # progressive: per-component zigzag coefficient grids
     n = len(data)
     while pos + 4 <= n:
         if data[pos] != 0xFF:
@@ -250,7 +261,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 values = list(body[b + 17 : b + 17 + nv])
                 htables[(tc, th)], _ = _canonical_codes(bits, values)
                 b += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -258,9 +269,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential JPEG is supported")
+            frame = {"w": w, "h": h, "comps": comps, "prog": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline and progressive DCT JPEG are supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
@@ -272,7 +284,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 cs, tt = body[1 + si * 2], body[2 + si * 2]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({**comp, "dc": tt >> 4, "ac": tt & 0x0F})
-            return _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval)
+            ss, se = body[1 + ns * 2], body[2 + ns * 2]
+            ah, al = body[3 + ns * 2] >> 4, body[3 + ns * 2] & 0x0F
+            if not frame["prog"]:
+                return _decode_scan(data, pos, frame, scan, qtables, htables,
+                                    restart_interval)
+            if prog_coefs is None:
+                prog_coefs = _prog_alloc(frame)
+            pos = _decode_scan_prog(data, pos, frame, scan, htables,
+                                    restart_interval, prog_coefs, ss, se, ah, al)
+            pos = _next_marker(data, pos)
+    if frame is not None and frame["prog"] and prog_coefs is not None:
+        return _prog_reconstruct(frame, prog_coefs, qtables)
     raise ValueError("JPEG has no scan data")
 
 
@@ -326,9 +349,14 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_count += 1
-    # upsample to full resolution and convert
+    return _planes_to_rgb(frame, scan, planes, hmax, vmax)
+
+
+def _planes_to_rgb(frame, comps, planes, hmax, vmax):
+    """Upsample component planes to full resolution and convert to RGB."""
+    w, h = frame["w"], frame["h"]
     full = []
-    for c in scan:
+    for c in comps:
         p = planes[c["id"]]
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
@@ -346,6 +374,225 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
     else:
         raise NotImplementedError(f"{len(full)}-component JPEG")
     return w, h, rgb.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoder (SOF2): T.81 Annex G, mirroring libjpeg's
+# jdphuff.c scan semantics (DC/AC first + refinement, EOB runs).
+# Coefficients accumulate across scans in zigzag order per component;
+# reconstruction dequantizes + IDCTs once after the last scan.
+# ---------------------------------------------------------------------------
+
+
+def _next_marker(data: bytes, p: int) -> int:
+    """Position of the next real marker at/after ``p``: skips residual
+    entropy bytes, 0xFF00 stuffing, fill bytes, and RSTn."""
+    n = len(data)
+    while p + 1 < n:
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        nxt = data[p + 1]
+        if nxt == 0x00:  # stuffed data byte
+            p += 2
+        elif nxt == 0xFF:  # fill byte
+            p += 1
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker inside leftover entropy
+            p += 2
+        else:
+            return p
+    return n
+
+
+def _prog_geometry(frame):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _prog_alloc(frame):
+    """Per-component coefficient grid (padded to the interleaved-MCU
+    boundary; non-interleaved scans address the true block dims inside)."""
+    hmax, vmax, mcux, mcuy = _prog_geometry(frame)
+    coefs = {}
+    for c in frame["comps"]:
+        coefs[c["id"]] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+    return coefs
+
+
+def _comp_block_dims(frame, c):
+    """True (non-interleaved) block grid of a component: T.81 A.2.2."""
+    hmax = max(k["h"] for k in frame["comps"])
+    vmax = max(k["v"] for k in frame["comps"])
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _refine_nonzero(br, coef, k, p1):
+    """Append one correction bit to an already-nonzero coefficient
+    (T.81 G.1.2.3 / libjpeg jdphuff decode_mcu_AC_refine inner step)."""
+    if br.read_bit():
+        v = int(coef[k])
+        if (v & p1) == 0:
+            coef[k] = v + (p1 if v >= 0 else -p1)
+
+
+def _decode_scan_prog(data, pos, frame, scan, htables, restart_interval,
+                      coefs, ss, se, ah, al):
+    """One progressive scan; mutates ``coefs``; returns position of the
+    next marker."""
+    br = _BitReader(data, pos)
+    state = {"eobrun": 0, "preds": {c["id"]: 0 for c in scan}}
+
+    def maybe_restart(unit_count):
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            br.align_restart()
+            state["eobrun"] = 0
+            state["preds"] = {c["id"]: 0 for c in scan}
+
+    if ss == 0:  # DC scan (interleaved over the scan's components)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        hmax, vmax, mcux, mcuy = _prog_geometry(frame)
+        interleaved = len(scan) > 1
+        if interleaved:
+            units = mcuy * mcux
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(unit)
+                    for c in scan:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = coefs[c["id"]][my * c["v"] + by, mx * c["h"] + bx]
+                                _prog_dc_block(br, htables, state, c, blk, ah, al)
+                    unit += 1
+        else:
+            c = scan[0]
+            bh, bw = _comp_block_dims(frame, c)
+            unit = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart(unit)
+                    _prog_dc_block(br, htables, state, c, coefs[c["id"]][by, bx], ah, al)
+                    unit += 1
+    else:  # AC scan: spec requires exactly one component
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        c = scan[0]
+        ac_tbl = htables.get((1, c["ac"]))
+        bh, bw = _comp_block_dims(frame, c)
+        grid = coefs[c["id"]]
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart(unit)
+                if ah == 0:
+                    _prog_ac_first(br, ac_tbl, state, grid[by, bx], ss, se, al)
+                else:
+                    _prog_ac_refine(br, ac_tbl, state, grid[by, bx], ss, se, al)
+                unit += 1
+    # BitReader stops with pos at the 0xFF of the next marker (or EOF)
+    return br.pos
+
+
+def _prog_dc_block(br, htables, state, c, blk, ah, al):
+    if ah == 0:  # first DC scan: Huffman diff of the point-transformed value
+        t = _decode_huff(br, htables[(0, c["dc"])])
+        diff = _extend(br.receive(t), t) if t else 0
+        state["preds"][c["id"]] += diff
+        blk[0] = state["preds"][c["id"]] << al
+    else:  # refinement: one bit per block
+        if br.read_bit():
+            blk[0] = int(blk[0]) | (1 << al)
+
+
+def _prog_ac_first(br, ac_tbl, state, coef, ss, se, al):
+    """AC first scan (Ah == 0): band Ss..Se, values scaled by 2^Al,
+    EOB-run support (T.81 G.1.2.2)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.receive(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow in progressive scan")
+        coef[k] = _extend(br.receive(s), s) << al
+        k += 1
+
+
+def _prog_ac_refine(br, ac_tbl, state, coef, ss, se, al):
+    """AC refinement scan (Ah > 0): newly-significant coefficients plus
+    correction bits for already-nonzero ones (libjpeg jdphuff
+    decode_mcu_AC_refine)."""
+    p1 = 1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_huff(br, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid newly-significant size in refinement")
+                val = p1 if br.read_bit() else -p1
+            elif r != 15:
+                state["eobrun"] = 1 << r
+                if r:
+                    state["eobrun"] += br.receive(r)
+                break
+            # advance over r zero-history coefficients, correcting nonzero ones
+            while k <= se:
+                if coef[k] != 0:
+                    _refine_nonzero(br, coef, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:  # correction bits for the rest of the band
+            if coef[k] != 0:
+                _refine_nonzero(br, coef, k, p1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _prog_reconstruct(frame, coefs, qtables):
+    """Dequantize + inverse DCT every component block, then the shared
+    upsample/color path."""
+    hmax, vmax, _, _ = _prog_geometry(frame)
+    planes = {}
+    dct_t = _DCT.T
+    for c in frame["comps"]:
+        grid = coefs[c["id"]]
+        gh, gw = grid.shape[0], grid.shape[1]
+        q = qtables[c["tq"]]
+        plane = np.empty((gh * 8, gw * 8), dtype=np.float64)
+        deq = (grid * q[None, None, :])[:, :, _UNZIGZAG].reshape(gh, gw, 8, 8)
+        for by in range(gh):
+            for bx in range(gw):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    dct_t @ deq[by, bx].astype(np.float64) @ _DCT + 128.0)
+        planes[c["id"]] = plane
+    return _planes_to_rgb(frame, frame["comps"], planes, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -422,6 +669,225 @@ def _encode_block(bw, plane, by, bx, q, dc_enc, ac_enc, pred):
         bw.write(mag, size)
         run = 0
     return int(zz[0])
+
+
+# Single generous Huffman spec for progressive scans: every (run, size)
+# symbol the scans can emit (r 0..15, s 0..11 — s=11 covers DC diffs), all
+# at code length 8 (192 codes; canonical, no all-ones code). Compression is
+# irrelevant for fixtures; what matters is that EOB-run symbols (r<<4|0,
+# r=1..14) exist, which the Annex K baseline tables lack.
+_PROG_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 192, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(12)],
+)
+
+
+class _ProgRun:
+    """EOB-run + buffered-correction-bit state shared across blocks of one
+    progressive AC scan (libjpeg jcphuff emit_eobrun/BE buffer)."""
+
+    def __init__(self, bw: "_BitWriter", enc: dict):
+        self.bw = bw
+        self.enc = enc
+        self.eobrun = 0
+        self.bits: list[int] = []  # correction bits owed to run members
+
+    def flush(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, length = self.enc[nbits << 4]
+            self.bw.write(code, length)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.bits:
+            self.bw.write(b, 1)
+        self.bits = []
+
+    def add_block(self, bits: list[int]):
+        self.eobrun += 1
+        self.bits.extend(bits)
+        if self.eobrun == 0x7FFF or len(self.bits) > 900:
+            self.flush()
+
+
+def _prog_block_coefs(plane, q):
+    """(ph, pw) padded plane -> (bh, bw, 64) quantized zigzag coefficients."""
+    ph, pw = plane.shape
+    bh, bw = ph // 8, pw // 8
+    out = np.empty((bh, bw, 64), dtype=np.int32)
+    for by in range(bh):
+        for bx in range(bw):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = _DCT @ block @ _DCT.T
+            out[by, bx] = np.round(coef.reshape(-1)[_ZIGZAG] / q[_ZIGZAG]).astype(np.int32)
+    return out
+
+
+def _emit_ac_first_scan(bw, enc, grid, ss, se, al):
+    """Progressive AC first scan (Ah=0) over one component's blocks in
+    raster order: T.81 G.1.2.2 with cross-block EOB runs."""
+    run = _ProgRun(bw, enc)
+    bh, bw_blocks = grid.shape[0], grid.shape[1]
+    for by in range(bh):
+        for bx in range(bw_blocks):
+            zz = grid[by, bx]
+            r = 0
+            emitted = False
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                a = abs(v) >> al
+                if a == 0:
+                    r += 1
+                    continue
+                run.flush()  # pending EOB run ends before this block's data
+                while r > 15:
+                    code, length = enc[0xF0]
+                    bw.write(code, length)
+                    r -= 16
+                size, mag = _mag_bits(a if v > 0 else -a)
+                code, length = enc[(r << 4) | size]
+                bw.write(code, length)
+                bw.write(mag, size)
+                r = 0
+                emitted = True
+            if r > 0 or not emitted:
+                run.add_block([])  # trailing zeros (or empty block) join the run
+    run.flush()
+
+
+def _emit_ac_refine_scan(bw, enc, grid, ss, se, al):
+    """Progressive AC refinement scan (Ah=Al+1): libjpeg jcphuff
+    encode_mcu_AC_refine — newly-significant (r<<4|1) symbols with a FIFO
+    of correction bits for already-significant coefficients."""
+    run = _ProgRun(bw, enc)
+    bh, bw_blocks = grid.shape[0], grid.shape[1]
+    for by in range(bh):
+        for bx in range(bw_blocks):
+            zz = grid[by, bx]
+            absvals = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            # position (band-relative) of the last newly-significant coef
+            eob_rel = -1
+            for i, a in enumerate(absvals):
+                if a == 1:
+                    eob_rel = i
+            r = 0
+            pending: list[int] = []  # correction bits since last symbol
+            for i, a in enumerate(absvals):
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob_rel:
+                    run.flush()
+                    code, length = enc[0xF0]
+                    bw.write(code, length)
+                    r -= 16
+                    for b in pending:
+                        bw.write(b, 1)
+                    pending = []
+                if a > 1:  # already significant: one correction bit
+                    pending.append(a & 1)
+                    continue
+                # newly significant
+                run.flush()
+                code, length = enc[(r << 4) | 1]
+                bw.write(code, length)
+                bw.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+                for b in pending:
+                    bw.write(b, 1)
+                pending = []
+                r = 0
+            if r > 0 or pending:
+                run.add_block(pending)
+    run.flush()
+
+
+def make_jpeg_progressive(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF bytes, 4:4:4.
+
+    Scan script exercises every progressive decode path: interleaved DC
+    first (Al=1) + DC refinement, split spectral bands for luma, AC first
+    scans at Al=1, and AC refinement scans down to Al=0. Uses the same
+    quantization as ``make_jpeg``, so a fully refined progressive file
+    reconstructs pixel-identically to its baseline twin (pinned in
+    tests/test_ops_spark.py)."""
+    h, w, _ = pixels.shape
+    px = pixels.astype(np.float64)
+    y = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    cb = 128.0 - 0.168736 * px[:, :, 0] - 0.331264 * px[:, :, 1] + 0.5 * px[:, :, 2]
+    cr = 128.0 + 0.5 * px[:, :, 0] - 0.418688 * px[:, :, 1] - 0.081312 * px[:, :, 2]
+    qy = _quality_scale(_Q_LUMA, quality)
+    qc = _quality_scale(_Q_CHROMA, quality)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+
+    def pad(p):
+        return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    grids = [_prog_block_coefs(pad(p), q)
+             for p, q in ((y, qy), (cb, qc), (cr, qc))]
+    _, enc = _canonical_codes(*_PROG_SPEC)
+    bh, bw_blocks = grids[0].shape[0], grids[0].shape[1]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comps)])
+        for ci in comps:
+            body += bytes([ci + 1, 0x00])  # Td=0 / Ta=0 -> _PROG_SPEC tables
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(qy[_ZIGZAG].astype(np.uint8)))
+    out += seg(0xDB, b"\x01" + bytes(qc[_ZIGZAG].astype(np.uint8)))
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    spec_bits, spec_vals = _PROG_SPEC
+    out += seg(0xC4, bytes([0x00]) + bytes(spec_bits[1:]) + bytes(spec_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(spec_bits[1:]) + bytes(spec_vals))
+
+    # scan 1: DC first, interleaved, Al=1
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw_blocks):
+            for ci in range(3):
+                v = int(grids[ci][by, bx, 0]) >> 1
+                size, mag = _mag_bits(v - preds[ci])
+                preds[ci] = v
+                code, length = enc[size]
+                bw.write(code, length)
+                if size:
+                    bw.write(mag, size)
+    bw.flush()
+    out += sos([0, 1, 2], 0, 0, 0, 1) + bytes(bw.out)
+
+    # scan 2: DC refinement (raw bits, one per block, interleaved)
+    bw = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw_blocks):
+            for ci in range(3):
+                bw.write(int(grids[ci][by, bx, 0]) & 1, 1)
+    bw.flush()
+    out += sos([0, 1, 2], 0, 0, 1, 0) + bytes(bw.out)
+
+    # scans 3-6: AC first at Al=1 (luma split into two spectral bands)
+    for ci, ss, se in ((0, 1, 5), (0, 6, 63), (1, 1, 63), (2, 1, 63)):
+        bw = _BitWriter()
+        _emit_ac_first_scan(bw, enc, grids[ci], ss, se, 1)
+        bw.flush()
+        out += sos([ci], ss, se, 0, 1) + bytes(bw.out)
+
+    # scans 7-9: AC refinement down to full precision
+    for ci in (0, 1, 2):
+        bw = _BitWriter()
+        _emit_ac_refine_scan(bw, enc, grids[ci], 1, 63, 0)
+        bw.flush()
+        out += sos([ci], 1, 63, 1, 0) + bytes(bw.out)
+
+    return out + b"\xff\xd9"
 
 
 def make_jpeg(pixels: np.ndarray, quality: int = 90, subsampling: str = "444",

@@ -5,7 +5,8 @@ Decode is REAL for every still-image format plus PCM audio — pure
 numpy/stdlib, no codec libraries needed: BMP (24/32-bit uncompressed),
 PNG (8-bit gray/RGB/palette/alpha, zlib + full None/Sub/Up/Average/Paeth
 filter set), GIF (variable-width LSB-first LZW, first frame), baseline
-JPEG (``ops/jpeg.py``: T.81 sequential DCT, 4:4:4/4:2:2/4:2:0, restart
+AND progressive JPEG (``ops/jpeg.py``: T.81 sequential + Annex G
+progressive DCT, 4:4:4/4:2:2/4:2:0, restart
 intervals) and PNM (P5/P6) images with mean-channel + gray-histogram
 features and nearest-neighbor thumbnailing, and WAV (PCM) audio with
 RMS / zero-crossing / FFT-band features. Compressed A/V containers get

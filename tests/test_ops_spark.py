@@ -213,7 +213,8 @@ def test_png_gif_codecs_roundtrip(spark):
 def test_jpeg_codec_baseline(spark):
     """Baseline JPEG: encode->decode round-trip within lossy tolerance
     (PSNR) across 4:4:4 / 4:2:0 / restart intervals; decodes through the
-    Spark media pipeline; progressive input hits the honest stub."""
+    Spark media pipeline; a mangled SOF2 marker on a baseline stream is a
+    per-row decode error, not a crash."""
     import numpy as np
 
     from pdfextractor_spark.ops.jpeg import decode_jpeg, make_jpeg
@@ -231,12 +232,13 @@ def test_jpeg_codec_baseline(spark):
         assert (w, h) == (33, 21)
         assert psnr(px, dec) > floor, (sub, ri)
 
-    # progressive (SOF2) must raise the stub error, not crash
+    # a baseline stream whose SOF marker is corrupted to SOF2 is NOT valid
+    # progressive (interleaved full-band scan): decode error, no crash
     prog = make_jpeg(px)
     prog = prog.replace(b"\xff\xc0", b"\xff\xc2", 1)
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_jpeg(prog)
 
     media = spark.createDataFrame(
@@ -246,6 +248,39 @@ def test_jpeg_codec_baseline(spark):
     (row,) = decode_media(media, num_partitions=1).collect()
     assert row["error"] is None and (row["width"], row["height"]) == (33, 21)
     assert len(row["feature"]) == 8
+
+
+def test_jpeg_progressive_exact_vs_baseline(spark):
+    """Progressive (SOF2) decode: a fully refined progressive file (DC
+    first+refine, split spectral bands, AC first at Al=1 + refinement to
+    Al=0, cross-block EOB runs) uses the same quantization as the baseline
+    twin, so reconstruction must be pixel-IDENTICAL to the baseline file —
+    a self-verifying gate on every progressive code path."""
+    import numpy as np
+
+    from pdfextractor_spark.ops.jpeg import decode_jpeg, make_jpeg, make_jpeg_progressive
+
+    rng = np.random.RandomState(3)
+    cases = []
+    yy, xx = np.mgrid[0:21, 0:33]
+    cases.append((np.stack([(xx * 255 // 32), (yy * 255 // 20),
+                            ((xx + yy) % 256)], axis=2).astype(np.uint8), 90))
+    cases.append((rng.randint(0, 256, (24, 31, 3)).astype(np.uint8), 85))  # dense AC/ZRL
+    cases.append((np.full((32, 48, 3), 130, np.uint8), 90))  # multi-block EOB runs
+    for px, q in cases:
+        bw_, bh_, base = decode_jpeg(make_jpeg(px, q))
+        pw_, ph_, prog = decode_jpeg(make_jpeg_progressive(px, q))
+        assert (bw_, bh_) == (pw_, ph_)
+        assert np.array_equal(base, prog)
+
+    # and through the Spark media pipeline
+    px, q = cases[0]
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(make_jpeg_progressive(px, q)), "image/jpeg")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    (row,) = decode_media(media, num_partitions=1).collect()
+    assert row["error"] is None and (row["width"], row["height"]) == (33, 21)
 
 
 def test_av_container_metadata_parse(spark):
