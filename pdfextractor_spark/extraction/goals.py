@@ -552,8 +552,11 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
                 # order cannot change the accept/reject outcome.
                 if (
                     "goal" in lower
+                    # text is squashed+stripped, so split() tokens are
+                    # space-count+1 — the count gate is exact and skips
+                    # the verbs regex on long sentences
+                    and text.count(" ") < 7
                     and not _RX_HEAD_VERBS.search(text)
-                    and len(text.split()) < 8
                 ):
                     continue  # looks_heading
                 # every _PRIMARY_PHRASE alternative contains one of these
@@ -564,11 +567,25 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
                     and _PRIMARY_PHRASE.search(text) is not None
                 )
                 if not explicit:
-                    # every numeric pattern requires a digit; the pollutant
-                    # path requires one of the reduction verbs
+                    # every numeric pattern requires a digit AND a unit
+                    # literal (%/percent/mg/ppm/ton/lb/pound/kg/acre covers
+                    # every unit alternative of all four patterns); the
+                    # pollutant path requires one of the reduction verbs
+                    # (stem literals cover every _RX_VERBS alternative) —
+                    # both are pure superset gates over the lowered text
                     has_digit = _RX_DIGIT.search(text) is not None
+                    has_unit = has_digit and (
+                        "%" in lower or "percent" in lower or "mg" in lower
+                        or "ppm" in lower or "ton" in lower or "lb" in lower
+                        or "pound" in lower or "kg" in lower or "acre" in lower
+                    )
+                    has_verb = (
+                        "reduc" in lower or "decreas" in lower
+                        or "improv" in lower or "achiev" in lower
+                        or "attain" in lower
+                    )
                     quantitative = (
-                        has_digit
+                        has_unit
                         and (
                             _QUANTITATIVE.search(text) is not None
                             or REDUCTION_INLINE.search(text) is not None
@@ -576,7 +593,8 @@ def extract_goals(raw_lines: list[str]) -> list[dict]:
                             or BASELINE_TARGET_PAIR.search(text) is not None
                         )
                     ) or (
-                        POLLUTANT_TERMS.search(text) is not None
+                        has_verb
+                        and POLLUTANT_TERMS.search(text) is not None
                         and _RX_VERBS.search(text) is not None
                     )
                     if not quantitative:
