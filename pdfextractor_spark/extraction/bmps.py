@@ -12,6 +12,8 @@ import re
 _RX_YEAR4 = re.compile(r"\d{4}")
 _RX_MAINT = re.compile(r"maintenance|maintain", re.I)
 _RX_WS = re.compile(r"\s+")
+_RX_DIGIT = re.compile(r"\d")
+_RX_TRAIL_PUNCT = re.compile(r"[,:;]+$")
 
 from .goals import join_wrapped_lines
 from .rules import BMP_PATTERNS, QUANTITY_UNIT, VERB_ACTIVITY
@@ -224,11 +226,13 @@ def strip_cost_tail(name: str) -> str:
     names (ref: reportBuilder.js:736-746)."""
     if not name:
         return name
-    if not re.search(r"[$@]", name) and not re.search(r"\d", name):
+    # C-speed gate: "[$@]" is a 2-char class (substring tests) and \d stays
+    # a precompiled pattern so unicode-digit semantics are unchanged
+    if "$" not in name and "@" not in name and not _RX_DIGIT.search(name):
         return name
     m = _COST_TAIL.match(name)
     if m and m.group(1):
-        cleaned = re.sub(r"[,:;]+$", "", m.group(1).strip()).strip()
+        cleaned = _RX_TRAIL_PUNCT.sub("", m.group(1).strip()).strip()
         if cleaned and len(cleaned) >= 2:
             return cleaned
     return name

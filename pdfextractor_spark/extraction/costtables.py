@@ -164,6 +164,15 @@ _TOTAL_PREFIX = re.compile(r"^Total", re.I)
 _TABLE_GOAL_OBJ = re.compile(r"Table\s+\d+|Goal|Objective", re.I)
 _NUM_GRP = re.compile(r"([0-9][0-9,]*)")
 _LEAD_NUM_SUB = re.compile(r"^[0-9][0-9,]*")
+_ELEMENT_AI = re.compile(r"Element\s+[A-I]:", re.I)
+_TOTAL_EST_PROJ_WORD = re.compile(r"Total\s+Estimated\s+Project\s+Cost", re.I)
+_NAME_MONEY_MATCH_EOL = re.compile(r"^(.*?)\s+(" + MONEY + r")(?:\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?))?\s*$")
+_SIZE_AT_OR_NUM = re.compile(r"(\b[0-9][0-9,]*\b.*@|\b[0-9][0-9,]*\b|N/A)")
+_LOWDO_PARTICIPANTS = re.compile(r"Low DO/Organic|Participants", re.I)
+_TECH_ASSIST_T82 = re.compile(r"Technical Assistance|Table\s*8\.2", re.I)
+_MONEY_LOOSE_DEC = re.compile(r"\$([0-9][0-9,]*(?:\.[0-9]+)?)")
+_TOTAL_MONEY_HDR = re.compile(r"^Total\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?)", re.I)
+_NAME_MONEY_STRICT_EOL = re.compile(r"^(.*?)\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?)\s*$")
 
 
 _KNOWN_HEADERS = re.compile(r"Practice\s+Producer\s+NRCS|Activity\s+Size|Practice\s+Average\s+Unit", re.I)
@@ -666,10 +675,10 @@ def _total_block_parse(all_lines, start_index):
         j -= 1
         if not line:
             continue
-        if re.search(r"Element\s+[A-I]:", line, re.I):
+        if _ELEMENT_AI.search(line):
             break
-        if _HAS_DOLLAR.search(line) and not re.search(r"Total\s+Estimated\s+Project\s+Cost", line, re.I):
-            m = re.match(r"^(.*?)\s+(" + MONEY + r")(?:\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?))?\s*$", line)
+        if _HAS_DOLLAR.search(line) and not _TOTAL_EST_PROJ_WORD.search(line):
+            m = _NAME_MONEY_MATCH_EOL.match(line)
             if m:
                 rows.insert(0, {"Item": m.group(1).strip(), "Cost": m.group(2),
                                 "Match": ("$" + m.group(3)) if m.group(3) else None})
@@ -805,7 +814,7 @@ def _activity_match_parse(all_lines, start_index):
         est = m.group(2)
         match_val = ("$" + m.group(3)) if m.group(3) else None
         left = _LEAD_DASH_SUB.sub("", left)
-        sm = re.search(r"(\b[0-9][0-9,]*\b.*@|\b[0-9][0-9,]*\b|N/A)", left)
+        sm = _SIZE_AT_OR_NUM.search(left)
         name = left
         size_part = ""
         if sm:
@@ -870,7 +879,7 @@ def _practice_costs_parse(all_lines, start_index):
                     reported_total = money_to_number(m.group(0))
                     break
             break
-        if re.search(r"Low DO/Organic|Participants", line, re.I):
+        if _LOWDO_PARTICIPANTS.search(line):
             break
         collected.append(line)
     merged = []
@@ -931,12 +940,14 @@ def _bell_parse(all_lines, start_index):
         if _TOTAL_ONLY.match(line.strip()):
             for k in range(j, len(window)):
                 dl = window[k]
-                m = re.search(r"\$([0-9][0-9,]*(?:\.[0-9]{2})?)", dl) if dl else None
+                # only group(0) is consumed, so the group-less _MONEY_RX
+                # (same pattern text) is an exact substitute
+                m = _MONEY_RX.search(dl) if dl else None
                 if m:
                     reported_total = money_to_number(m.group(0))
                     break
             break
-        if re.search(r"Technical Assistance|Table\s*8\.2", line, re.I):
+        if _TECH_ASSIST_T82.search(line):
             break
         m = _BELL_ROW.match(line)
         if m:
@@ -950,8 +961,8 @@ def _bell_parse(all_lines, start_index):
     norm = []
     for r in rows:
         area = r["Area Affected"]
-        quantity = js_parse_float(re.sub(r"[^0-9.]", "", area))
-        cost_m = re.search(r"\$([0-9][0-9,]*(?:\.[0-9]+)?)", r["BMP Cost"])
+        quantity = js_parse_float(_NON_NUMDOT_SUB.sub("", area))
+        cost_m = _MONEY_LOOSE_DEC.search(r["BMP Cost"])
         unit_cost = money_to_number(cost_m.group(0)) if cost_m else None
         total = money_to_number(r["BMP Total"])
         if total is not None:
@@ -976,12 +987,12 @@ def _tech_parse(all_lines, start_index):
     for line in window[1:]:
         if not line or not line.strip():
             continue
-        if re.match(r"^Total\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?)", line, re.I):
-            m = re.search(r"\$([0-9][0-9,]*(?:\.[0-9]{2})?)", line)
+        if _TOTAL_MONEY_HDR.match(line):
+            m = _MONEY_RX.search(line)
             if m:
                 reported_total = money_to_number(m.group(0))
             break
-        m = re.match(r"^(.*?)\s+\$([0-9][0-9,]*(?:\.[0-9]{2})?)\s*$", line)
+        m = _NAME_MONEY_STRICT_EOL.match(line)
         if m:
             rows.append({"Item": m.group(1).strip(), "Cost": "$" + m.group(2)})
     if not rows:

@@ -103,6 +103,12 @@ _R_BMPS_STAR = re.compile(r"BMPs\*", re.I)
 _R_SIZE_AMOUNT = re.compile(r"Size/Amount", re.I)
 _R_TOTAL_EST_PH1 = re.compile(r"Total Estimated (Phase 1 )?Cost", re.I)
 _R_ELEMENT_AI = re.compile(r"^Element\s+[a-i]:", re.I)
+_R_ACT_KEYWORDS = re.compile(
+    r"\b(Fencing|Water Facilities|Heavy Use Areas|Stream Crossings|Ponds|Sediment Basins"
+    r"|Nutrient Management|Critical Area Planting|Establishment|Forage|Biomass|Education"
+    r"|Monitoring|Project Management)\b",
+    re.I,
+)
 
 
 def _legacy_activity_match(all_lines):
@@ -112,13 +118,7 @@ def _legacy_activity_match(all_lines):
         line
         for line in all_lines
         if line and line.strip() and _HAS_DOLLAR.search(line)
-        and re.search(
-            r"\b(Fencing|Water Facilities|Heavy Use Areas|Stream Crossings|Ponds|Sediment Basins"
-            r"|Nutrient Management|Critical Area Planting|Establishment|Forage|Biomass|Education"
-            r"|Monitoring|Project Management)\b",
-            line,
-            re.I,
-        )
+        and _R_ACT_KEYWORDS.search(line)
     ]
     for raw_line in merged:
         if not raw_line:
@@ -827,6 +827,12 @@ def parse_cost_table(sections: dict, raw_text: str | None = None) -> dict:
 
 _DOLLAR_LINE_RE = re.compile(r"^([A-Z][A-Za-z &/]+?)\s+\$[0-9,]{3,}(?:\.[0-9]{2})?$")
 _SKIP_COST_ROW = re.compile(r"^(total|technical assistance|education and outreach|monitoring|project management)$", re.I)
+_R_TRAIL_STARS = re.compile(r"\*+$")
+_R_BMPS_ONLY = re.compile(r"^bmps\*?$", re.I)
+_R_TOTAL_ONLY = re.compile(r"^total$", re.I)
+_R_CAT_AQUATIC = re.compile(r"aquatic|fisher", re.I)
+_R_CAT_AGRI = re.compile(r"ag\s*bmp|agric|crop", re.I)
+_R_CAT_INVASIVE = re.compile(r"noxious|invasive", re.I)
 
 
 def finalize_report(goals, sections, source_id, source_file, fallback_goal_heuristic_used=False,
@@ -850,8 +856,8 @@ def finalize_report(goals, sections, source_id, source_file, fallback_goal_heuri
             raw_name = r.get(ct["columns"][0]) if ct.get("columns") else None
             if not raw_name:
                 continue
-            name = re.sub(r"\*+$", "", raw_name).strip()
-            if not name or re.match(r"^bmps\*?$", name, re.I) or _SKIP_COST_ROW.match(name):
+            name = _R_TRAIL_STARS.sub("", raw_name).strip()
+            if not name or _R_BMPS_ONLY.match(name) or _SKIP_COST_ROW.match(name):
                 continue
             lower = name.lower()
             if lower in existing_lower:
@@ -861,10 +867,11 @@ def finalize_report(goals, sections, source_id, source_file, fallback_goal_heuri
                          "source": f"cost_table_row:{ct['id']}:{name}"})
             existing_lower.add(lower)
         cost_row_names = [
-            n for n in (re.sub(r"\*+$", "", (r.get(ct["columns"][0]) or "")).strip() for r in ct["rows"])
-            if n and not re.match(r"^bmps\*?$", n, re.I) and not _SKIP_COST_ROW.match(n)
+            n for n in (_R_TRAIL_STARS.sub("", (r.get(ct["columns"][0]) or "")).strip() for r in ct["rows"])
+            if n and not _R_BMPS_ONLY.match(n) and not _SKIP_COST_ROW.match(n)
         ]
-        injected = {b["name"].lower() for b in bmps if re.search(r"cost_table_row:", b.get("source") or "")}
+        # "cost_table_row:" has no regex metachars — substring test is exact
+        injected = {b["name"].lower() for b in bmps if "cost_table_row:" in (b.get("source") or "")}
         for n in cost_row_names:
             lower = n.lower()
             if lower not in injected:
@@ -883,22 +890,22 @@ def finalize_report(goals, sections, source_id, source_file, fallback_goal_heuri
             if not m:
                 continue
             name = m.group(1).strip()
-            if re.match(r"^total$", name, re.I):
+            if _R_TOTAL_ONLY.match(name):
                 continue
             lower_name = name.lower()
             if lower_name in existing_lower:
                 existing = next((b for b in bmps if b["name"].lower() == lower_name), None)
                 if existing:
                     existing["confidence"] = min(0.9, max(existing.get("confidence") or 0.3, 0.55))
-                    if not re.search(r"summary_line:", existing.get("source") or ""):
+                    if "summary_line:" not in (existing.get("source") or ""):
                         existing["source"] = ((existing.get("source") + "|") if existing.get("source") else "") + f"summary_line:{line.strip()}"
                 continue
             category = "General"
-            if re.search(r"aquatic|fisher", name, re.I):
+            if _R_CAT_AQUATIC.search(name):
                 category = "Aquatic"
-            if re.search(r"ag\s*bmp|agric|crop", name, re.I):
+            if _R_CAT_AGRI.search(name):
                 category = "Agriculture"
-            if re.search(r"noxious|invasive", name, re.I):
+            if _R_CAT_INVASIVE.search(name):
                 category = "Invasive Species"
             bmps.append({"id": f"B{len(bmps) + 1}", "name": name, "category": category, "keyword": None,
                          "quantity": None, "unit": None, "verb": None, "confidence": 0.25,
