@@ -46,15 +46,19 @@ def resume_remaining(input_df: DataFrame, done_df: DataFrame, key: str = "url",
 
 def write_stage(df: DataFrame, path: str, stage: str, mode: str = "overwrite",
                 error_col: str = "error", bytes_col: str = "raw_text") -> None:
-    """Checkpointed stage write: data parquet + sibling _lineage parquet.
+    """Checkpointed stage write: data table/parquet + sibling _lineage table.
 
-    (Parquet directories stand in for Iceberg snapshots in this sandbox; on a
-    cluster these become ``writeTo(table).overwritePartitions()`` with the
-    same lineage side-table.)"""
-    df.write.mode(mode).parquet(path)
+    Storage is format-dispatched (``pipeline.tableio``): an Iceberg snapshot
+    commit per stage when a catalog is configured, parquet directories in
+    this sandbox. The lineage side-table rides the same format."""
+    from .tableio import read_checkpoint, write_checkpoint
+
     spark = df.sparkSession
-    written = spark.read.parquet(path)
+    ref = write_checkpoint(df, path, mode=mode)
+    written = read_checkpoint(spark, ref)
     if error_col in written.columns:
-        stage_lineage(written, stage, error_col=error_col, bytes_col=bytes_col).write.mode(
-            "overwrite"
-        ).parquet(path.rstrip("/") + "_lineage")
+        write_checkpoint(
+            stage_lineage(written, stage, error_col=error_col, bytes_col=bytes_col),
+            path.rstrip("/") + "_lineage",
+            mode="overwrite",
+        )

@@ -1,8 +1,9 @@
 """End-to-end medallion run with checkpoint/resume.
 
 pages -> bronze (text extraction) -> silver (structuring) -> gold aggregates,
-each stage written as parquet + lineage; an interrupted run resumes from the
-last complete stage via the J7 anti-join.
+each stage committed as an Iceberg snapshot when a catalog is configured
+(parquet + lineage side-table in this sandbox — see pipeline.tableio); an
+interrupted run resumes from the last complete stage via the J7 anti-join.
 """
 
 from __future__ import annotations
@@ -16,14 +17,33 @@ from .bronze import extract_bronze
 from .gold import gold_cost_summary, gold_coverage, gold_lang_rollup, gold_pattern_usage
 from .lineage import resume_remaining, write_stage
 from .silver import extract_silver
+from .tableio import (
+    checkpoint_format,
+    iceberg_catalog,
+    read_checkpoint,
+    table_identifier,
+    write_checkpoint,
+)
 
 __all__ = ["run_pipeline"]
 
 
-def _exists(spark: SparkSession, path: str) -> bool:
+def _stage_ref(spark: SparkSession, path: str) -> tuple[str, str]:
+    """Resolve where a stage checkpoint lives under the active format."""
+    if checkpoint_format() == "iceberg":
+        cat = iceberg_catalog(spark)
+        if cat is not None:
+            return ("table", table_identifier(cat, path))
+    return ("path", path)
+
+
+def _exists(spark: SparkSession, ref: tuple[str, str]) -> bool:
+    kind, target = ref
+    if kind == "table":
+        return spark.catalog.tableExists(target)
     # local-fs check is fine in this sandbox; on a cluster use the Hadoop FS API
-    return os.path.exists(path) and (os.path.exists(os.path.join(path, "_SUCCESS")) or any(
-        f.endswith(".parquet") for f in os.listdir(path)
+    return os.path.exists(target) and (os.path.exists(os.path.join(target, "_SUCCESS")) or any(
+        f.endswith(".parquet") for f in os.listdir(target)
     ))
 
 
@@ -34,30 +54,35 @@ def run_pipeline(spark: SparkSession, pages_df: DataFrame, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     bronze_path = os.path.join(out_dir, "bronze")
     silver_path = os.path.join(out_dir, "silver")
+    bronze_ref = _stage_ref(spark, bronze_path)
+    silver_ref = _stage_ref(spark, silver_path)
     t0 = time.time()
     timings: dict[str, float] = {}
 
-    if resume and _exists(spark, bronze_path):
-        done = spark.read.parquet(bronze_path)
+    if resume and _exists(spark, bronze_ref):
+        done = read_checkpoint(spark, bronze_ref)
         todo = resume_remaining(pages_df, done, key="url")
         n_todo = todo.count()
         if n_todo > 0:
-            extract_bronze(todo).write.mode("append").parquet(bronze_path)
+            write_checkpoint(extract_bronze(todo), bronze_path, mode="append")
     else:
         write_stage(extract_bronze(pages_df), bronze_path, "bronze")
-    bronze = spark.read.parquet(bronze_path)
+    bronze = read_checkpoint(spark, bronze_ref)
     timings["bronze_sec"] = time.time() - t0
 
     t1 = time.time()
-    if resume and _exists(spark, silver_path):
-        done = spark.read.parquet(silver_path)
+    if resume and _exists(spark, silver_ref):
+        done = read_checkpoint(spark, silver_ref)
         todo = resume_remaining(bronze, done, key="url")
         if todo.limit(1).count() > 0:
-            extract_silver(todo, mode=mode, bmp_filter=bmp_filter).write.mode("append").parquet(silver_path)
+            write_checkpoint(
+                extract_silver(todo, mode=mode, bmp_filter=bmp_filter),
+                silver_path, mode="append",
+            )
     else:
         write_stage(extract_silver(bronze, mode=mode, bmp_filter=bmp_filter), silver_path,
                     "silver", bytes_col="report_json")
-    silver = spark.read.parquet(silver_path)
+    silver = read_checkpoint(spark, silver_ref)
     timings["silver_sec"] = time.time() - t1
 
     t2 = time.time()
@@ -68,7 +93,7 @@ def run_pipeline(spark: SparkSession, pages_df: DataFrame, out_dir: str,
         "coverage": gold_coverage(silver),
     }
     for name, df in gold.items():
-        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"gold_{name}"))
+        write_checkpoint(df, os.path.join(out_dir, f"gold_{name}"), mode="overwrite")
     timings["gold_sec"] = time.time() - t2
 
     n_docs = bronze.count()

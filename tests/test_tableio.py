@@ -1,0 +1,85 @@
+"""Table-format dispatch for stage checkpoints (Iceberg vs parquet).
+
+The sandbox has no Iceberg runtime jar, so these tests pin (1) catalog
+detection from session conf, (2) the graceful parquet fallback when the
+iceberg format is requested without a catalog, and (3) that the medallion
+runner stays green end-to-end under that fallback.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pdfextractor_spark.pipeline.tableio import (
+    checkpoint_format,
+    iceberg_catalog,
+    read_checkpoint,
+    table_identifier,
+    write_checkpoint,
+)
+
+
+def test_checkpoint_format_default_and_env(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_TABLE_FORMAT", raising=False)
+    assert checkpoint_format() == "parquet"
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "  Iceberg ")
+    assert checkpoint_format() == "iceberg"
+
+
+def test_iceberg_catalog_detected_from_conf(spark, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_ICEBERG_CATALOG", raising=False)
+    assert iceberg_catalog(spark) is None
+    spark.conf.set("spark.sql.catalog.icecat", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.icecat.type", "hadoop")  # option key must not match
+    try:
+        assert iceberg_catalog(spark) == "icecat"
+    finally:
+        spark.conf.unset("spark.sql.catalog.icecat")
+        spark.conf.unset("spark.sql.catalog.icecat.type")
+    assert iceberg_catalog(spark) is None
+    monkeypatch.setenv("SPARK_GRAFT_ICEBERG_CATALOG", "forced")
+    assert iceberg_catalog(spark) == "forced"
+
+
+def test_table_identifier_is_sanitized_and_collision_free():
+    a = table_identifier("cat", "/tmp/run-1/bronze")
+    b = table_identifier("cat", "/tmp/run-2/bronze")
+    assert a == "cat.graft.tmp_run_1_bronze"
+    assert a != b
+    assert table_identifier("cat", "///") == "cat.graft.stage"
+
+
+def test_unknown_format_rejected(spark, tmp_path):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="unknown checkpoint format"):
+        write_checkpoint(df, str(tmp_path / "x"), fmt="orc")
+
+
+def test_iceberg_without_catalog_falls_back_to_parquet(spark, tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_ICEBERG_CATALOG", raising=False)
+    df = spark.range(5).withColumnRenamed("id", "v")
+    target = str(tmp_path / "stage")
+    with pytest.warns(UserWarning, match="no Iceberg catalog"):
+        ref = write_checkpoint(df, target, fmt="iceberg")
+    assert ref == ("path", target)
+    assert read_checkpoint(spark, ref).count() == 5
+
+
+def test_runner_green_under_iceberg_fallback(spark, tmp_path, monkeypatch):
+    from pdfextractor_spark.corpus import generate_pages
+    from pdfextractor_spark.pipeline.runner import run_pipeline
+    from pdfextractor_spark.pipeline.schema import PAGES_SCHEMA
+
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "iceberg")
+    monkeypatch.delenv("SPARK_GRAFT_ICEBERG_CATALOG", raising=False)
+    pages = spark.createDataFrame(generate_pages(40), schema=PAGES_SCHEMA)
+    out = str(tmp_path / "run")
+    summary = run_pipeline(spark, pages, out)
+    assert summary["docs"] == 40
+    assert summary["byte_identical_matched"] == summary["byte_identical_total"]
+    assert os.path.exists(os.path.join(out, "bronze"))
+    # resume path under the same fallback: nothing left to do, still green
+    summary2 = run_pipeline(spark, pages, out)
+    assert summary2["docs"] == 40
