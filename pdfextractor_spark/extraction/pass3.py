@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import re
 
+from .textutil import split_newlines
+
 __all__ = ["scan_loose_clusters", "infer_table_from_cluster", "enrich_report_pass3"]
 
 _MONEY_RE = re.compile(r"\$[0-9][0-9,]*(?:\.[0-9]{2})?")
@@ -24,7 +26,7 @@ _HEADER_RE = re.compile(r"(cost|estimate|budget|practice|bmp|activity|item)", re
 
 
 def _clean_lines(raw: str) -> list[str]:
-    return [l.replace(" ", " ").strip() for l in re.split(r"\r?\n", raw)]
+    return [l.replace(" ", " ").strip() for l in split_newlines(raw)]
 
 
 def scan_loose_clusters(raw: str) -> list[dict]:

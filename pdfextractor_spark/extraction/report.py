@@ -17,7 +17,7 @@ from .bmps import extract_bmps, filter_bmps, strip_cost_tail
 from .costtables import MONEY, _HAS_DOLLAR, _MONEY_RX, parse_cost_tables_with_patterns
 from .goals import extract_goals, _poll_group
 from .rules import POLLUTANT_TERMS
-from .textutil import infer_status, js_parse_float, money_to_number, split_sentences
+from .textutil import infer_status, js_parse_float, money_to_number, split_newlines, split_sentences
 
 __all__ = ["parse_cost_table", "build_structured_report", "finalize_report"]
 
@@ -664,7 +664,7 @@ def parse_cost_table(sections: dict, raw_text: str | None = None) -> dict:
         for v in sections.values():
             if isinstance(v, list):
                 all_lines.extend(v)
-        raw_lines_arg = _RX_NEWLINE.split(raw_text) if raw_text else None
+        raw_lines_arg = split_newlines(raw_text) if raw_text else None
         # "nrcs" is a required literal of _MULTI_FUND_HEADER — gating the
         # scans with a C-level substring check is a pure optimization
         if not any(l and "nrcs" in l.lower() and _MULTI_FUND_HEADER.search(l) for l in all_lines):
@@ -954,7 +954,7 @@ def finalize_report(goals, sections, source_id, source_file, fallback_goal_heuri
             if m:
                 start_idx = m.start() + len(m.group(0))
                 slice_ = raw_text[start_idx : start_idx + 1200]
-                lines = [l.strip() for l in re.split(r"\r?\n", slice_) if l.strip()]
+                lines = [l.strip() for l in split_newlines(slice_) if l.strip()]
                 collected = []
                 for line in lines:
                     if re.match(r"^\s*(?:[•\-*]\s+)?[A-Z][A-Za-z0-9 /&()'-]{2,}$", re.sub(r"[,;:.]+$", "", line)):

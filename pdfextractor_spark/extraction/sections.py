@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import re
 
+from .textutil import split_newlines
+
 SECTION_HEADERS = ["Goals", "BMPs", "Implementation", "Monitoring", "Outreach", "Geography"]
 
 _HEADER_RES = [(h, re.compile(rf"^{h}[:]?$", re.I)) for h in SECTION_HEADERS]
@@ -33,7 +35,7 @@ def empty_sections(extra_activities: bool = False) -> dict[str, list[str]]:
 def extract_sections(raw_text: str) -> dict[str, list[str]]:
     """Stateful scan: an exact header line switches the current bucket;
     non-empty lines append to the current section; default 'uncategorized'."""
-    lines = [l.strip() for l in _RX_LINE_SPLIT.split(raw_text)]
+    lines = [l.strip() for l in split_newlines(raw_text)]
     current = "uncategorized"
     sections = empty_sections()
     for line in lines:
@@ -71,7 +73,7 @@ def naive_sectionize(raw_text: str) -> dict[str, list[str]]:
     """Batch-path sectionizer: 'goal' token -> Goals (cap 50); $-amount /
     cost-table header tokens -> BMPs; else uncategorized. A line can land in
     both Goals and BMPs (matches the reference's non-exclusive first check)."""
-    lines = re.split(r"\r?\n", raw_text)
+    lines = split_newlines(raw_text)
     sections = empty_sections(extra_activities=True)
     for l in lines:
         t = l.strip()

@@ -9,6 +9,22 @@ from __future__ import annotations
 
 import re
 
+def split_newlines(s: str) -> list[str]:
+    """C-speed twin of ``re.split(r"\\r?\\n", s)``.
+
+    ``\\r?\\n`` consumes a ``\\r`` only when it immediately precedes the
+    ``\\n`` separator, so splitting on ``\\n`` and dropping one trailing
+    ``\\r`` from every piece except the last is exact; lone ``\\r`` stays
+    inside its piece. Property-pinned vs the regex in
+    tests/test_properties.py::test_split_newlines_equivalent.
+    """
+    parts = s.split("\n")
+    if "\r" not in s:
+        return parts
+    last = len(parts) - 1
+    return [p[:-1] if i != last and p.endswith("\r") else p for i, p in enumerate(parts)]
+
+
 # --- JS-compatible numeric parsing -------------------------------------------
 
 _FLOAT_PREFIX = re.compile(r"^[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")

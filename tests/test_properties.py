@@ -103,3 +103,24 @@ def test_squash_ws_gate_equivalent(s):
     assert _squash_ws(s) == expect
     assert _squash_html(s) == expect
     assert _norm_quotes(s) == _re.sub(r"[‘’]", "'", _re.sub(r"[“”]", '"', s))
+
+
+@given(st.text(alphabet=st.sampled_from("a\r\n \t x$"), max_size=120))
+@settings(max_examples=400)
+def test_split_newlines_equivalent(s):
+    # the C-speed newline splitter must piece-for-piece match re.split(r"\r?\n")
+    import re as _re
+
+    from pdfextractor_spark.extraction.textutil import split_newlines
+
+    assert split_newlines(s) == _re.split(r"\r?\n", s)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=300)
+def test_split_newlines_equivalent_general(s):
+    import re as _re
+
+    from pdfextractor_spark.extraction.textutil import split_newlines
+
+    assert split_newlines(s) == _re.split(r"\r?\n", s)
