@@ -28,7 +28,6 @@ _MULTI_FUND_HEADER = re.compile(r"Practice\s+Producer\s+NRCS\s+(EPA-?MDEQ|EPA\s*
 # UDF and per-call ``re.search(str, ...)``/``re.compile`` overhead was ~5% of
 # the extraction stage).
 _RX_WS = re.compile(r"\s+")
-_RX_NEWLINE = re.compile(r"\r?\n")
 _RX_GOAL_WORD = re.compile(r"goal", re.I)
 _RX_WATERSHED_DOT = re.compile(r"watershed\.", re.I)
 _RX_WATERSHED_DOT_END = re.compile(r"watershed\.$", re.I)

@@ -21,7 +21,6 @@ _HEADER_RES = [(h, re.compile(rf"^{h}[:]?$", re.I)) for h in SECTION_HEADERS]
 # up to six anchored regex matches per document line. Non-ASCII lines
 # take the regex path so sre's Unicode case-folding rules stay authoritative.
 _HEADER_BY_LOWER = {h.lower(): h for h in SECTION_HEADERS}
-_RX_LINE_SPLIT = re.compile(r"\r?\n")
 
 
 def empty_sections(extra_activities: bool = False) -> dict[str, list[str]]:

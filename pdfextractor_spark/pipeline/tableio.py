@@ -28,6 +28,7 @@ checkpoint contract.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 import warnings
@@ -44,11 +45,21 @@ __all__ = [
 
 _NAMESPACE = "graft"
 _SANITIZE = re.compile(r"[^A-Za-z0-9_]+")
+_WARNED_NO_CATALOG = False
 
 
 def checkpoint_format() -> str:
     """Requested stage-checkpoint format: ``parquet`` (default) or ``iceberg``."""
     return os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet").strip().lower()
+
+
+# catalog detection runs a SET scan; one pipeline run writes ~8 checkpoints,
+# so cache the result per live session. Weak keys: the entry dies with the
+# session object, so a recycled id can never serve a stale answer.
+_CATALOG_CACHE: "weakref.WeakKeyDictionary[SparkSession, str | None]" = None  # set below
+import weakref  # noqa: E402  (kept next to its single consumer)
+
+_CATALOG_CACHE = weakref.WeakKeyDictionary()
 
 
 def iceberg_catalog(spark: SparkSession) -> str | None:
@@ -57,35 +68,56 @@ def iceberg_catalog(spark: SparkSession) -> str | None:
     ``SPARK_GRAFT_ICEBERG_CATALOG`` wins when set; otherwise scan the session
     conf (``SET`` covers both spark-submit --conf and runtime-set keys) for
     ``spark.sql.catalog.<name>`` entries whose implementation class mentions
-    Iceberg.
+    Iceberg. The scan result is cached per session object; runtime
+    ``spark.conf.set`` changes after the first call are deliberately not
+    re-detected mid-run (a half-switched pipeline would checkpoint stages in
+    two different backends).
     """
     forced = os.environ.get("SPARK_GRAFT_ICEBERG_CATALOG")
     if forced:
         return forced.strip() or None
     try:
+        if spark in _CATALOG_CACHE:
+            return _CATALOG_CACHE[spark]
+    except TypeError:  # unhashable/unweakrefable session stand-in: skip cache
+        spark_key = None
+    else:
+        spark_key = spark
+    found: str | None = None
+    try:
         rows = spark.sql("SET").collect()
     except Exception:  # pragma: no cover - SET is always available on 3.x/4.x
-        return None
+        rows = []
     for row in rows:
-        key = row["key"]
-        if not key.startswith("spark.sql.catalog."):
+        conf_key = row["key"]
+        if not conf_key.startswith("spark.sql.catalog."):
             continue
-        tail = key[len("spark.sql.catalog."):]
+        tail = conf_key[len("spark.sql.catalog."):]
         if "." in tail:  # per-catalog option (…<name>.type etc.), not the impl
             continue
         if "iceberg" in (row["value"] or "").lower():
-            return tail
-    return None
+            found = tail
+            break
+    if spark_key is not None:
+        try:
+            _CATALOG_CACHE[spark_key] = found
+        except TypeError:
+            pass
+    return found
 
 
 def table_identifier(catalog: str, path: str) -> str:
     """Deterministic ``catalog.namespace.table`` identifier for a stage path.
 
-    The full path (not just the basename) is folded into the table name so
-    two pipelines with distinct output dirs can never collide in the catalog.
+    The sanitized full path keeps the name readable; sanitize+lowercase is
+    not injective (``run-1`` and ``run_1`` fold together), so a short hash
+    of the raw path is appended — distinct output dirs therefore cannot
+    collide on one catalog table, and the same path always maps to the
+    same identifier (resume-stable).
     """
     name = _SANITIZE.sub("_", path.strip("/")).strip("_").lower() or "stage"
-    return f"{catalog}.{_NAMESPACE}.{name}"
+    digest = hashlib.sha1(path.encode("utf-8")).hexdigest()[:8]
+    return f"{catalog}.{_NAMESPACE}.{name[:96]}_{digest}"
 
 
 def write_checkpoint(df: DataFrame, path: str, mode: str = "overwrite",
@@ -101,11 +133,16 @@ def write_checkpoint(df: DataFrame, path: str, mode: str = "overwrite",
     if fmt == "iceberg":
         cat = iceberg_catalog(df.sparkSession)
         if cat is None:
-            warnings.warn(
-                "SPARK_GRAFT_TABLE_FORMAT=iceberg but no Iceberg catalog is "
-                f"configured on the session; writing parquet at {path} instead",
-                stacklevel=2,
-            )
+            # one warning per process, not one per checkpoint: a pipeline
+            # run writes ~8 checkpoints and the message is identical
+            global _WARNED_NO_CATALOG
+            if not _WARNED_NO_CATALOG:
+                _WARNED_NO_CATALOG = True
+                warnings.warn(
+                    "SPARK_GRAFT_TABLE_FORMAT=iceberg but no Iceberg catalog is "
+                    f"configured on the session; writing parquet at {path} instead",
+                    stacklevel=2,
+                )
         else:
             tbl = table_identifier(cat, path)
             try:  # namespaces are cheap to ensure and required by createOrReplace
@@ -114,10 +151,15 @@ def write_checkpoint(df: DataFrame, path: str, mode: str = "overwrite",
                 pass
             writer = df.writeTo(tbl).using("iceberg")
             if mode == "append":
-                try:
+                # create-if-absent decided by an explicit existence probe:
+                # catching the append error instead would turn ANY append
+                # failure (schema drift, snapshot conflict) into a
+                # createOrReplace that silently discards the prior
+                # checkpoint and keeps only the delta
+                if df.sparkSession.catalog.tableExists(tbl):
                     writer.append()
-                except Exception:  # first delta against a not-yet-created table
-                    writer.createOrReplace()
+                else:
+                    writer.create()
             else:
                 writer.createOrReplace()
             return ("table", tbl)

@@ -29,15 +29,23 @@ def test_checkpoint_format_default_and_env(monkeypatch):
 
 
 def test_iceberg_catalog_detected_from_conf(spark, monkeypatch):
+    from pdfextractor_spark.pipeline import tableio
+
     monkeypatch.delenv("SPARK_GRAFT_ICEBERG_CATALOG", raising=False)
+    tableio._CATALOG_CACHE.clear()
     assert iceberg_catalog(spark) is None
     spark.conf.set("spark.sql.catalog.icecat", "org.apache.iceberg.spark.SparkCatalog")
     spark.conf.set("spark.sql.catalog.icecat.type", "hadoop")  # option key must not match
     try:
+        # detection is cached per session (a run must not switch backends
+        # mid-pipeline): the stale None persists until the cache is cleared
+        assert iceberg_catalog(spark) is None
+        tableio._CATALOG_CACHE.clear()
         assert iceberg_catalog(spark) == "icecat"
     finally:
         spark.conf.unset("spark.sql.catalog.icecat")
         spark.conf.unset("spark.sql.catalog.icecat.type")
+        tableio._CATALOG_CACHE.clear()
     assert iceberg_catalog(spark) is None
     monkeypatch.setenv("SPARK_GRAFT_ICEBERG_CATALOG", "forced")
     assert iceberg_catalog(spark) == "forced"
@@ -46,9 +54,14 @@ def test_iceberg_catalog_detected_from_conf(spark, monkeypatch):
 def test_table_identifier_is_sanitized_and_collision_free():
     a = table_identifier("cat", "/tmp/run-1/bronze")
     b = table_identifier("cat", "/tmp/run-2/bronze")
-    assert a == "cat.graft.tmp_run_1_bronze"
+    assert a.startswith("cat.graft.tmp_run_1_bronze_")
     assert a != b
-    assert table_identifier("cat", "///") == "cat.graft.stage"
+    # sanitize+lowercase folds these together; the path-hash suffix must not
+    assert table_identifier("cat", "/tmp/run_1/bronze") != a
+    assert table_identifier("cat", "/tmp/RUN-1/bronze") != a
+    # same path -> same identifier (resume-stable)
+    assert table_identifier("cat", "/tmp/run-1/bronze") == a
+    assert table_identifier("cat", "///").startswith("cat.graft.stage_")
 
 
 def test_unknown_format_rejected(spark, tmp_path):
@@ -58,11 +71,22 @@ def test_unknown_format_rejected(spark, tmp_path):
 
 
 def test_iceberg_without_catalog_falls_back_to_parquet(spark, tmp_path, monkeypatch):
+    from pdfextractor_spark.pipeline import tableio
+
     monkeypatch.delenv("SPARK_GRAFT_ICEBERG_CATALOG", raising=False)
+    tableio._CATALOG_CACHE.clear()
+    monkeypatch.setattr(tableio, "_WARNED_NO_CATALOG", False)
     df = spark.range(5).withColumnRenamed("id", "v")
     target = str(tmp_path / "stage")
     with pytest.warns(UserWarning, match="no Iceberg catalog"):
         ref = write_checkpoint(df, target, fmt="iceberg")
+    # the identical warning is not repeated for subsequent checkpoints
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        write_checkpoint(df, str(tmp_path / "stage2"), fmt="iceberg")
+    assert not [w for w in caught if "no Iceberg catalog" in str(w.message)]
     assert ref == ("path", target)
     assert read_checkpoint(spark, ref).count() == 5
 
