@@ -217,6 +217,7 @@ def main() -> None:
         pairs.append((low, high))
         pair_ratios.append((high["docs_per_sec"] / low["docs_per_sec"]) / 4.0)
 
+    _t_scale0 = time.time()
     for p_i in range(n_pairs):
         _run_pair(p_i % 2 == 0)
     # CAPABILITY ratio headline: on this VM every noise source (cloud
@@ -257,9 +258,14 @@ def main() -> None:
     # the extension, STOP is stability-based — two consecutive pairs
     # moving the estimate <2% — with a hard cap to bound the suite.
     max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA_PAIRS", "4"))
+    # wall budget for the whole scaling phase: a degraded host stretches
+    # each leg too, so cap total time rather than pair count alone — the
+    # suite must stay inside the driver's per-round window
+    scale_budget = float(os.environ.get("SPARK_GRAFT_BENCH_SCALING_BUDGET", "2100"))
     extra_pairs = 0
     stall = 0
-    while eff_a < 0.92 and extra_pairs < max_extra and stall < 2:
+    while (eff_a < 0.92 and extra_pairs < max_extra and stall < 2
+           and (time.time() - _t_scale0) < scale_budget):
         _run_pair((n_pairs + extra_pairs) % 2 == 0)
         _, _, new_eff = _capability()
         stall = stall + 1 if new_eff < eff_a * 1.02 else 0
