@@ -40,3 +40,24 @@ def test_golden_has_full_shape_coverage():
                      "implementation_plan_coded_budget", "tech_assistance",
                      "sparse_inline_costs", "narrative_cost_block"]:
         assert expected in pats, f"{expected} never fired on the corpus"
+
+
+def test_full_report_json_digest_2000_docs():
+    """TOTAL invariant over the silver stage: sha256 of every report_json
+    byte across 2000 synthetic docs (15x the per-field golden above). Any
+    drift anywhere in extraction — goals, BMPs, cost tables, confidences,
+    field order — fails here. Perf refactors must keep this digest
+    bit-identical; re-bless only for an intentional semantics change."""
+    import hashlib
+
+    from pdfextractor_spark.corpus import generate_pages
+    from pdfextractor_spark.pipeline.bronze import _extract_one
+    from pdfextractor_spark.pipeline.silver import build_report_row
+
+    digests = []
+    for r in generate_pages(2000):
+        raw = _extract_one(r["html"], r["text"])[0]
+        rep = build_report_row(r["url"], r["lang"], raw)
+        digests.append(hashlib.sha256((rep["report_json"] or "").encode()).hexdigest())
+    combined = hashlib.sha256("".join(digests).encode()).hexdigest()
+    assert combined == "738f2d38ceca0c9cb70176fb1fb5570d2a25ca73a56fbf53b9a1c788dc3fba47"
