@@ -29,7 +29,10 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["parse_mp3", "make_mp3", "parse_mp4", "make_mp4"]
+__all__ = [
+    "parse_mp3", "make_mp3", "parse_mp4", "make_mp4",
+    "mp4_sample_tables", "mp4_extract_samples", "make_mp4_media",
+]
 
 
 # MPEG-1 Layer III bitrate table (kbps), index 1..14; 0 = free, 15 = bad.
@@ -192,6 +195,248 @@ def parse_mp4(data: bytes) -> dict:
         raise ValueError("no moov/mvhd box: truncated or corrupt MP4")
     return {"brand": brand, "duration_sec": duration,
             "width": width, "height": height, "n_tracks": n_tracks}
+
+
+def _find_box(data: bytes, start: int, end: int, btype: bytes):
+    """First child box of the given type in [start, end), or None."""
+    for t, p0, p1 in _walk_boxes(data, start, end):
+        if t == btype:
+            return p0, p1
+    return None
+
+
+def mp4_sample_tables(data: bytes) -> list[dict]:
+    """Parse every track's SAMPLE TABLES (ISO 14496-12 stbl) into flat
+    per-sample (offset, size, pts) arrays — the real random-access map a
+    frame sampler needs, not just the header metadata ``parse_mp4`` reads.
+
+    Returns one dict per track that carries a complete stbl:
+      {track_id, handler ('vide'/'soun'), codec (stsd fourcc), timescale,
+       width, height, channels, sample_rate,
+       offsets: list[int], sizes: list[int], pts: list[float]}
+
+    Boxes walked: moov -> trak -> (tkhd for the id) -> mdia -> mdhd
+    (media timescale) + hdlr (handler) + minf -> stbl -> stsd (codec +
+    entry dims) / stts (decode deltas) / stsc (sample->chunk runs) /
+    stsz (sizes) / stco|co64 (chunk offsets). Tracks with a missing or
+    empty table set are skipped (e.g. metadata-only fixtures) — callers
+    fall back to the container-level parse.
+    """
+    moov = _find_box(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    tracks = []
+    for ttype, t0, t1 in _walk_boxes(data, moov[0], moov[1]):
+        if ttype != b"trak":
+            continue
+        track_id = None
+        tk = _find_box(data, t0, t1, b"tkhd")
+        if tk is not None and tk[1] - tk[0] >= 16:
+            version = data[tk[0]]
+            off = tk[0] + (12 if version == 0 else 20)
+            track_id = struct.unpack(">I", data[off:off + 4])[0]
+        mdia = _find_box(data, t0, t1, b"mdia")
+        if mdia is None:
+            continue
+        timescale = None
+        handler = None
+        mdhd = _find_box(data, mdia[0], mdia[1], b"mdhd")
+        if mdhd is not None:
+            version = data[mdhd[0]]
+            off = mdhd[0] + (12 if version == 0 else 20)
+            timescale = struct.unpack(">I", data[off:off + 4])[0]
+        hdlr = _find_box(data, mdia[0], mdia[1], b"hdlr")
+        if hdlr is not None and hdlr[1] - hdlr[0] >= 12:
+            handler = data[hdlr[0] + 8:hdlr[0] + 12].decode("latin-1")
+        minf = _find_box(data, mdia[0], mdia[1], b"minf")
+        if minf is None:
+            continue
+        stbl = _find_box(data, minf[0], minf[1], b"stbl")
+        if stbl is None:
+            continue
+        s0, s1 = stbl
+        codec = None
+        width = height = 0
+        channels = 0
+        sample_rate = 0
+        stts_runs: list[tuple[int, int]] = []
+        stsc_runs: list[tuple[int, int]] = []
+        sizes: list[int] = []
+        chunk_offsets: list[int] = []
+        for btype, p0, p1 in _walk_boxes(data, s0, s1):
+            if btype == b"stsd" and p1 - p0 >= 16:
+                # version/flags(4) + entry_count(4), then entries as boxes
+                for etype, q0, q1 in _walk_boxes(data, p0 + 8, p1):
+                    codec = etype.decode("latin-1")
+                    if q1 - q0 >= 28:
+                        # VisualSampleEntry: width/height at payload 24/26
+                        w, h = struct.unpack(">HH", data[q0 + 24:q0 + 28])
+                        # AudioSampleEntry: channels at 16, 16.16 rate at 24
+                        ch = struct.unpack(">H", data[q0 + 16:q0 + 18])[0]
+                        sr = struct.unpack(">I", data[q0 + 24:q0 + 28])[0] >> 16
+                        width, height = w, h
+                        channels, sample_rate = ch, sr
+                    break  # first sample description only
+            elif btype == b"stts":
+                (n_ent,) = struct.unpack(">I", data[p0 + 4:p0 + 8])
+                for i in range(n_ent):
+                    c, d = struct.unpack(">II", data[p0 + 8 + 8 * i:p0 + 16 + 8 * i])
+                    stts_runs.append((c, d))
+            elif btype == b"stsc":
+                (n_ent,) = struct.unpack(">I", data[p0 + 4:p0 + 8])
+                for i in range(n_ent):
+                    fc, spc, _sdi = struct.unpack(
+                        ">III", data[p0 + 8 + 12 * i:p0 + 20 + 12 * i])
+                    stsc_runs.append((fc, spc))
+            elif btype == b"stsz":
+                uniform, n_samples = struct.unpack(">II", data[p0 + 4:p0 + 12])
+                if uniform:
+                    sizes = [uniform] * n_samples
+                else:
+                    sizes = list(struct.unpack(
+                        f">{n_samples}I", data[p0 + 12:p0 + 12 + 4 * n_samples]))
+            elif btype == b"stco":
+                (n_ent,) = struct.unpack(">I", data[p0 + 4:p0 + 8])
+                chunk_offsets = list(struct.unpack(
+                    f">{n_ent}I", data[p0 + 8:p0 + 8 + 4 * n_ent]))
+            elif btype == b"co64":
+                (n_ent,) = struct.unpack(">I", data[p0 + 4:p0 + 8])
+                chunk_offsets = list(struct.unpack(
+                    f">{n_ent}Q", data[p0 + 8:p0 + 8 + 8 * n_ent]))
+        if not sizes or not chunk_offsets or not stsc_runs:
+            continue  # header-only track: no addressable samples
+        # expand stsc runs -> samples-per-chunk for each chunk
+        spc_per_chunk = []
+        for ri, (fc, spc) in enumerate(stsc_runs):
+            last = stsc_runs[ri + 1][0] - 1 if ri + 1 < len(stsc_runs) else len(chunk_offsets)
+            spc_per_chunk.extend([spc] * (last - fc + 1))
+        offsets = []
+        s_i = 0
+        for c_i, c_off in enumerate(chunk_offsets):
+            pos = c_off
+            for _ in range(spc_per_chunk[c_i] if c_i < len(spc_per_chunk) else 0):
+                if s_i >= len(sizes):
+                    break
+                offsets.append(pos)
+                pos += sizes[s_i]
+                s_i += 1
+        n = min(len(offsets), len(sizes))
+        pts = []
+        t_acc = 0
+        ts = float(timescale or 1)
+        for count, delta in stts_runs:
+            for _ in range(count):
+                if len(pts) >= n:
+                    break
+                pts.append(t_acc / ts)
+                t_acc += delta
+        while len(pts) < n:  # stts shorter than stsz: extend with last delta
+            pts.append(t_acc / ts)
+            t_acc += stts_runs[-1][1] if stts_runs else 1
+        tracks.append({
+            "track_id": track_id, "handler": handler, "codec": codec,
+            "timescale": timescale, "width": width, "height": height,
+            "channels": channels, "sample_rate": sample_rate,
+            "offsets": offsets[:n], "sizes": sizes[:n], "pts": pts[:n],
+        })
+    return tracks
+
+
+def mp4_extract_samples(data: bytes, track: dict, every_nth: int = 1,
+                        max_samples: int | None = None) -> list[dict]:
+    """Slice every-nth sample's raw bytes out of the container using the
+    parsed table — the 'frame-sample' stage of a video pipeline. Returns
+    [{sample_no, pts_sec, data}]."""
+    out = []
+    idxs = range(0, len(track["sizes"]), max(1, every_nth))
+    for k, i in enumerate(idxs):
+        if max_samples is not None and k >= max_samples:
+            break
+        off, size = track["offsets"][i], track["sizes"][i]
+        if off + size > len(data):
+            raise ValueError(f"sample {i} extends past the container end")
+        out.append({"sample_no": i, "pts_sec": track["pts"][i],
+                    "data": data[off:off + size]})
+    return out
+
+
+def make_mp4_media(samples: list[bytes], codec: bytes, handler: bytes,
+                   width: int = 0, height: int = 0, timescale: int = 600,
+                   sample_delta: int = 60, channels: int = 1,
+                   sample_rate: int = 8000,
+                   samples_per_chunk: int = 3) -> bytes:
+    """Fully-addressable MP4: ftyp + mdat(samples) + moov with a COMPLETE
+    stbl (stsd/stts/stsc/stsz/stco), so ``mp4_sample_tables`` can map and
+    extract every sample. ``codec`` is the stsd fourcc (b"jpeg" for an
+    MJPEG video track whose samples are whole JPEG images; b"sowt" for
+    little-endian 16-bit PCM audio). mdat precedes moov so chunk offsets
+    are known without patching."""
+    ftyp = _box(b"ftyp", b"mp42\x00\x00\x00\x00mp42isom")
+    mdat_payload = b"".join(samples)
+    mdat_header_at = len(ftyp)
+    data_at = mdat_header_at + 8
+    # chunk layout: groups of samples_per_chunk consecutive samples
+    sizes = [len(s) for s in samples]
+    chunk_offsets = []
+    pos = data_at
+    for i, sz in enumerate(sizes):
+        if i % samples_per_chunk == 0:
+            chunk_offsets.append(pos)
+        pos += sz
+    n = len(samples)
+    dur = n * sample_delta
+
+    if handler == b"vide":
+        entry_payload = (
+            b"\x00" * 6 + struct.pack(">H", 1)          # reserved + dref idx
+            + b"\x00" * 16                                # pre_defined/reserved
+            + struct.pack(">HH", width, height)
+            + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+            + b"\x00" * 4 + struct.pack(">H", 1)          # reserved + frame count
+            + b"\x00" * 32                                # compressor name
+            + struct.pack(">Hh", 24, -1))                 # depth, color table
+        header_box = _box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+    else:
+        entry_payload = (
+            b"\x00" * 6 + struct.pack(">H", 1)
+            + struct.pack(">HH", 0, 0) + b"\x00" * 4      # version/revision/vendor
+            + struct.pack(">HHHH", channels, 16, 0, 0)
+            + struct.pack(">I", sample_rate << 16))
+        header_box = _box(b"smhd", b"\x00" * 8)
+    stsd = _box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+                + _box(codec, entry_payload))
+    stts = _box(b"stts", b"\x00\x00\x00\x00" + struct.pack(">III", 1, n, sample_delta))
+    # stsc runs: all chunks hold samples_per_chunk except a short tail
+    runs = [(1, samples_per_chunk)]
+    tail = n % samples_per_chunk
+    if tail and n > samples_per_chunk:
+        runs.append((len(chunk_offsets), tail))
+    elif tail:
+        runs = [(1, tail)]
+    stsc = _box(b"stsc", b"\x00\x00\x00\x00" + struct.pack(">I", len(runs))
+                + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in runs))
+    stsz = _box(b"stsz", b"\x00\x00\x00\x00" + struct.pack(">II", 0, n)
+                + struct.pack(f">{n}I", *sizes))
+    stco = _box(b"stco", b"\x00\x00\x00\x00"
+                + struct.pack(">I", len(chunk_offsets))
+                + struct.pack(f">{len(chunk_offsets)}I", *chunk_offsets))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = _box(b"dinf", _box(b"dref", b"\x00\x00\x00\x00\x00\x00\x00\x01"
+                              + _box(b"url ", b"\x00\x00\x00\x01")))
+    minf = _box(b"minf", header_box + dinf + stbl)
+    hdlr = _box(b"hdlr", b"\x00\x00\x00\x00\x00\x00\x00\x00" + handler
+                + b"\x00" * 12 + b"\x00")
+    mdhd = _box(b"mdhd", b"\x00\x00\x00\x00" + struct.pack(
+        ">IIII", 0, 0, timescale, dur) + b"\x00\x00\x00\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(b"tkhd", b"\x00\x00\x00\x07" + struct.pack(
+        ">IIIII", 0, 0, 1, 0, dur) + b"\x00" * 52
+        + struct.pack(">II", width << 16, height << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _box(b"mvhd", b"\x00\x00\x00\x00" + struct.pack(
+        ">IIIII", 0, 0, timescale, dur, 0x00010000) + b"\x00" * 76)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_payload) + moov
 
 
 def _box(btype: bytes, payload: bytes) -> bytes:

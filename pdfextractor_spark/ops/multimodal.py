@@ -12,8 +12,12 @@ features and nearest-neighbor thumbnailing, and WAV (PCM) audio with
 RMS / zero-crossing / FFT-band features. Compressed A/V containers get
 real METADATA parses (``ops/containers.py``: MP3 frame-header walk ->
 duration/rates, MP4 ISO-BMFF box walk -> dims/duration/tracks) — which
-is what a pipeline filters on before decode — while the raw SAMPLE /
-PIXEL decode for those codecs is STUBBED behind ``NotImplementedError``
+is what a pipeline filters on before decode — and MP4s with complete
+sample tables get REAL frame-sample extraction (``sample_frames``:
+stsd/stts/stsc/stsz/stco walk -> every-nth frame bytes) with real decode
+for MJPEG video frames (``ops/jpeg.py``) and PCM audio tracks, while the
+BITSTREAM decode for compressed codecs (H.26x, AAC, MPEG-audio samples)
+is STUBBED behind ``NotImplementedError``
 (codec libraries are not in this container) and any corrupt container
 surfaces as a per-row ``error`` value, never a job failure. The Spark-side
 plumbing (schema, salted partitioning, UDF signature, Arrow batch shape) is
@@ -37,7 +41,8 @@ from pyspark.sql.types import (
 )
 
 __all__ = [
-    "MEDIA_SCHEMA", "MEDIA_FEATURES_SCHEMA", "decode_media", "sample_frames",
+    "MEDIA_SCHEMA", "MEDIA_FEATURES_SCHEMA", "FRAME_SAMPLE_SCHEMA",
+    "decode_media", "sample_frames",
     "decode_bmp", "decode_wav", "make_bmp", "make_wav",
     "decode_png", "decode_gif", "make_png", "make_gif",
 ]
@@ -483,16 +488,31 @@ def _decode_payload(kind: str, payload: bytes) -> dict:
                     m["duration_sec"], m["avg_bitrate_kbps"], m["sample_rate"] / 48000.0,
                     float(m["n_frames"]), 1.0 if m["vbr"] else 0.0)}
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
-        # MP4/ISO-BMFF: box walk gives real dims/duration/track count;
-        # frame PIXEL decode stays behind the stub boundary.
+        # MP4/ISO-BMFF: box walk gives real dims/duration/track count.
+        # When the container carries a complete sample table AND a codec
+        # we own (MJPEG / PCM), the FIRST sample decodes for real and the
+        # feature is pixel/spectral; header-only containers and compressed
+        # bitstream codecs (H.26x/AAC) keep the container-level feature.
         from .containers import parse_mp4
 
         m = parse_mp4(bytes(payload))
-        return {"width": m["width"] or None, "height": m["height"] or None,
-                "duration_sec": round(m["duration_sec"], 3),
-                "feature": _container_features(
-                    m["duration_sec"], float(m["width"]), float(m["height"]),
-                    float(m["n_tracks"]), float(len(payload)))}
+        out = {"width": m["width"] or None, "height": m["height"] or None,
+               "duration_sec": round(m["duration_sec"], 3),
+               "feature": _container_features(
+                   m["duration_sec"], float(m["width"]), float(m["height"]),
+                   float(m["n_tracks"]), float(len(payload)))}
+        try:
+            frames = _sample_payload_frames(bytes(payload), every_nth=1,
+                                            max_frames=1)
+        except Exception:
+            return out  # no/partial tables: container-level parse stands
+        for f in frames:
+            if f["error"] is None and f["feature"] is not None:
+                out["feature"] = f["feature"]
+                if f["width"]:
+                    out["width"], out["height"] = f["width"], f["height"]
+                break
+        return out
     raise NotImplementedError(
         f"{kind}: compressed codec not available in this container "
         f"(magic {payload[:4]!r}); plug PIL/ffmpeg into _decode_payload"
@@ -530,10 +550,99 @@ def decode_media(media_df: DataFrame, num_partitions: int | None = None) -> Data
     return salted.mapInPandas(_media_batches, schema=MEDIA_FEATURES_SCHEMA)
 
 
-def sample_frames(media_df: DataFrame, every_nth: int = 10) -> DataFrame:
-    """Frame-sampling plumbing for video: emits (media_id, frame_no) rows;
-    pixel decode of video containers remains behind the stub boundary."""
-    return (
-        media_df.where(F.col("kind") == "video")
-        .select("media_id", F.explode(F.sequence(F.lit(0), F.lit(every_nth * 4), F.lit(every_nth))).alias("frame_no"))
-    )
+FRAME_SAMPLE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("track_id", IntegerType()),
+    StructField("codec", StringType()),
+    StructField("frame_no", IntegerType()),
+    StructField("pts_sec", DoubleType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("feature", ArrayType(DoubleType())),
+    StructField("error", StringType()),
+])
+
+
+def _sample_payload_frames(payload: bytes, every_nth: int,
+                           max_frames: int) -> list[dict]:
+    """Walk the container's sample tables and decode every-nth video frame
+    (plus PCM audio samples). MJPEG tracks (stsd fourcc ``jpeg``) decode
+    for real via ops.jpeg; PCM tracks (``sowt``/``twos``/``lpcm``) decode
+    via numpy; compressed bitstream codecs (avc1/hvc1/mp4a...) surface one
+    error row per SAMPLED frame — the honest per-frame stub boundary."""
+    from .containers import mp4_extract_samples, mp4_sample_tables
+    from .jpeg import decode_jpeg
+
+    rows: list[dict] = []
+    tracks = mp4_sample_tables(payload)
+    if not tracks:
+        raise ValueError("container has no addressable sample tables")
+    for tr in tracks:
+        base = {"track_id": tr["track_id"], "codec": tr["codec"]}
+        samples = mp4_extract_samples(payload, tr, every_nth=every_nth,
+                                      max_samples=max_frames)
+        for s in samples:
+            row = dict(base, frame_no=s["sample_no"],
+                       pts_sec=round(s["pts_sec"], 6), width=None,
+                       height=None, feature=None, error=None)
+            try:
+                if tr["codec"] == "jpeg":
+                    w, h, rgb = decode_jpeg(s["data"])
+                    row.update(width=int(w), height=int(h),
+                               feature=_image_features(thumbnail(rgb)))
+                elif tr["codec"] in ("sowt", "twos", "lpcm"):
+                    dt = "<i2" if tr["codec"] == "sowt" else ">i2"
+                    pcm = np.frombuffer(s["data"], dtype=dt).astype(np.float64) / 32768.0
+                    ch = max(1, tr["channels"])
+                    if ch > 1:
+                        pcm = pcm.reshape(-1, ch).mean(axis=1)
+                    row.update(feature=_audio_features(pcm))
+                else:
+                    raise NotImplementedError(
+                        f"codec {tr['codec']}: bitstream sample decode not "
+                        f"available in this container")
+            except NotImplementedError as e:
+                row["error"] = str(e)
+            except Exception as e:
+                row["error"] = f"frame decode failed: {type(e).__name__}: {e}"
+            rows.append(row)
+    return rows
+
+
+def sample_frames(media_df: DataFrame, every_nth: int = 10,
+                  max_frames: int = 32,
+                  num_partitions: int | None = None) -> DataFrame:
+    """REAL video frame sampling: parse each MP4's sample tables
+    (stsd/stts/stsc/stsz/stco), slice every-nth frame's bytes out of mdat,
+    and decode it when the codec is one we own (MJPEG frames -> pixel
+    features via ops.jpeg; PCM audio samples -> spectral features).
+    Compressed bitstream codecs (H.26x/AAC) yield per-frame error rows.
+    One output row per sampled frame; corrupt containers produce a single
+    error row, never a job failure. Same scale plumbing as decode_media:
+    Arrow batch autosizing + salted repartition on media_id hash."""
+    from ..pipeline.arrowtune import autosize_arrow_batch
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_SAMPLE_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = _sample_payload_frames(
+                        bytes(payload) if payload is not None else b"",
+                        every_nth, max_frames)
+                    rows.extend(dict(f, media_id=media_id) for f in frames)
+                except Exception as e:
+                    rows.append({"media_id": media_id, "track_id": None,
+                                 "codec": None, "frame_no": None,
+                                 "pts_sec": None, "width": None,
+                                 "height": None, "feature": None,
+                                 "error": f"{type(e).__name__}: {e}"})
+            yield pd.DataFrame(rows, columns=cols)
+
+    spark = media_df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    vids = media_df.where(F.col("kind") == "video").select("media_id", "payload")
+    autosize_arrow_batch(vids, ["payload"])
+    salted = vids.repartition(n, F.xxhash64("media_id"))
+    return salted.mapInPandas(batches, schema=FRAME_SAMPLE_SCHEMA)

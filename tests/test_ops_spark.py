@@ -318,6 +318,99 @@ def test_av_container_metadata_parse(spark):
     assert out[4]["error"] is not None
 
 
+def test_mp4_frame_sample_extraction(spark):
+    """MP4 sample tables (stsd/stts/stsc/stsz/stco) map every frame to its
+    exact byte slice; every-nth frame sampling decodes REAL pixels for
+    MJPEG tracks and real PCM for audio tracks; compressed bitstream
+    codecs (avc1) surface per-frame error rows."""
+    import numpy as np
+
+    from pdfextractor_spark.ops.containers import (
+        make_mp4_media, mp4_extract_samples, mp4_sample_tables,
+    )
+    from pdfextractor_spark.ops.jpeg import decode_jpeg, make_jpeg
+    from pdfextractor_spark.ops.multimodal import (
+        _image_features, sample_frames, thumbnail,
+    )
+
+    frames_px = []
+    for i in range(7):
+        yy, xx = np.mgrid[0:24, 0:32]
+        px = np.stack([np.full((24, 32), 30 * i), xx * 8, yy * 10],
+                      axis=2).astype(np.uint8)
+        frames_px.append(px)
+    jpegs = [make_jpeg(px) for px in frames_px]
+    mp4 = make_mp4_media(jpegs, codec=b"jpeg", handler=b"vide", width=32,
+                         height=24, timescale=600, sample_delta=60,
+                         samples_per_chunk=3)
+
+    (tr,) = mp4_sample_tables(mp4)
+    assert tr["codec"] == "jpeg" and tr["handler"] == "vide"
+    assert (tr["width"], tr["height"]) == (32, 24)
+    assert tr["sizes"] == [len(j) for j in jpegs]
+    # byte-exact frame extraction across the 3-samples-per-chunk layout
+    samples = mp4_extract_samples(mp4, tr)
+    assert [s["data"] for s in samples] == jpegs
+    assert abs(samples[3]["pts_sec"] - 0.3) < 1e-9
+
+    # PCM ('sowt') audio track: one addressable sample holding raw s16le
+    t = np.arange(4000) / 8000.0
+    pcm = (np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2").tobytes()
+    mp4_pcm = make_mp4_media([pcm], codec=b"sowt", handler=b"soun",
+                             timescale=8000, sample_delta=4000,
+                             channels=1, sample_rate=8000)
+    (atr,) = mp4_sample_tables(mp4_pcm)
+    assert atr["codec"] == "sowt" and atr["channels"] == 1
+    assert atr["sample_rate"] == 8000
+    assert mp4_extract_samples(mp4_pcm, atr)[0]["data"] == pcm
+
+    # avc1: addressable but bitstream decode stays stubbed (per-frame rows)
+    mp4_avc = make_mp4_media([b"\x01\x02" * 50] * 4, codec=b"avc1",
+                             handler=b"vide", width=64, height=48)
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(mp4), "video/mp4"),
+         (2, "video", bytearray(mp4_pcm), "video/mp4"),
+         (3, "video", bytearray(mp4_avc), "video/mp4"),
+         (4, "video", bytearray(b"\x00\x00\x00\x18ftypmp42" + b"\x07" * 16),
+          "video/mp4")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    rows = sample_frames(media, every_nth=2, num_partitions=2).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["media_id"], []).append(r)
+    # MJPEG: frames 0,2,4,6 decode to the SAME features as decoding the
+    # standalone JPEG bytes (pixel-path cross-check)
+    mj = sorted(by[1], key=lambda r: r["frame_no"])
+    assert [r["frame_no"] for r in mj] == [0, 2, 4, 6]
+    for r in mj:
+        assert r["error"] is None and (r["width"], r["height"]) == (32, 24)
+        _w, _h, rgb = decode_jpeg(jpegs[r["frame_no"]])
+        assert r["feature"] == _image_features(thumbnail(rgb))
+        assert abs(r["pts_sec"] - r["frame_no"] * 0.1) < 1e-9
+    # PCM: real spectral features (RMS of a sine ~ 1/sqrt(2))
+    (pa,) = by[2]
+    assert pa["error"] is None and abs(pa["feature"][0] - 0.7071) < 0.01
+    # avc1: honest per-frame stub rows
+    assert all(r["error"] is not None and "avc1" in r["error"] for r in by[3])
+    assert [r["frame_no"] for r in sorted(by[3], key=lambda r: r["frame_no"])] == [0, 2]
+    # header-only container: single error row, no crash
+    assert len(by[4]) == 1 and by[4][0]["error"] is not None
+
+    # decode_media now reports first-frame PIXEL features for MJPEG MP4s
+    from pdfextractor_spark.ops.multimodal import decode_media
+
+    out = {r["media_id"]: r
+           for r in decode_media(media, num_partitions=2).collect()}
+    _w, _h, rgb0 = decode_jpeg(jpegs[0])
+    assert out[1]["feature"] == _image_features(thumbnail(rgb0))
+    assert (out[1]["width"], out[1]["height"]) == (32, 24)
+    assert out[2]["error"] is None and abs(out[2]["feature"][0] - 0.7071) < 0.01
+    # avc1/header-only containers keep the container-level parse (no error)
+    assert out[3]["error"] is None and out[3]["width"] == 64
+
+
 def test_connected_components_and_near_dedup(spark, docs):
     from pdfextractor_spark.ops.dedup import connected_components, near_dedup
 
