@@ -290,6 +290,13 @@ def mp4_sample_tables(data: bytes) -> list[dict]:
                     stsc_runs.append((fc, spc))
             elif btype == b"stsz":
                 uniform, n_samples = struct.unpack(">II", data[p0 + 4:p0 + 12])
+                if n_samples > len(data):
+                    # a sample COUNT above the container's own byte size is
+                    # a declared-count bomb: reject before the list/pts
+                    # expansion allocates gigabytes off a 20-byte header
+                    raise ValueError(
+                        f"stsz declares {n_samples} samples in a "
+                        f"{len(data)}-byte container")
                 if uniform:
                     sizes = [uniform] * n_samples
                 else:
@@ -307,8 +314,12 @@ def mp4_sample_tables(data: bytes) -> list[dict]:
             continue  # header-only track: no addressable samples
         # expand stsc runs -> samples-per-chunk for each chunk
         spc_per_chunk = []
+        n_chunks = len(chunk_offsets)
         for ri, (fc, spc) in enumerate(stsc_runs):
-            last = stsc_runs[ri + 1][0] - 1 if ri + 1 < len(stsc_runs) else len(chunk_offsets)
+            last = stsc_runs[ri + 1][0] - 1 if ri + 1 < len(stsc_runs) else n_chunks
+            # chunks beyond stco's actual entry list don't exist: clamping
+            # keeps a forged first_chunk from expanding an unbounded run
+            last = min(last, n_chunks)
             spc_per_chunk.extend([spc] * (last - fc + 1))
         offsets = []
         s_i = 0

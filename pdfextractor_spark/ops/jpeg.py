@@ -29,6 +29,8 @@ import struct
 
 import numpy as np
 
+from .limits import check_pixels
+
 __all__ = ["decode_jpeg", "make_jpeg"]
 
 # ---------------------------------------------------------------------------
@@ -265,6 +267,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
+            check_pixels(w, h, "JPEG")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]

@@ -40,6 +40,8 @@ from pyspark.sql.types import (
     StructField, StructType,
 )
 
+from .limits import check_pixels
+
 __all__ = [
     "MEDIA_SCHEMA", "MEDIA_FEATURES_SCHEMA", "FRAME_SAMPLE_SCHEMA",
     "decode_media", "sample_frames",
@@ -102,6 +104,7 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     if compression != 0 or bpp not in (24, 32):
         raise NotImplementedError(f"BMP compression={compression} bpp={bpp} not supported")
     h = abs(h_raw)
+    check_pixels(w, h, "BMP")
     nch = bpp // 8
     row_size = (w * nch + 3) & ~3
     buf = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=offset)
@@ -169,9 +172,13 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if nch is None:
         raise NotImplementedError(f"PNG color type {ctype} not supported")
-    raw = zlib.decompress(b"".join(idat))
+    check_pixels(w, h, "PNG")
     stride = w * nch
-    if len(raw) < h * (stride + 1):
+    # bounded inflate: the needed raw size is known from the (checked)
+    # dims, so a deflate bomb can never expand past it
+    need = h * (stride + 1)
+    raw = zlib.decompressobj().decompress(b"".join(idat), need)
+    if len(raw) < need:
         raise ValueError("PNG data truncated")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -306,6 +313,8 @@ def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
             raise NotImplementedError("interlaced GIF not supported")
         if pal is None:
             raise ValueError("GIF image without a color table")
+        check_pixels(w, h, "GIF")
+        need = w * h
         mcs = data[pos]
         pos += 1
         chunks = []
@@ -352,6 +361,9 @@ def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
                         width += 1
                 out += entry
                 prev_entry = entry
+            if len(out) >= need:
+                break  # first frame fully decoded: a crafted tail of
+                # repeat-codes cannot expand the output past w*h
         idx = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8)
         if idx.size < w * h:
             raise ValueError("GIF pixel data truncated")
