@@ -1144,6 +1144,24 @@ _NUM_TOKEN = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
 # class then consumes — same final position as Lexer.skip_ws for every input
 _WS_COMMENT_RUN = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*")
 
+# fused token scanner: ws/comment run + exactly one token alternative per
+# call (number | operator | object-start delimiter | any other byte), so
+# the hot loop pays ONE C-level regex match per token instead of a skip
+# match plus a python char dispatch plus a class-specific match. The
+# alternatives reproduce the branch predicates of the previous loop:
+# group 1 = _NUM_TOKEN, group 2 = _OP_RE, group 3 = chars handed to
+# Lexer.parse_object (NOT consumed — parse_object re-reads from its
+# start), group 4 = any other byte (DOTALL for \n). Fails to match only
+# when nothing but trailing whitespace/comments remains.
+_TOK_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(?:([+-]?(?:\d+\.\d*|\.\d+|\d+))"
+    rb"|([A-Za-z'\"][A-Za-z0-9*'\"]*)"
+    rb"|([/<([])"
+    rb"|(.))",
+    re.DOTALL,
+)
+
 
 def iter_operations(content: bytes):
     """Yield (operator: str, operands: list) in stream order."""
@@ -1151,39 +1169,36 @@ def iter_operations(content: bytes):
     operands: list = []
     n = len(content)
     pos = 0
-    skip = _WS_COMMENT_RUN.match
-    num_match = _NUM_TOKEN.match
-    op_match = _OP_RE.match
-    while True:
-        pos = skip(content, pos).end()
-        if pos >= n:
-            break
-        c = content[pos]
-        if c in b"+-.0123456789":
+    tok_match = _TOK_RE.match
+    while pos < n:
+        m = tok_match(content, pos)
+        if m is None:
+            break  # only trailing whitespace/comments left
+        g = m.lastindex
+        if g == 1:
             # numeric operand fast path: content streams carry no indirect
             # refs, so the general parser's "N G R" lookahead is dead weight
-            m = num_match(content, pos)
-            if m:
-                tok = m.group()
-                operands.append(int(tok) if b"." not in tok else float(tok))
-                pos = m.end()
-                continue
-            pos += 1
+            tok = m.group(1)
+            operands.append(int(tok) if b"." not in tok else float(tok))
+            pos = m.end()
             continue
-        if c in b"/<([":
-            lex.pos = pos
+        if g == 3:
+            lex.pos = m.start(3)
             try:
                 operands.append(lex.parse_object())
             except PdfError:
                 lex.pos += 1
             pos = lex.pos
             continue
-        m = op_match(content, pos)
-        if not m:
-            pos += 1
-            operands = []
+        if g == 4:
+            # lone +-. (a number that failed to parse) skips without
+            # touching operands; any other stray byte resets them — the
+            # same recovery split as the previous per-branch loop
+            if m.group(4) not in (b"+", b"-", b"."):
+                operands = []
+            pos = m.end()
             continue
-        op = m.group().decode("latin-1")
+        op = m.group(2).decode("latin-1")
         pos = m.end()
         if op == "BI":  # inline image: skip to EI at whitespace boundary
             e = pos
