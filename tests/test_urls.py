@@ -79,3 +79,28 @@ def test_url_dedup_latest_wins_and_plan(spark):
     plan = url_dedup(pages)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_canonicalize_idempotent(spark):
+    """canon(canon(u)) == canon(u) over a URL soup — the defining property
+    of a canonicalizer (a second pass must find nothing left to fix)."""
+    import itertools
+
+    from pdfextractor_spark.ops.urls import canonicalize_url
+
+    schemes = ["http", "HTTP", "https", "ftp"]
+    hosts = ["Example.com", "www.example.com", "a.b.example.com:8080",
+             "user@example.com:80", "example.com:443"]
+    paths = ["", "/", "//x//y/", "/x/y", "/%2F/y/", "/x/"]
+    queries = ["", "?b=2&a=1", "?utm_source=t&a=1", "?utm_source=only",
+               "?a=1&a=0", "?=&a"]
+    frags = ["", "#f"]
+    urls = ["".join(p) for p in itertools.product(
+        (s + "://" for s in schemes), hosts, paths, queries, frags)]
+    urls += ["", "not a url", "http://", "//proto-relative/x", ":::", "a b c"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = (df.withColumn("c1", canonicalize_url("url"))
+             .withColumn("c2", canonicalize_url(F.col("c1")))
+             .where(~F.col("c1").eqNullSafe(F.col("c2")))
+             .collect())
+    assert out == [], [(r["url"], r["c1"], r["c2"]) for r in out[:5]]
