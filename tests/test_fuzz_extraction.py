@@ -62,3 +62,28 @@ def test_build_report_row_never_raises(text):
     row = build_report_row("http://fuzz.example/doc", "en", text)
     assert row["url"] == "http://fuzz.example/doc"
     assert isinstance(row["total_goals"], int) and row["total_goals"] >= 0
+
+
+def test_extract_one_survives_structured_pdf_mutations():
+    """Bit-flipped REAL PDFs (not random bytes) reach deep parser states —
+    xref/stream/filter/content machinery — and must still come back as a
+    value or an error string, never an exception. Deterministic seeds."""
+    import random
+
+    from pdfextractor_spark.corpus import generate_pages
+
+    pdfs = [bytes(r["html"]) for r in generate_pages(120)
+            if r["html"] and bytes(r["html"])[:5] == b"%PDF-"][:12]
+    assert len(pdfs) >= 8
+    rng = random.Random(1234)
+    checked = 0
+    for payload in pdfs:
+        for _ in range(25):
+            mutated = bytearray(payload)
+            for _ in range(rng.randint(1, 8)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+            raw, parser, n_pages, err = _extract_one(bytes(mutated), None)
+            assert raw is not None or err is not None
+            assert isinstance(err, (str, type(None)))
+            checked += 1
+    assert checked == len(pdfs) * 25
