@@ -185,21 +185,24 @@ def _fast_feed(parser: _ContentParser, html: str) -> None:
     tag_match = _FAST_TAG.match
     end_match = _FAST_ENDTAG.match
     find = html.find
+    handle_data = parser.handle_data
+    handle_starttag = parser.handle_starttag
+    handle_endtag = parser.handle_endtag
     while i < n:
         j = find("<", i)
         if j < 0:
-            parser.handle_data(_unescape(html[i:]) if "&" in html[i:] else html[i:])
+            handle_data(_unescape(html[i:]) if "&" in html[i:] else html[i:])
             break
         if j > i:
             run = html[i:j]
-            parser.handle_data(_unescape(run) if "&" in run else run)
+            handle_data(_unescape(run) if "&" in run else run)
         i = j
         nxt = html[i + 1] if i + 1 < n else ""
         if nxt == "/":
             m = end_match(html, i)
             if m is None:
                 raise _FastUnsupported  # tolerant-endtag / bogus-comment path
-            parser.handle_endtag(m.group(1).lower())
+            handle_endtag(m.group(1).lower())
             i = m.end()
         elif nxt == "!":
             if html.startswith("<!--", i):
@@ -229,7 +232,7 @@ def _fast_feed(parser: _ContentParser, html: str) -> None:
             if m.group(3):  # '/>' — XHTML empty tag, never enters CDATA mode
                 parser.handle_startendtag(tag, [])
             else:
-                parser.handle_starttag(tag, [])
+                handle_starttag(tag, [])
                 if tag in ("script", "style"):
                     # rawtext mode: stdlib ends it at the first close tag
                     # matching endtagfind for this element (``</\s*elem\s*>``)
@@ -241,14 +244,14 @@ def _fast_feed(parser: _ContentParser, html: str) -> None:
                     c = _FAST_CDATA_CLOSE[tag].search(html, i)
                     if c is None:
                         # EOF inside rawtext: stdlib emits the rest as data
-                        parser.handle_data(html[i:])
+                        handle_data(html[i:])
                         break
-                    parser.handle_data(html[i:c.start()])
-                    parser.handle_endtag(tag)
+                    handle_data(html[i:c.start()])
+                    handle_endtag(tag)
                     i = c.end()
         else:
             # bare '<' before a non-tag char: stdlib emits it as one-char data
-            parser.handle_data("<")
+            handle_data("<")
             i += 1
 
 
