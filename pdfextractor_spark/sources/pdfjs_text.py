@@ -298,6 +298,8 @@ class Lexer:
 
 
 def _decode_name(raw: bytes) -> str:
+    if b"#" not in raw:  # no escapes: the loop below is an identity copy
+        return raw.decode("latin-1")
     out = bytearray()
     i = 0
     while i < len(raw):
@@ -1152,7 +1154,10 @@ _WS_COMMENT_RUN = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*")
 # group 1 = _NUM_TOKEN, group 2 = _OP_RE, group 3 = chars handed to
 # Lexer.parse_object (NOT consumed — parse_object re-reads from its
 # start), group 4 = any other byte (DOTALL for \n). Fails to match only
-# when nothing but trailing whitespace/comments remains.
+# when nothing but trailing whitespace/comments remains. (An inline
+# /Name alternative was tried and measured ~8-15% SLOWER end-to-end —
+# names are rare in content streams and the extra branch taxes the
+# number/operator common path — so names stay on parse_object.)
 _TOK_RE = re.compile(
     rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
     rb"(?:([+-]?(?:\d+\.\d*|\.\d+|\d+))"
