@@ -17,6 +17,7 @@ __all__ = [
     "gold_cost_summary",
     "gold_report_costs",
     "gold_coverage",
+    "reextract_candidates",
     "gold_bmp_dedupe",
     "gold_lang_rollup",
 ]
@@ -109,6 +110,10 @@ def gold_coverage(silver: DataFrame) -> DataFrame:
     usage, error counts."""
     has_cost = F.size(F.col("cost_tables")) > 0
     has_adaptive = F.exists("cost_tables", lambda t: t["pattern_id"] == F.lit("adaptive_generic_costs"))
+    # some silver projections drop n_chars; the truncation counter then
+    # reports 0 rather than failing the whole audit
+    n_chars = (F.col("n_chars") if "n_chars" in silver.columns
+               else F.lit(None).cast("long"))
     return silver.agg(
         F.count(F.lit(1)).alias("total_reports"),
         F.sum(F.when(has_cost, 1).otherwise(0)).alias("with_cost"),
@@ -118,7 +123,29 @@ def gold_coverage(silver: DataFrame) -> DataFrame:
         # image-only PDFs: parsed but no text layer (reference's needs-OCR
         # bucket, mdeq_coverage_summary.json 6/51)
         F.sum(F.when(F.col("error") == "empty-text", 1).otherwise(0)).alias("needs_ocr"),
+        # exactly-18000-char texts are the reference's truncation marker
+        # (ref: backend/scripts/detect_reextract_candidates.js:4,24 and the
+        # suspectedTrunc counter in audit_mdeq_cost_coverage.js)
+        F.sum(F.when(n_chars == 18000, 1).otherwise(0)).alias("suspected_trunc"),
     )
+
+
+def reextract_candidates(bronze: DataFrame) -> DataFrame:
+    """Bronze rows likely truncated and worth re-extracting (ref:
+    backend/scripts/detect_reextract_candidates.js:20-30): text length
+    exactly 18000 (the reference pipeline's historical truncation size)
+    or a tiny fragment under 600 chars on a part-numbered id (the
+    reference matched ``-N.json`` filenames; here the url's trailing
+    ``-N``). Feeds the J7 resume anti-join as the re-do list — native
+    filter, no shuffle."""
+    tiny = (F.col("url").rlike(r"-\d+$")
+            & (F.col("n_chars") > 0) & (F.col("n_chars") < 600))
+    return (bronze
+            .where((F.col("n_chars") == 18000) | tiny)
+            .select("url", "n_chars",
+                    F.when(F.col("n_chars") == 18000,
+                           F.lit("exact_18000_truncation"))
+                    .otherwise(F.lit("tiny_fragment")).alias("reason")))
 
 
 def gold_bmp_dedupe(silver: DataFrame) -> DataFrame:

@@ -118,3 +118,29 @@ def test_error_rows_propagate_not_crash(spark):
     assert len(out) == 1
     assert out[0]["parser"] == "error"
     assert out[0]["raw_text"] is None
+
+
+def test_reextract_candidates_and_trunc_audit(spark):
+    """A6 suspected_trunc + the detect_reextract_candidates heuristic
+    (ref: backend/scripts/detect_reextract_candidates.js:20-30): length
+    exactly 18000 flags truncation, <600 chars on a part-numbered url
+    flags an orphaned fragment; everything else passes."""
+    from pdfextractor_spark.pipeline.gold import gold_coverage, reextract_candidates
+
+    rows = [
+        ("http://x/full-doc", 18000),        # exact truncation size
+        ("http://x/plan-2", 120),            # tiny part fragment
+        ("http://x/plan-3", 900),            # part-numbered but big enough
+        ("http://x/normal", 17999),          # near-miss length
+        ("http://x/tiny-but-unnumbered", 50),
+        ("http://x/empty-7", 0),             # zero-length excluded (len > 0)
+    ]
+    bronze = spark.createDataFrame(rows, "url string, n_chars long")
+    out = {r["url"]: r["reason"] for r in reextract_candidates(bronze).collect()}
+    assert out == {"http://x/full-doc": "exact_18000_truncation",
+                   "http://x/plan-2": "tiny_fragment"}
+
+    silver_like = bronze.withColumn("cost_tables", F.array().cast("array<struct<pattern_id:string>>")) \
+                        .withColumn("error", F.lit(None).cast("string"))
+    cov = gold_coverage(silver_like).collect()[0]
+    assert cov["suspected_trunc"] == 1 and cov["total_reports"] == 6
