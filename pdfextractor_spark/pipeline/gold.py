@@ -18,6 +18,7 @@ __all__ = [
     "gold_report_costs",
     "gold_coverage",
     "reextract_candidates",
+    "discover_missing_cost_clusters",
     "gold_bmp_dedupe",
     "gold_lang_rollup",
 ]
@@ -146,6 +147,51 @@ def reextract_candidates(bronze: DataFrame) -> DataFrame:
                     F.when(F.col("n_chars") == 18000,
                            F.lit("exact_18000_truncation"))
                     .otherwise(F.lit("tiny_fragment")).alias("reason")))
+
+
+def discover_missing_cost_clusters(silver: DataFrame, bronze: DataFrame,
+                                   num_partitions: int | None = None) -> DataFrame:
+    """Dollar-cluster diagnostic over reports with NO parsed cost tables
+    (ref: backend/scripts/discover_missing_cost_clusters.js) — the miner
+    that surfaced the §2.10 pattern backlog. Left-semi join prunes
+    bronze to the missing set BEFORE any text moves (only urls shuffle);
+    the sequential per-doc scan runs as an Arrow-batched mapInPandas.
+    Returns one row per cluster; rank the output by header_signature
+    frequency to find the next pattern to implement."""
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, IntegerType, StringType,
+                                   StructField, StructType)
+
+    from ..extraction.clusters import find_cost_clusters
+    from ..extraction.textutil import split_newlines
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("start_line", IntegerType()),
+        StructField("end_line", IntegerType()),
+        StructField("money_line_count", IntegerType()),
+        StructField("header_signature", StringType()),
+        StructField("sample", ArrayType(StringType())),
+    ])
+    missing = silver.where(F.size("cost_tables") == 0).select("url")
+    docs = (bronze.join(missing, "url", "left_semi")
+            .select("url", "raw_text")
+            .where(F.col("raw_text").isNotNull()))
+
+    def scan(batches):
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            rows = []
+            for url, text in zip(pdf["url"], pdf["raw_text"]):
+                for c in find_cost_clusters(split_newlines(text or "")):
+                    rows.append({"url": url, **{k: c[k] for k in (
+                        "start_line", "end_line", "money_line_count",
+                        "header_signature", "sample")}})
+            yield pd.DataFrame(rows, columns=cols)
+
+    spark = bronze.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    return docs.repartition(n, F.xxhash64("url")).mapInPandas(scan, schema=schema)
 
 
 def gold_bmp_dedupe(silver: DataFrame) -> DataFrame:
