@@ -19,6 +19,8 @@ __all__ = [
     "gold_coverage",
     "reextract_candidates",
     "discover_missing_cost_clusters",
+    "silver_anomaly_audit",
+    "silver_anomaly_summary",
     "gold_bmp_dedupe",
     "gold_lang_rollup",
 ]
@@ -192,6 +194,55 @@ def discover_missing_cost_clusters(silver: DataFrame, bronze: DataFrame,
     spark = bronze.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism * 2
     return docs.repartition(n, F.xxhash64("url")).mapInPandas(scan, schema=schema)
+
+
+def silver_anomaly_audit(silver: DataFrame) -> DataFrame:
+    """Per-report anomaly audit (ref: backend/scripts/
+    audit_silver_coverage.js:12-37 analyzeReport): zero-goal/zero-BMP
+    flags, suspicious slug heuristics (double underscore, under 3
+    -/_ tokens, the corpus's two known typos), and up to 3 sample
+    too-short goal titles (<3 words) / BMP names (<2 words). Entirely
+    native higher-order functions — no UDF, map-only."""
+    slug = F.regexp_replace(F.regexp_replace(F.lower(
+        F.element_at(F.split(F.col("url"), "/"), -1)),
+        r"[^a-z0-9_-]+", "-"), r"-{2,}", "-")
+    reasons = F.array_compact(F.array(
+        F.when(slug.contains("__"), F.lit("double_underscore")),
+        F.when(F.size(F.split(slug, "[-_]")) < 3, F.lit("too_short_tokens")),
+        F.when(slug.contains("elelment"), F.lit("typo:element")),
+        F.when(slug.contains("watersehd"), F.lit("typo:watershed")),
+    ))
+    bad_goals = F.slice(F.filter(
+        F.transform("goals", lambda g: g["title"]),
+        lambda t: t.isNotNull() & (F.size(F.split(F.trim(t), r"\s+")) < 3)), 1, 3)
+    bad_bmps = F.slice(F.filter(
+        F.transform("bmps", lambda b: b["name"]),
+        lambda n: n.isNotNull() & (F.size(F.split(F.trim(n), r"\s+")) < 2)), 1, 3)
+    return silver.select(
+        F.col("url"), slug.alias("id"),
+        F.size("goals").alias("goals"), F.size("bmps").alias("bmps"),
+        (F.size("goals") == 0).alias("zero_goals"),
+        (F.size("bmps") == 0).alias("zero_bmps"),
+        F.when(F.size(reasons) > 0, reasons).alias("suspicious_title"),
+        F.when(F.size(bad_goals) > 0, bad_goals).alias("bad_goal_samples"),
+        F.when(F.size(bad_bmps) > 0, bad_bmps).alias("bad_bmp_samples"),
+    )
+
+
+def silver_anomaly_summary(silver: DataFrame) -> DataFrame:
+    """Corpus rollup of the anomaly audit (audit_silver_coverage.js
+    main(): totals, 1-decimal averages, zero-coverage counts)."""
+    a = silver_anomaly_audit(silver)
+    return a.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum("goals").alias("total_goals"),
+        F.sum("bmps").alias("total_bmps"),
+        F.round(F.avg("goals"), 1).alias("avg_goals"),
+        F.round(F.avg("bmps"), 1).alias("avg_bmps"),
+        F.sum(F.col("zero_goals").cast("int")).alias("zero_goal"),
+        F.sum(F.col("zero_bmps").cast("int")).alias("zero_bmp"),
+        F.sum(F.when(F.col("suspicious_title").isNotNull(), 1).otherwise(0)).alias("suspicious_titles"),
+    )
 
 
 def gold_bmp_dedupe(silver: DataFrame) -> DataFrame:

@@ -62,3 +62,42 @@ def test_discover_missing_cost_clusters_spark(spark):
     plan = discover_missing_cost_clusters(silver, bronze)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_silver_anomaly_audit(spark):
+    """audit_silver_coverage.js twin: zero-coverage flags, suspicious slug
+    heuristics, short-title samples, and the corpus rollup."""
+    from pdfextractor_spark.pipeline.gold import (
+        silver_anomaly_audit, silver_anomaly_summary,
+    )
+
+    goals = "array<struct<title:string>>"
+    bmps = "array<struct<name:string>>"
+    rows = [
+        ("http://x/dry-creek-watershed-plan", [("Reduce sediment by 20%",), ("Too short",)],
+         [("Cover crops",), ("Fencing",)]),
+        ("http://x/bad__slug", [], [("Ok name",)]),
+        ("http://x/watersehd-elelment-plan-x", [("A goal with enough words",)], []),
+        ("http://x/ab", [("Fine goal here",)], [("Grade stabilization",)]),
+    ]
+    silver = spark.createDataFrame(rows, f"url string, goals {goals}, bmps {bmps}")
+    by = {r["id"]: r for r in silver_anomaly_audit(silver).collect()}
+
+    ok = by["dry-creek-watershed-plan"]
+    assert not ok["zero_goals"] and ok["suspicious_title"] is None
+    assert ok["bad_goal_samples"] == ["Too short"]  # <3 words sampled
+    assert ok["bad_bmp_samples"] == ["Fencing"]     # 1-word BMP name sampled
+
+    bad = by["bad__slug"]
+    assert bad["zero_goals"] and not bad["zero_bmps"]
+    assert "double_underscore" in bad["suspicious_title"]
+    assert bad["bad_bmp_samples"] is None           # "Ok name" is 2 words
+    typo = by["watersehd-elelment-plan-x"]
+    assert set(typo["suspicious_title"]) == {"typo:element", "typo:watershed"}
+    assert typo["zero_bmps"]
+    assert "too_short_tokens" in by["ab"]["suspicious_title"]
+
+    (s,) = silver_anomaly_summary(silver).collect()
+    assert s["total"] == 4 and s["zero_goal"] == 1 and s["zero_bmp"] == 1
+    assert s["total_goals"] == 4 and s["suspicious_titles"] == 3
+    assert abs(s["avg_goals"] - 1.0) < 1e-9
