@@ -19,6 +19,8 @@ __all__ = [
     "gold_coverage",
     "reextract_candidates",
     "discover_missing_cost_clusters",
+    "bronze_content_audit",
+    "bronze_content_audit_summary",
     "silver_anomaly_audit",
     "silver_anomaly_summary",
     "gold_bmp_dedupe",
@@ -194,6 +196,63 @@ def discover_missing_cost_clusters(silver: DataFrame, bronze: DataFrame,
     spark = bronze.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism * 2
     return docs.repartition(n, F.xxhash64("url")).mapInPandas(scan, schema=schema)
+
+
+_COST_HEADER_RE = (r"(?i)(Activity\s+Size/Amount\s+Estimated\s+Cost)"
+                   r"|(BMPs?\s+Amount\s+Estimated\s+Cost)|(Cost Estimate:)")
+_COST_LINE_RE = (r"(\$\s?\d{1,3}(,\d{3})*(\.\d{2})?)"
+                 r"|(\d{1,3}(,\d{3})*\s?@\s?\$\d)")
+_BMP_HINT_RE = (r"(?i)(streambank|stabilization|fencing|ponds?"
+                r"|grade stabilization|heavy use area|tank|trough"
+                r"|cover crops?|riparian|buffer|nutrient management)")
+_ACTIVITY_HINT_RE = (r"(?i)(education|outreach|monitoring"
+                     r"|technical assistance|project management"
+                     r"|implementation|coordination)")
+
+
+def bronze_content_audit(bronze: DataFrame) -> DataFrame:
+    """Per-document content-signal audit of bronze text (ref: backend/
+    scripts/analyze_bronze_bmps_costs.js:21-52 analyzeText): cost-header
+    presence, counts of cost/BMP-hint/activity-hint lines, and the
+    abrupt-ending truncation heuristic over the last three non-empty
+    lines (short tail next to a Figure reference, or no terminal
+    punctuation ending in a >=12-char word). Entirely native: the line
+    scan is higher-order filter/exists over split lines — map-only, no
+    explode shuffle, no UDF. (The reference's multipart-variance pass
+    doesn't apply: rows carry whole documents, SURVEY S5.)"""
+    lines = F.split(F.coalesce(F.col("raw_text"), F.lit("")), r"\r?\n")
+    trimmed_hits = lambda pat: F.size(F.filter(  # noqa: E731
+        lines, lambda l: F.trim(l).rlike(pat)))
+    non_empty = F.filter(lines, lambda l: F.length(F.trim(l)) > 0)
+    tail3 = F.slice(non_empty, -3, 3)
+    last = F.element_at(non_empty, -1)
+    has_tail = F.size(non_empty) > 0
+    trunc = F.when(~has_tail, F.lit(False)).otherwise(
+        ((F.length(last) < 15)
+         & F.exists(tail3, lambda t: t.contains("Figure")))
+        | (~F.trim(last).rlike(r"[.!?]$") & F.trim(last).rlike(r"\w{12,}$")))
+    return bronze.select(
+        "url",
+        F.exists(lines, lambda l: F.trim(l).rlike(_COST_HEADER_RE)).alias("cost_header"),
+        trimmed_hits(_COST_LINE_RE).alias("cost_lines"),
+        trimmed_hits(_ACTIVITY_HINT_RE).alias("activity_lines"),
+        trimmed_hits(_BMP_HINT_RE).alias("bmp_lines"),
+        trunc.alias("suspected_trunc"),
+        F.length(F.coalesce(F.col("raw_text"), F.lit(""))).alias("length"),
+    )
+
+
+def bronze_content_audit_summary(bronze: DataFrame) -> DataFrame:
+    """Corpus rollup of the bronze content audit (globalStats in the
+    reference script)."""
+    a = bronze_content_audit(bronze)
+    return a.agg(
+        F.count(F.lit(1)).alias("total_files"),
+        F.sum(F.col("cost_header").cast("int")).alias("with_cost_header"),
+        F.sum((F.col("cost_lines") > 0).cast("int")).alias("with_cost_lines"),
+        F.sum((F.col("activity_lines") > 0).cast("int")).alias("with_activities"),
+        F.sum(F.col("suspected_trunc").cast("int")).alias("suspected_truncation"),
+    )
 
 
 def silver_anomaly_audit(silver: DataFrame) -> DataFrame:

@@ -101,3 +101,39 @@ def test_silver_anomaly_audit(spark):
     assert s["total"] == 4 and s["zero_goal"] == 1 and s["zero_bmp"] == 1
     assert s["total_goals"] == 4 and s["suspicious_titles"] == 3
     assert abs(s["avg_goals"] - 1.0) < 1e-9
+
+
+def test_bronze_content_audit(spark):
+    """analyze_bronze_bmps_costs.js twin: line-hint counts + the
+    abrupt-ending truncation heuristic, all native HOFs."""
+    from pdfextractor_spark.pipeline.gold import (
+        bronze_content_audit, bronze_content_audit_summary,
+    )
+
+    doc_rich = "\n".join([
+        "Intro line.",
+        "Activity Size/Amount Estimated Cost",   # cost header
+        "Fencing 1,200 ft $4,500.00",            # cost + bmp hint
+        "Education and outreach meetings",        # activity hint
+        "100 @ $25",                              # qty @ $ cost line
+        "All work completed on schedule.",        # clean punctuated ending
+    ])
+    doc_trunc_word = "A sentence that stops abruptly in implementationact"
+    doc_trunc_fig = "Long opening line with plenty of text here.\nSee Figure 12\nshort tail"
+    doc_clean = "Just one proper sentence."
+    bronze = spark.createDataFrame(
+        [("u1", doc_rich), ("u2", doc_trunc_word), ("u3", doc_trunc_fig),
+         ("u4", doc_clean), ("u5", None)],
+        "url string, raw_text string")
+    by = {r["url"]: r for r in bronze_content_audit(bronze).collect()}
+    assert by["u1"]["cost_header"] and by["u1"]["cost_lines"] == 2
+    assert by["u1"]["bmp_lines"] == 1 and by["u1"]["activity_lines"] >= 1
+    assert not by["u1"]["suspected_trunc"]
+    assert by["u2"]["suspected_trunc"]       # >=12-char word, no punctuation
+    assert by["u3"]["suspected_trunc"]       # short tail after a Figure ref
+    assert not by["u4"]["suspected_trunc"]
+    assert not by["u5"]["suspected_trunc"] and by["u5"]["length"] == 0
+
+    (s,) = bronze_content_audit_summary(bronze).collect()
+    assert s["total_files"] == 5 and s["with_cost_header"] == 1
+    assert s["suspected_truncation"] == 2 and s["with_cost_lines"] == 1
