@@ -19,6 +19,7 @@ __all__ = [
     "gold_coverage",
     "reextract_candidates",
     "discover_missing_cost_clusters",
+    "uncaptured_cost_lines",
     "bronze_content_audit",
     "bronze_content_audit_summary",
     "silver_anomaly_audit",
@@ -253,6 +254,37 @@ def bronze_content_audit_summary(bronze: DataFrame) -> DataFrame:
         F.sum((F.col("activity_lines") > 0).cast("int")).alias("with_activities"),
         F.sum(F.col("suspected_trunc").cast("int")).alias("suspected_truncation"),
     )
+
+
+def uncaptured_cost_lines(silver: DataFrame, bronze: DataFrame) -> DataFrame:
+    """Lines that look like cost-table content but are NOT represented by
+    any detected pattern (ref: backend/scripts/audit_cost_patterns.js:
+    18-42): a trimmed line with a cost cue AND a money amount is flagged
+    unless some detected table's title contains the line's first 30
+    chars (lowercased). Native end to end — the per-line scan is an
+    indexed transform+filter over split lines; the only shuffle is the
+    url join against the silver titles."""
+    cue = r"(?i)(cost|unit cost|total cost|estimated cost|match|budget)"
+    money = r"\$[0-9][0-9,]{2,}(\.[0-9]{2})?"
+    titles = silver.select(
+        "url",
+        F.transform("cost_tables",
+                    lambda t: F.lower(F.coalesce(t["title"], F.lit("")))).alias("titles"))
+    docs = (bronze.select("url", "raw_text")
+            .where(F.col("raw_text").isNotNull())
+            .join(titles, "url", "left")
+            .withColumn("titles", F.coalesce(
+                F.col("titles"), F.array().cast("array<string>"))))
+    entries = F.transform(
+        F.split("raw_text", r"\r?\n"),
+        lambda l, i: F.struct((i + 1).alias("line"), F.trim(l).alias("text")))
+    flagged = F.filter(entries, lambda s: (
+        (s["text"] != "") & s["text"].rlike(cue) & s["text"].rlike(money)
+        & ~F.exists("titles", lambda t: t.contains(
+            F.lower(F.substring(s["text"], 1, 30))))))
+    return (docs.select("url", F.explode(flagged).alias("f"))
+            .select("url", F.col("f.line").alias("line"),
+                    F.substring("f.text", 1, 160).alias("text")))
 
 
 def silver_anomaly_audit(silver: DataFrame) -> DataFrame:

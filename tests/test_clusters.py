@@ -137,3 +137,26 @@ def test_bronze_content_audit(spark):
     (s,) = bronze_content_audit_summary(bronze).collect()
     assert s["total_files"] == 5 and s["with_cost_header"] == 1
     assert s["suspected_truncation"] == 2 and s["with_cost_lines"] == 1
+
+
+def test_uncaptured_cost_lines(spark):
+    """audit_cost_patterns.js twin: cue+money lines flagged unless a
+    detected table title contains the line's first 30 chars."""
+    from pdfextractor_spark.pipeline.gold import uncaptured_cost_lines
+
+    text = "\n".join([
+        "Intro.",
+        "Fencing total cost $12,500.00",           # cue+money, uncovered
+        "Unit Cost Schedule $3,000",               # cue+money, covered below
+        "Just $9,999 with no cue word",            # money, no cue
+        "budget narrative without dollars",        # cue, no money
+    ])
+    ct = "array<struct<title:string>>"
+    bronze = spark.createDataFrame([("u1", text), ("u2", None)],
+                                   "url string, raw_text string")
+    silver = spark.createDataFrame(
+        [("u1", [("Unit Cost Schedule $3,000 and more context",)]),
+         ("u2", [])], f"url string, cost_tables {ct}")
+    out = uncaptured_cost_lines(silver, bronze).collect()
+    assert [(r["url"], r["line"]) for r in out] == [("u1", 2)]
+    assert out[0]["text"] == "Fencing total cost $12,500.00"
