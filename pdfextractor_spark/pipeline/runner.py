@@ -14,7 +14,11 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 from .bronze import extract_bronze
-from .gold import gold_cost_summary, gold_coverage, gold_lang_rollup, gold_pattern_usage
+from .gold import (
+    bronze_content_audit_summary, gold_cost_summary, gold_coverage,
+    gold_lang_rollup, gold_pattern_usage, reextract_candidates,
+    silver_anomaly_summary,
+)
 from .lineage import resume_remaining, write_stage
 from .silver import extract_silver
 from .tableio import (
@@ -91,6 +95,11 @@ def run_pipeline(spark: SparkSession, pages_df: DataFrame, out_dir: str,
         "pattern_usage": gold_pattern_usage(silver),
         "cost_summary": gold_cost_summary(silver),
         "coverage": gold_coverage(silver),
+        # data-quality diagnostics (SURVEY §2.10b): the re-do list for the
+        # next resume pass and the corpus anomaly/quality rollups
+        "reextract_candidates": reextract_candidates(bronze),
+        "content_audit": bronze_content_audit_summary(bronze),
+        "anomaly_summary": silver_anomaly_summary(silver),
     }
     for name, df in gold.items():
         write_checkpoint(df, os.path.join(out_dir, f"gold_{name}"), mode="overwrite")
