@@ -1,0 +1,63 @@
+"""Benchmark decontamination + PII redaction (ops/cleaning.py)."""
+
+import pyspark.sql.functions as F
+
+
+def test_ngram_hashes_shape(spark):
+    from pdfextractor_spark.ops.cleaning import ngram_hashes
+
+    df = spark.createDataFrame(
+        [("a b c d e",), ("a b",), ("",)], "text string")
+    out = df.select(F.size(ngram_hashes("text", 3)).alias("n")).collect()
+    assert [r["n"] for r in out] == [3, 0, 0]
+    # case/whitespace normalization: same grams either way
+    two = spark.createDataFrame([("One  Two Three",), ("one two\tthree",)],
+                                "text string")
+    h = two.select(ngram_hashes("text", 3).alias("g")).collect()
+    assert h[0]["g"] == h[1]["g"]
+
+
+def test_contamination_check(spark):
+    from pdfextractor_spark.ops.cleaning import contamination_check
+
+    bench_sent = " ".join(f"tok{i}" for i in range(13))
+    benchmark = spark.createDataFrame(
+        [(f"intro words {bench_sent} trailing",)], "text string")
+    docs = spark.createDataFrame([
+        (1, f"prefix {bench_sent} suffix words here"),   # contains the 13-gram
+        (2, " ".join(f"tok{i}" for i in range(12)) + " other"),  # only 12 shared
+        (3, "completely unrelated text " * 10),
+        (4, "short doc"),                                  # < n tokens
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in contamination_check(docs, benchmark).collect()}
+    assert out[1]["is_contaminated"] and out[1]["contaminated_ngrams"] >= 1
+    assert not out[2]["is_contaminated"]
+    assert not out[3]["is_contaminated"] and out[3]["contaminated_ngrams"] == 0
+    assert not out[4]["is_contaminated"]
+    # benchmark side is broadcast: no shuffle of the benchmark grams
+    plan = contamination_check(docs, benchmark)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_redact_pii(spark):
+    from pdfextractor_spark.ops.cleaning import redact_pii
+
+    docs = spark.createDataFrame([
+        (1, "mail me at jane.doe+x@example.co.uk or call (601) 555-1234."),
+        (2, "server 10.0.42.7 leaked ssn 123-45-6789 twice: 123-45-6789"),
+        (3, "nothing sensitive here, just $4,500 and v1.2.3 talk"),
+        (4, None),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[1]["text"] == "mail me at <EMAIL> or call <PHONE>."
+    assert out[1]["pii_email"] == 1 and out[1]["pii_phone"] == 1
+    assert out[2]["text"] == "server <IP> leaked ssn <SSN> twice: <SSN>"
+    assert out[2]["pii_ssn"] == 2 and out[2]["pii_ipv4"] == 1
+    assert out[2]["pii_total"] == 3
+    assert out[3]["text"].startswith("nothing sensitive")
+    assert out[3]["pii_total"] == 0  # $ amounts / versions not redacted
+    assert out[4]["text"] == "" and out[4]["pii_total"] == 0
+    # map-only: no shuffle in the whole plan
+    plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
