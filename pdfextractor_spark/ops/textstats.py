@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["with_token_count", "with_quality", "with_lang_guess", "with_fingerprint",
-           "quality_rollup", "langid_confusion"]
+           "with_repetition", "quality_rollup", "langid_confusion"]
 
 # Tiny deterministic stopword votes per language (heuristic n-gram/lexicon ID)
 _LANG_MARKERS = {
@@ -115,3 +115,52 @@ def langid_confusion(df: DataFrame, text_col: str = "text", label_col: str = "la
     return g.groupBy(F.col(label_col).alias("lang"), "lang_guess").agg(
         F.count(F.lit(1)).alias("docs")
     ).orderBy("lang", "lang_guess")
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1) as
+    native expressions: duplicate-line and duplicate-paragraph fractions
+    (distinct-vs-total over trimmed non-empty segments) and the share of
+    characters covered by the most frequent word 2-gram (count x gram
+    length over doc length — the standard non-overlapping approximation;
+    the argmax runs as a sort + longest-run F.aggregate, no UDF). The
+    ``repetition_flag`` applies the published thresholds: dup lines
+    > 0.30, dup paragraphs > 0.30, top-2-gram chars > 0.20."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+
+    def _dup_frac(sep_pattern):
+        segs = F.filter(
+            F.transform(F.split(text, sep_pattern), lambda s: F.trim(s)),
+            lambda s: s != "")
+        return F.when(F.size(segs) == 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(segs)) / F.size(segs))
+
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+    grams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                          F.element_at(toks, i + 1))))
+    # longest equal-run over the sorted grams = count of the modal 2-gram
+    best = F.aggregate(
+        F.array_sort(grams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best"), F.lit("").alias("gram")),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(acc["best"],
+                       F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))).alias("best"),
+            F.when(F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)) > acc["best"],
+                   g).otherwise(acc["gram"]).alias("gram")),
+    )
+    top_frac = F.when(F.length(F.trim(text)) == 0, F.lit(0.0)).otherwise(
+        F.least(F.lit(1.0),
+                best["best"] * F.length(best["gram"]) / F.length(F.trim(text))))
+    dup_lines = _dup_frac(r"\n")
+    dup_paras = _dup_frac(r"\n{2,}")
+    return (df
+            .withColumn("dup_line_frac", F.round(dup_lines, 6))
+            .withColumn("dup_para_frac", F.round(dup_paras, 6))
+            .withColumn("top_bigram_char_frac", F.round(top_frac, 6))
+            .withColumn("repetition_flag",
+                        (dup_lines > 0.30) | (dup_paras > 0.30) | (top_frac > 0.20)))

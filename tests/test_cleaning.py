@@ -61,3 +61,37 @@ def test_redact_pii(spark):
     # map-only: no shuffle in the whole plan
     plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_gopher_repetition_signals(spark):
+    """with_repetition: duplicate-line/paragraph fractions and the modal
+    2-gram character share, with the published flag thresholds."""
+    from pdfextractor_spark.ops.textstats import with_repetition
+
+    clean = ("The watershed plan describes several distinct practices.\n\n"
+             "Each paragraph here is unique and reasonably informative.\n\n"
+             "No line repeats and no bigram dominates the character mass.")
+    spammy_lines = "\n".join(["click here to buy now"] * 8 + ["one original line"])
+    spammy_gram = " ".join(["buy now"] * 40)
+    docs = spark.createDataFrame(
+        [(1, clean), (2, spammy_lines), (3, spammy_gram), (4, None), (5, "  ")],
+        "doc_id long, text string")
+    by = {r["doc_id"]: r for r in with_repetition(docs).collect()}
+
+    assert not by[1]["repetition_flag"]
+    assert by[1]["dup_line_frac"] == 0.0 and by[1]["top_bigram_char_frac"] < 0.20
+
+    # 9 lines, 2 distinct -> dup fraction 7/9
+    assert abs(by[2]["dup_line_frac"] - 7 / 9) < 1e-6
+    assert by[2]["repetition_flag"]
+
+    # "buy now buy now ..." — modal bigram covers most characters
+    assert by[3]["top_bigram_char_frac"] > 0.4
+    assert by[3]["repetition_flag"]
+
+    assert not by[4]["repetition_flag"] and by[4]["dup_line_frac"] == 0.0
+    assert not by[5]["repetition_flag"] and by[5]["top_bigram_char_frac"] == 0.0
+
+    # all native: no Python UDF, no shuffle
+    plan = with_repetition(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
