@@ -1,0 +1,66 @@
+"""WARC ingestion source (sources/warc.py): ISO 28500 record parsing,
+Common Crawl's per-record-gzip framing, and the Spark binaryFile path
+into PAGES_SCHEMA — including the downstream extraction pipeline."""
+
+import gzip
+
+from pdfextractor_spark.sources.warc import make_warc, parse_warc, read_warc
+
+RECORDS = [
+    {"url": "http://a.example/page1", "date": "2024-03-05T12:30:00Z",
+     "body": b"<html><body><p>" + b"Paragraph one with enough prose to keep. " * 3
+             + b"</p></body></html>"},
+    {"url": "http://b.example/doc.pdf", "date": "2024-03-06T01:02:03Z",
+     "body": b"%PDF-1.4 fake", "http_content_type": "application/pdf"},
+]
+
+
+def test_parse_roundtrip_plain_and_gzipped():
+    for per_gz in (False, True):
+        blob = make_warc(RECORDS, per_record_gzip=per_gz)
+        recs = list(parse_warc(blob))
+        assert [r["url"] for r in recs] == [r["url"] for r in RECORDS]
+        assert [r["body"] for r in recs] == [r["body"] for r in RECORDS]
+        assert recs[1]["http_content_type"] == "application/pdf"
+        assert all(r["type"] == "response" for r in recs)
+
+
+def test_parse_skips_non_response_and_whole_file_gzip():
+    info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\n"
+            "abcd\r\n\r\n").encode()
+    blob = info + make_warc(RECORDS[:1])
+    recs = list(parse_warc(blob))
+    assert recs[0]["type"] == "warcinfo" and recs[1]["type"] == "response"
+    # a whole-file gzip (not per-record) inflates identically
+    assert [r["url"] for r in parse_warc(gzip.compress(blob))] == \
+        [None, "http://a.example/page1"]
+
+
+def test_read_warc_into_pages_and_extract(spark, tmp_path):
+    d = tmp_path / "cc"
+    d.mkdir()
+    (d / "seg-00000.warc.gz").write_bytes(make_warc(RECORDS, per_record_gzip=True))
+    (d / "seg-00001.warc").write_bytes(make_warc(
+        [{"url": "http://c.example/x", "date": "2024-04-01T00:00:00Z",
+          "body": b"<html><p>" + b"More readable text for the stripper. " * 4
+          + b"</p></html>"}]))
+    (d / "seg-corrupt.warc").write_bytes(b"GARBAGE NOT A WARC FILE\r\n\r\nxx")
+
+    pages = read_warc(spark, str(d / "*.warc*"))
+    rows = {r["url"]: r for r in pages.collect()}
+    assert len(rows) == 4  # 3 pages + 1 per-file error row
+    assert rows["http://a.example/page1"]["warc_ts"].month == 3
+    assert bytes(rows["http://b.example/doc.pdf"]["html"]) == b"%PDF-1.4 fake"
+    err = rows["warc_error:" + [u for u in rows if u.startswith("warc_error:")][0][11:]]
+    assert "ValueError" in err["text"]
+
+    # the ingested table feeds the extraction pipeline unchanged
+    from pdfextractor_spark.pipeline.fused import extract_fused
+
+    good = pages.where("html is not null")
+    silver = {r["url"]: r for r in extract_fused(good, num_partitions=2).collect()}
+    assert silver["http://a.example/page1"]["parser"] == "html"
+    assert silver["http://a.example/page1"]["n_chars"] > 50
+    assert silver["http://c.example/x"]["parser"] == "html"
+    # the fake PDF payload routes down the pdf branch -> per-row error
+    assert silver["http://b.example/doc.pdf"]["error"] is not None
