@@ -1,7 +1,8 @@
-"""Training-corpus cleaning ops: benchmark decontamination + PII redaction.
+"""Training-corpus cleaning ops: decontamination, PII redaction, C4
+heuristics, corpus-level line dedup.
 
-Two standard stages of an LLM training-data pipeline over the
-``documents`` table, both expressed natively (no Python in the plan):
+Standard stages of an LLM training-data pipeline over the ``documents``
+table, all expressed natively (no Python in the plan):
 
 - **Decontamination**: flag training documents that share any word
   n-gram (default n=13, the GPT-3/Llama convention) with an evaluation
@@ -19,10 +20,11 @@ Two standard stages of an LLM training-data pipeline over the
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ngram_hashes", "contamination_check", "redact_pii", "PII_PATTERNS"]
+__all__ = ["ngram_hashes", "contamination_check", "redact_pii", "PII_PATTERNS",
+           "c4_clean", "dedup_lines"]
 
 
 def ngram_hashes(col, n: int = 13) -> Column:
@@ -89,3 +91,120 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
     for c in counts[1:]:
         total = total + c
     return df.withColumn(out_col, redacted).withColumn("pii_total", total)
+
+
+# C4 keeps a line only if it ends in terminal punctuation: period,
+# exclamation mark, question mark, or end quotation mark (Raffel et al.
+# 2020, "Exploring the Limits of Transfer Learning", section 2.2).
+_C4_TERMINAL = r'[.!?]["”’\']?$'
+
+
+def c4_clean(docs: DataFrame, text_col: str = "text",
+             out_col: str | None = None, badwords: list[str] | None = None,
+             min_words: int = 3, min_sentences: int = 5) -> DataFrame:
+    """C4-style heuristic cleaning (Raffel et al. 2020 §2.2), map-only.
+
+    Line level (drops the line, keeps the document): a line survives only
+    if it ends in terminal punctuation, has at least ``min_words``
+    whitespace tokens, and does not mention "javascript" (C4 drops those
+    as cookie/JS boilerplate). Document level (flags — callers filter on
+    ``c4_keep``): pages containing ``{`` (source code), the phrase
+    "lorem ipsum", any ``badwords`` token, or ending with fewer than
+    ``min_sentences`` sentences in the kept text are marked for removal.
+
+    Output columns: ``out_col`` (cleaned text; defaults to replacing
+    ``text_col``), ``c4_lines_kept`` / ``c4_lines_total`` (non-blank),
+    ``c4_sentences``, ``c4_has_brace`` / ``c4_has_lorem`` /
+    ``c4_has_badword``, and the combined ``c4_keep``.
+
+    Everything is native higher-order functions over the line split —
+    no Python in the plan and no shuffle, so it composes into the same
+    scan stage as the extraction UDFs at any corpus size. ``badwords``
+    is folded into a literal array (the published LDNOOBW list is a few
+    hundred tokens); a blocklist too large for a literal belongs in a
+    broadcast join instead.
+    """
+    out_col = out_col or text_col
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
+    nonblank = F.filter(lines, lambda l: F.length(F.trim(l)) > 0)
+
+    def _line_ok(l):
+        t = F.trim(l)
+        return ((F.length(t) > 0)
+                & t.rlike(_C4_TERMINAL)
+                & (F.size(F.split(t, r"\s+")) >= min_words)
+                & ~F.lower(t).contains("javascript"))
+
+    kept = F.filter(lines, _line_ok)
+    cleaned = F.array_join(kept, "\n")
+    # sentence count over the kept text: terminal-punct runs approximate
+    # C4's sentence splitter closely enough for the >=5 threshold
+    sentences = F.regexp_count(cleaned, F.lit("[.!?]+[\"”’']?(\\s|$)"))
+    toks = F.array_distinct(F.split(F.lower(text), r"[^a-z0-9']+"))
+    has_bad = (F.arrays_overlap(toks, F.array(*[F.lit(w.lower()) for w in badwords]))
+               if badwords else F.lit(False))
+    df = (docs
+          .withColumn("c4_lines_total", F.size(nonblank))
+          .withColumn("c4_lines_kept", F.size(kept))
+          .withColumn("c4_sentences", sentences)
+          .withColumn("c4_has_brace", text.contains("{"))
+          .withColumn("c4_has_lorem", F.lower(text).contains("lorem ipsum"))
+          .withColumn("c4_has_badword", has_bad)
+          .withColumn(out_col, cleaned))
+    return df.withColumn(
+        "c4_keep",
+        (~F.col("c4_has_brace")) & (~F.col("c4_has_lorem"))
+        & (~F.col("c4_has_badword")) & (F.col("c4_sentences") >= min_sentences))
+
+
+def dedup_lines(docs: DataFrame, doc_id: str = "doc_id",
+                text_col: str = "text", min_count: int = 2,
+                keep: str = "first") -> DataFrame:
+    """Corpus-level exact duplicate-line removal (the C4 three-sentence-span
+    dedup restated at line granularity, as RefinedWeb/FineWeb do it).
+
+    Any non-blank line whose trimmed form occurs ``min_count``-or-more
+    times across the whole corpus is removed from every document
+    (``keep='none'``) or from every document except the first occurrence
+    by ``(doc_id, position)`` order (``keep='first'``, the C4 policy).
+    Blank lines are never counted or dropped, so paragraph structure
+    survives.
+
+    Scale shape — no full document text ever shuffles:
+      1. explode to ``(doc_id, pos, key)`` where key is a 128-bit pair of
+         xxhash64 values (plain 64-bit would risk birthday collisions at
+         10^12-line scale, and a collision here silently deletes text);
+      2. count keys (one shuffle; duplicate lines collapse map-side in
+         the partial aggregate);
+      3. join survivors back (AQE broadcasts when the duplicate set is
+         small — the common case) and, for ``keep='first'``, rank
+         occurrences per key;
+      4. regroup drop-positions per document (one shuffle of ints) and
+         rebuild the text with an indexed array filter, map-side.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = (docs
+             .select(doc_id, F.posexplode(F.split(text, "\n")).alias("_pos", "_line"))
+             .withColumn("_line", F.trim("_line"))
+             .where(F.length("_line") > 0)
+             .select(doc_id, "_pos",
+                     F.xxhash64("_line").alias("_h1"),
+                     F.xxhash64(F.lit(42), F.col("_line")).alias("_h2")))
+    dup_keys = (lines.groupBy("_h1", "_h2").count()
+                .where(F.col("count") >= min_count).drop("count"))
+    hits = lines.join(dup_keys, ["_h1", "_h2"])
+    if keep == "first":
+        w = Window.partitionBy("_h1", "_h2").orderBy(F.col(doc_id), F.col("_pos"))
+        hits = hits.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") > 1)
+    drops = hits.groupBy(doc_id).agg(F.collect_set("_pos").alias("_drop_pos"))
+    dropset = F.coalesce(F.col("_drop_pos"), F.array().cast("array<int>"))
+    rebuilt = F.array_join(
+        F.filter(F.split(text, "\n"), lambda l, i: ~F.array_contains(dropset, i)),
+        "\n")
+    return (docs.join(drops, doc_id, "left")
+            .withColumn(text_col, rebuilt)
+            .withColumn("dedup_lines_dropped", F.size(dropset))
+            .drop("_drop_pos"))

@@ -63,6 +63,99 @@ def test_redact_pii(spark):
     assert "Exchange" not in plan
 
 
+def test_c4_clean_line_and_doc_rules(spark):
+    """C4 heuristics: terminal-punct / min-words / javascript line drops,
+    brace / lorem-ipsum / badword / sentence-count document flags."""
+    from pdfextractor_spark.ops.cleaning import c4_clean
+
+    good = ("This is a perfectly reasonable opening sentence.\n"
+            "Please enable javascript to view this page.\n"
+            "menu home about\n"
+            "Too few.\n"
+            "Does this line survive the question-mark rule?\n"
+            "He said \"it ends with a quote.\"\n"
+            "Third keeper adds another sentence here.\n"
+            "Fourth keeper adds one more good sentence.\n"
+            "Fifth keeper closes out the page nicely.")
+    docs = spark.createDataFrame([
+        (1, good),
+        (2, "A code page. function f() { return 1; } More sentences follow here. "
+            "Three full sentences. Four full sentences. Five full sentences."),
+        (3, "Lorem Ipsum dolor sit amet filler text lives here today, friends."),
+        (4, "This page contains a flagged badword somewhere in the body text."),
+        (5, None),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           c4_clean(docs, badwords=["badword"]).collect()}
+
+    kept = out[1]["text"].split("\n")
+    assert kept == [
+        "This is a perfectly reasonable opening sentence.",
+        "Does this line survive the question-mark rule?",
+        'He said "it ends with a quote."',
+        "Third keeper adds another sentence here.",
+        "Fourth keeper adds one more good sentence.",
+        "Fifth keeper closes out the page nicely.",
+    ]
+    assert out[1]["c4_lines_total"] == 9 and out[1]["c4_lines_kept"] == 6
+    assert out[1]["c4_sentences"] == 6 and out[1]["c4_keep"]
+
+    assert out[2]["c4_has_brace"] and not out[2]["c4_keep"]
+    assert out[3]["c4_has_lorem"] and not out[3]["c4_keep"]
+    assert out[4]["c4_has_badword"] and not out[4]["c4_keep"]
+    assert not out[1]["c4_has_badword"]
+    assert out[5]["text"] == "" and not out[5]["c4_keep"]
+    assert out[5]["c4_lines_total"] == 0
+
+    # map-only, all native
+    plan = c4_clean(docs, badwords=["badword"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_dedup_lines_corpus_level(spark):
+    """Duplicate-line removal across documents: keep='first' retains the
+    earliest (doc_id, pos) occurrence, keep='none' drops all of them;
+    unique and blank lines are untouched."""
+    from pdfextractor_spark.ops.cleaning import dedup_lines
+
+    boiler = "Subscribe to our newsletter for updates."
+    docs = spark.createDataFrame([
+        ("a", f"{boiler}\nUnique alpha content line.\n\nSecond alpha paragraph."),
+        ("b", f"Unique beta content line.\n{boiler}\nAlso only in beta."),
+        ("c", f"  {boiler}  \nUnique gamma content line."),
+        ("d", "No duplicates here at all.\n\nTwo paragraphs though."),
+        ("e", None),
+    ], "doc_id string, text string")
+
+    first = {r["doc_id"]: r for r in
+             dedup_lines(docs, min_count=2, keep="first").collect()}
+    # 'a' is first by (doc_id, pos): keeps its copy, blank line preserved
+    assert first["a"]["text"] == (f"{boiler}\nUnique alpha content line."
+                                  "\n\nSecond alpha paragraph.")
+    assert first["a"]["dedup_lines_dropped"] == 0
+    assert first["b"]["text"] == "Unique beta content line.\nAlso only in beta."
+    assert first["b"]["dedup_lines_dropped"] == 1
+    # trimmed match: padded copy in 'c' still counts as the same line
+    assert first["c"]["text"] == "Unique gamma content line."
+    assert first["d"]["text"] == "No duplicates here at all.\n\nTwo paragraphs though."
+    assert first["e"]["text"] == "" and first["e"]["dedup_lines_dropped"] == 0
+
+    none = {r["doc_id"]: r for r in
+            dedup_lines(docs, min_count=2, keep="none").collect()}
+    assert boiler not in none["a"]["text"]
+    assert none["a"]["dedup_lines_dropped"] == 1
+
+    # min_count above the actual multiplicity: nothing removed
+    untouched = {r["doc_id"]: r["text"] for r in
+                 dedup_lines(docs, min_count=4).collect()}
+    assert boiler in untouched["a"] and boiler in untouched["b"]
+
+    # all native (hash keys shuffle, never document text); no Python
+    plan = dedup_lines(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
 def test_gopher_repetition_signals(spark):
     """with_repetition: duplicate-line/paragraph fractions and the modal
     2-gram character share, with the published flag thresholds."""
