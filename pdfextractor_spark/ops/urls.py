@@ -1,4 +1,5 @@
-"""URL canonicalization + canonical-URL dedup (web-pipeline operator).
+"""URL canonicalization, canonical-URL dedup, and per-host rollup/caps
+(web-pipeline operators).
 
 A Common-Crawl-style pages table carries the same document under many
 url spellings — scheme/host case, default ports, duplicate slashes,
@@ -32,7 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["canonicalize_url", "url_dedup", "url_dup_stats"]
+__all__ = ["canonicalize_url", "url_dedup", "url_dup_stats",
+           "url_host", "host_stats", "cap_per_host"]
 
 _TRACKING_RE = "^(utm_[a-z0-9]+|gclid|fbclid|msclkid)="
 
@@ -96,3 +98,60 @@ def url_dup_stats(pages: DataFrame, url_col: str = "url",
             .agg(F.countDistinct(url_col).alias("n_variants"),
                  F.count(F.lit(1)).alias("n_rows"))
             .where(F.col("n_variants") > 1))
+
+
+def url_host(url, strip_www: bool = True) -> Column:
+    """Lowercased host of ``url`` as a native expression (null when the
+    string does not parse as a URL). Registrable-domain (eTLD+1) folding
+    needs the public-suffix list — at scale that is a broadcast join
+    against a suffix table, not an expression — so this stays at host
+    granularity, the unit FineWeb-style per-site caps actually use."""
+    u = F.trim(url if isinstance(url, Column) else F.col(url))
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    return F.regexp_replace(host, r"^www\.", "") if strip_www else host
+
+
+def host_stats(pages: DataFrame, url_col: str = "url",
+               size_col: str | None = None) -> DataFrame:
+    """Per-host crawl rollup: document count, distinct canonical urls,
+    and total payload bytes when ``size_col`` is given. ONE shuffle with
+    map-side partial aggregation — the audit table a crawl pipeline
+    reads before choosing per-host caps."""
+    df = pages.withColumn("host", url_host(url_col)) \
+        .withColumn("_canon", canonicalize_url(url_col))
+    aggs = [F.count(F.lit(1)).alias("n_docs"),
+            F.approx_count_distinct("_canon").alias("approx_canonical_urls")]
+    if size_col is not None:
+        aggs.append(F.sum(size_col).cast("long").alias("total_bytes"))
+    return df.groupBy("host").agg(*aggs)
+
+
+def cap_per_host(pages: DataFrame, max_docs: int, url_col: str = "url",
+                 order_col: str | None = None, salts: int = 64) -> DataFrame:
+    """Keep at most ``max_docs`` documents per host — the FineWeb-style
+    per-site cap that stops mega-hosts from dominating a training mix.
+    Rows are ranked by ``order_col`` descending (a quality score; ties
+    and the default fall back to the url string for determinism).
+
+    A single ``row_number() OVER (PARTITION BY host)`` puts every row of
+    a mega-host (e.g. a blogging platform with 10^9 pages) into ONE
+    task, so this runs two phases instead: a salted local top-``max_docs``
+    per ``(host, salt)`` first, which bounds the final per-host window to
+    ``max_docs * salts`` rows regardless of host size, then the exact
+    global top-``max_docs`` per host over that residue. Both phases are
+    native window plans; total extra cost is one narrow shuffle of the
+    already-capped residue.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).desc()] if order_col else []
+    order = order + [F.col(url_col)]
+    df = pages.withColumn("_host", url_host(url_col)) \
+        .withColumn("_salt", F.pmod(F.xxhash64(url_col), F.lit(salts)))
+    w_local = Window.partitionBy("_host", "_salt").orderBy(*order)
+    local = (df.withColumn("_rn", F.row_number().over(w_local))
+             .where(F.col("_rn") <= max_docs).drop("_rn"))
+    w_host = Window.partitionBy("_host").orderBy(*order)
+    return (local.withColumn("_rn", F.row_number().over(w_host))
+            .where(F.col("_rn") <= max_docs)
+            .drop("_rn", "_salt", "_host"))

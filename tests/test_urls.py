@@ -104,3 +104,52 @@ def test_canonicalize_idempotent(spark):
              .where(~F.col("c1").eqNullSafe(F.col("c2")))
              .collect())
     assert out == [], [(r["url"], r["c1"], r["c2"]) for r in out[:5]]
+
+
+def test_url_host_and_host_stats(spark):
+    from pdfextractor_spark.ops.urls import host_stats, url_host
+
+    df = spark.createDataFrame([
+        ("https://WWW.Example.com/a", 100),
+        ("http://example.com:80/b?utm_source=x", 50),
+        ("https://other.org/", 10),
+        ("not a url", 1),
+    ], "url string, n_bytes long")
+    hosts = [r["h"] for r in df.select(url_host("url").alias("h")).collect()]
+    assert hosts == ["example.com", "example.com", "other.org", None]
+
+    out = {r["host"]: r for r in
+           host_stats(df, size_col="n_bytes").collect()}
+    assert out["example.com"]["n_docs"] == 2
+    assert out["example.com"]["total_bytes"] == 150
+    # /a and /b are different canonical urls
+    assert out["example.com"]["approx_canonical_urls"] == 2
+    assert out["other.org"]["n_docs"] == 1 and None in out
+
+
+def test_cap_per_host_matches_single_window(spark):
+    """Two-phase salted cap == the naive global top-N per host, on a
+    corpus with one mega-host; deterministic and all-native."""
+    from pdfextractor_spark.ops.urls import cap_per_host
+
+    rows = [(f"https://mega.com/p{i:03d}", float(i % 17)) for i in range(120)]
+    rows += [(f"https://tiny{j}.org/x", 1.0) for j in range(5)]
+    df = spark.createDataFrame(rows, "url string, score double")
+
+    capped = cap_per_host(df, max_docs=7, order_col="score", salts=8)
+    got = sorted((r["url"], r["score"]) for r in capped.collect())
+
+    # naive expectation in plain Python: top-7 by (score desc, url asc)
+    mega = sorted((r for r in rows if "mega" in r[0]),
+                  key=lambda r: (-r[1], r[0]))[:7]
+    tiny = [r for r in rows if "tiny" in r[0]]
+    assert got == sorted(mega + tiny)
+
+    # second run identical (deterministic ordering incl. ties)
+    again = sorted((r["url"], r["score"])
+                   for r in cap_per_host(df, max_docs=7, order_col="score",
+                                         salts=8).collect())
+    assert again == got
+
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
