@@ -1,0 +1,133 @@
+"""Training-corpus preparation: the end-to-end composition of the crawl
+cleaning operators over a Common-Crawl-style pages table.
+
+Every stage exists as a standalone operator (``ops/urls.py``,
+``ops/cleaning.py``, ``ops/textstats.py``); this module fixes the order
+a 100 TB preparation run wants and the reasons for it:
+
+ 1. canonical-URL dedup       — cheapest removal first: collapsing url
+                                spellings shrinks every later stage by
+                                the crawl's duplication factor before
+                                any document text is even extracted
+ 2. main-content extraction   — html/pdf bytes -> text (the bronze Arrow
+                                UDF; skipped when the table already
+                                carries extracted text)
+ 3. C4 heuristic cleaning     — map-only line filters + page flags,
+                                fused by Catalyst into the same stage
+ 4. Gopher repetition flags   — judged on the page AS CRAWLED, before
+                                line-dedup can collapse spam repeats
+ 5. corpus duplicate-line removal — shared boilerplate lines vanish
+                                before they can skew the content hashes
+    then token counts + quality score over the text that ships
+ 6. exact content dedup       — keep the highest-quality copy per
+                                normalized fingerprint (one window)
+ 7. benchmark decontamination — broadcast join against eval 13-grams
+ 8. PII redaction             — map-only regexp chain
+ 9. per-host cap              — LAST, ordered by quality score, so the
+                                cap keeps each site's best surviving
+                                pages (skew-safe two-phase window)
+
+The frame returned with ``filter_rows=False`` carries every flag plus
+the combined ``keep`` column; ``prep_report`` rolls the removal
+accounting into ONE aggregation pass over it. With ``filter_rows=True``
+(default) only rows with ``keep`` survive — dedup stages (1, 4, 6)
+remove rows/lines either way, since duplication is not a judgment call.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["prepare_training_corpus", "prep_report"]
+
+
+def prepare_training_corpus(
+    pages: DataFrame, *,
+    extract: bool | None = None,
+    url_col: str = "url", ts_col: str = "warc_ts", text_col: str = "text",
+    benchmark: DataFrame | None = None,
+    badwords: list[str] | None = None,
+    dup_line_min_count: int | None = 2,
+    quality_floor: float | None = None,
+    max_docs_per_host: int | None = None,
+    redact: bool = True,
+    filter_rows: bool = True,
+) -> DataFrame:
+    """pages (url, warc_ts, html, text, lang) -> cleaned training docs.
+
+    ``extract=None`` auto-detects: the bronze extraction UDF runs when an
+    ``html`` column is present. ``benchmark`` is a DataFrame with a text
+    column (eval suite) for decontamination; ``None`` skips that stage.
+    """
+    from ..ops.cleaning import c4_clean, contamination_check, dedup_lines, redact_pii
+    from ..ops.textstats import with_quality, with_repetition, with_token_count
+    from ..ops.urls import cap_per_host, url_dedup
+
+    df = pages
+    if ts_col and ts_col in df.columns:
+        df = url_dedup(df, url_col=url_col, ts_col=ts_col)
+    if extract is None:
+        extract = "html" in df.columns
+    if extract:
+        from .bronze import extract_bronze
+        df = extract_bronze(df).withColumnRenamed("raw_text", text_col)
+    df = c4_clean(df, text_col=text_col, badwords=badwords)
+    # repetition is a judgment on the page AS CRAWLED — measure it before
+    # line-dedup collapses a spam page's repeats into one innocuous line
+    df = with_repetition(df, text_col)
+    if dup_line_min_count:
+        df = dedup_lines(df, doc_id=url_col, text_col=text_col,
+                         min_count=dup_line_min_count)
+    # token/quality signals describe the text that would actually ship
+    df = with_quality(with_token_count(df, text_col), text_col)
+    # exact content dedup: best copy per normalized fingerprint
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                         r"[^a-z0-9 ]", " "), r"\s+", " "))
+    w = Window.partitionBy(F.md5(norm)).orderBy(
+        F.col("quality_score").desc(), F.col(url_col))
+    df = df.withColumn("_rn", F.row_number().over(w)) \
+        .where(F.col("_rn") == 1).drop("_rn")
+    if benchmark is not None:
+        df = contamination_check(df, benchmark, doc_id=url_col, text_col=text_col)
+    else:
+        df = df.withColumn("is_contaminated", F.lit(False))
+    if redact:
+        df = redact_pii(df, text_col=text_col)
+    keep = (F.col("c4_keep") & ~F.col("repetition_flag")
+            & ~F.col("is_contaminated")
+            & (F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0))
+    if "error" in df.columns:
+        keep = keep & F.col("error").isNull()
+    if quality_floor is not None:
+        keep = keep & (F.col("quality_score") >= quality_floor)
+    df = df.withColumn("keep", keep)
+    if filter_rows:
+        df = df.where("keep").drop("keep")
+    if max_docs_per_host:
+        df = cap_per_host(df, max_docs_per_host, url_col=url_col,
+                          order_col="quality_score")
+    return df
+
+
+def prep_report(flagged: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row removal accounting over a ``filter_rows=False`` result —
+    a single aggregation pass (reason counts are non-exclusive)."""
+    def _n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return flagged.agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        _n(F.col("keep")).alias("docs_kept"),
+        _n(~F.col("c4_keep")).alias("dropped_c4"),
+        _n(F.col("repetition_flag")).alias("dropped_repetition"),
+        _n(F.col("is_contaminated")).alias("dropped_contaminated"),
+        _n(F.length(F.coalesce(F.col(text_col), F.lit(""))) == 0)
+            .alias("dropped_empty"),
+        F.sum(F.when(F.col("keep"), F.col("ws_tokens")).otherwise(0))
+            .cast("long").alias("tokens_kept"),
+        F.sum("dedup_lines_dropped").cast("long").alias("boilerplate_lines_dropped"),
+        F.sum(F.when(F.col("keep"), F.col("pii_total")).otherwise(0))
+            .cast("long").alias("pii_redactions_kept_docs"),
+    )
