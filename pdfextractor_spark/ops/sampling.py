@@ -14,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["stratified_sample", "exact_stratified_sample", "mixture_report"]
+__all__ = ["stratified_sample", "exact_stratified_sample", "mixture_report",
+           "pack_shards"]
 
 
 def stratified_sample(df: DataFrame, group_col: str, fractions: dict[str, float],
@@ -61,3 +62,46 @@ def mixture_report(full: DataFrame, sampled: DataFrame, group_col: str,
         )
         .orderBy(group_col)
     )
+
+
+def pack_shards(df: DataFrame, tokens_col: str, shard_budget: int,
+                id_col: str = "doc_id", seed: int = 43,
+                buckets: int = 256) -> DataFrame:
+    """Assign every document to a training shard of ~``shard_budget`` tokens.
+
+    The order is a deterministic hash shuffle of ``id_col`` (training
+    shards want domain mixing, not source order), and the shard id is
+    ``floor(running_tokens_before_doc / shard_budget)`` over that order —
+    greedy packing, so each shard holds consecutive documents and can
+    overshoot the budget by at most one document's tokens.
+
+    Scale shape — the textbook global-cumsum trap (one ``Window.orderBy``
+    over everything = a single-partition Exchange) is avoided with the
+    two-level prefix-sum: documents hash into ``buckets`` ordered cells,
+    per-bucket token totals (``buckets`` rows) prefix-sum on the driver,
+    and the within-bucket cumulative window runs partitioned by bucket.
+    One shuffle, no single-partition stage, identical output to the naive
+    global window (pinned in tests).
+    """
+    from pyspark.sql import Window
+
+    key = F.xxhash64(F.col(id_col), F.lit(seed))
+    b = df.withColumn("_bkt", F.pmod(key, F.lit(buckets)).cast("int"))
+    totals = {
+        r["_bkt"]: r["t"]
+        for r in b.groupBy("_bkt").agg(F.sum(tokens_col).alias("t")).collect()
+    }  # bounded: `buckets` rows
+    offsets, acc = {}, 0
+    for bkt in range(buckets):
+        offsets[bkt] = acc
+        acc += int(totals.get(bkt, 0) or 0)
+    off = F.create_map(
+        *[F.lit(x) for bkt in range(buckets) for x in (bkt, offsets[bkt])]
+    )
+    w = (Window.partitionBy("_bkt")
+         .orderBy(key, F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)) + off[F.col("_bkt")]
+    return (b.withColumn("shard_id",
+                         F.floor(before / F.lit(float(shard_budget))).cast("int"))
+            .drop("_bkt"))

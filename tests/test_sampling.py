@@ -52,3 +52,45 @@ def test_bernoulli_sample_within_tolerance_and_map_only(spark):
         n = rep[lang]["total"]
         tol = 4 / math.sqrt(n)  # ~4 sigma of a Bernoulli mean
         assert abs(achieved - frac) <= tol, (lang, achieved, frac, tol)
+
+
+def test_pack_shards_budget_order_and_plan(spark):
+    from pdfextractor_spark.ops.sampling import pack_shards
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", (i * 37) % 900 + 100) for i in range(400)],
+        "doc_id string, tokens int",
+    )
+    budget = 5_000
+    out = pack_shards(docs, "tokens", budget, buckets=16)
+    rows = out.collect()
+    assert len(rows) == 400  # every doc assigned exactly once
+    # shard token sums: every shard except the last crosses its budget
+    # boundary with its final doc, so sum >= budget - max_doc and
+    # sum <= budget + max_doc
+    sums = {}
+    for r in rows:
+        sums[r["shard_id"]] = sums.get(r["shard_id"], 0) + r["tokens"]
+    max_doc = max(r["tokens"] for r in rows)
+    last = max(sums)
+    assert set(sums) == set(range(last + 1))  # contiguous shard ids from 0
+    for sid, s in sums.items():
+        if sid != last:
+            assert budget - max_doc <= s <= budget + max_doc, (sid, s)
+    # identical to the naive single global window over the same order
+    key = F.xxhash64(F.col("doc_id"), F.lit(43))
+    gw = (Window.orderBy(F.pmod(key, F.lit(16)).cast("int"), key, F.col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    naive = docs.withColumn(
+        "shard_id",
+        F.floor(F.coalesce(F.sum("tokens").over(gw), F.lit(0)) / F.lit(float(5_000))).cast("int"),
+    )
+    got = {r["doc_id"]: r["shard_id"] for r in rows}
+    for r in naive.collect():
+        assert got[r["doc_id"]] == r["shard_id"], r["doc_id"]
+    # determinism + no single-partition exchange in the scale path
+    again = {r["doc_id"]: r["shard_id"] for r in pack_shards(docs, "tokens", budget, buckets=16).collect()}
+    assert again == got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
