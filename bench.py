@@ -94,18 +94,64 @@ def _stage_corpus(spark, rows, path: str) -> None:
 
 
 def _pinned_extraction(corpus_path: str, cores: int, reps: int = 2,
-                       first_core: int = 0) -> dict:
+                       core_list: list[int] | None = None) -> dict:
     """Run the extraction job in a subprocess pinned to exactly ``cores``
     CPUs (taskset), so a local[N] run cannot borrow idle host cores for its
-    python workers — the honest stand-in for an N-executor cluster."""
+    python workers — the honest stand-in for an N-executor cluster.
+    ``core_list`` pins to an explicit host-core set (must have ``cores``
+    entries); default is cores 0..cores-1."""
     import subprocess
 
-    cmd = ["taskset", "-c", f"{first_core}-{first_core + cores - 1}", sys.executable,
+    cpuset = (",".join(str(c) for c in core_list) if core_list
+              else f"0-{cores - 1}")
+    cmd = ["taskset", "-c", cpuset, sys.executable,
            "-m", "pdfextractor_spark.benchjob", corpus_path, str(cores), str(reps)]
     out = subprocess.run(cmd, capture_output=True, text=True, check=True,
                          cwd=os.path.dirname(os.path.abspath(__file__)))
     time.sleep(2)  # let the exiting JVM release cores before the next level
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _probe_cores(candidates: list[int], iters: int = 6_000_000) -> dict[int, float]:
+    """Current effective speed of every candidate host core: a fixed-count
+    spin loop pinned per core, ALL candidates CONCURRENTLY — full load puts
+    every core in the same (non-turbo) clock state the equalized legs run
+    under, and concurrent probing is exactly what exposes a core a noisy
+    neighbor is stealing from. Returns core -> seconds (lower = faster)."""
+    import subprocess
+
+    prog = ("import time\nt=time.perf_counter()\nx=0\n"
+            f"for i in range({iters}): x+=i\n"
+            "print(time.perf_counter()-t)")
+    procs = {
+        c: subprocess.Popen(["taskset", "-c", str(c), sys.executable, "-c", prog],
+                            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                            text=True)
+        for c in candidates
+    }
+    return {c: float(p.communicate()[0].strip().splitlines()[-1])
+            for c, p in procs.items()}
+
+
+def _pick_cores(n: int = 8) -> tuple[list[int], dict[int, float]]:
+    """The ``n`` currently-quietest host cores, fastest first.
+
+    The scaling legs measure the JOB's parallel efficiency, not which
+    vCPUs a noisy neighbor happens to be stealing from this half hour: a
+    fixed 0-7 pin showed exactly that failure (2-core leg on quiet cores
+    0-1 ran ABOVE its healthy baseline while the 8-core leg dragged cores
+    2-7 through a stolen window — ratio 0.75 with both legs' plans
+    unchanged). Selection is one-sided-safe: picking quiet cores can only
+    move BOTH legs toward true capability, and the low leg takes the two
+    FASTEST of the selected set, which biases the ratio DOWN, the
+    conservative direction. Falls back to 0..n-1 when the host has no
+    spare cores to choose from."""
+    avail = os.cpu_count() or n
+    if avail <= n:
+        return list(range(n)), {}
+    probe = _probe_cores(list(range(avail)))
+    ranked = sorted(probe, key=lambda c: probe[c])
+    return ranked[:n], probe
 
 
 class _SpinLoad:
@@ -196,24 +242,39 @@ def main() -> None:
     # (the r03 recaptures measured exactly that: per-doc CPU cuts shrank
     # compute, the tax didn't, efficiency "fell"). 3 pairs x 2 reps gives
     # 6 samples per level for the leg-best.
+    # QUIET-CORE SELECTION (re-probed per pair): the legs measure the
+    # job's scaling, not which fixed vCPUs a neighbor is stealing from —
+    # see _pick_cores. cores8 is fastest-first; the low leg takes the two
+    # fastest (conservative for the ratio), spin fillers hold the rest.
     n_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "3"))
     pair_ratios = []
     pairs = []
+    probe_info = {"reprobes": 0, "spread_all": None, "cores_used": None}
 
-    def _run_low():
-        spin = _SpinLoad(list(range(2, 8)))
+    def _cores8() -> list[int]:
+        cores8, probe = _pick_cores(8)
+        if probe:
+            vals = sorted(probe.values())
+            probe_info["reprobes"] += 1
+            probe_info["spread_all"] = round(vals[-1] / vals[0], 3)
+            probe_info["cores_used"] = cores8
+        return cores8
+
+    def _run_low(cores8: list[int]):
+        spin = _SpinLoad(cores8[2:])
         try:
-            return _pinned_extraction(corpus_path, 2, reps=2)
+            return _pinned_extraction(corpus_path, 2, reps=2, core_list=cores8[:2])
         finally:
             spin.stop()
 
     def _run_pair(low_first: bool) -> None:
+        cores8 = _cores8()
         if low_first:
-            low = _run_low()
-            high = _pinned_extraction(corpus_path, 8, reps=2)
+            low = _run_low(cores8)
+            high = _pinned_extraction(corpus_path, 8, reps=2, core_list=cores8)
         else:
-            high = _pinned_extraction(corpus_path, 8, reps=2)
-            low = _run_low()
+            high = _pinned_extraction(corpus_path, 8, reps=2, core_list=cores8)
+            low = _run_low(cores8)
         pairs.append((low, high))
         pair_ratios.append((high["docs_per_sec"] / low["docs_per_sec"]) / 4.0)
 
@@ -285,7 +346,9 @@ def main() -> None:
     # bracket, not the headline, and the full-shape warmup absorbs the
     # fresh-JVM tax to within a few percent — not worth 2 extra minutes
     # of a ~30-minute suite.
-    a_low_solo = _pinned_extraction(corpus_path, 2, reps=1)
+    a_low_solo = _pinned_extraction(
+        corpus_path, 2, reps=1,
+        core_list=(probe_info["cores_used"] or [0, 1])[:2])
     eff_solo = (a_high["docs_per_sec"] / a_low_solo["docs_per_sec"]) / 4.0
     n_docs = a_high["docs"]
 
@@ -361,6 +424,11 @@ def main() -> None:
         "scaling_efficiency_pairs": [round(r, 4) for r in pair_ratios],
         "scaling_efficiency_solo_baseline": round(eff_solo, 4),
         "adaptive_extra_pairs": extra_pairs,
+        # quiet-core selection diagnostics: cores used by the last pair and
+        # the host-wide probe spread (max/min per-core spin time; ~1.0 on a
+        # healthy host, >>1 when a neighbor is stealing specific vCPUs)
+        "cores_used": probe_info["cores_used"],
+        "core_probe_spread": probe_info["spread_all"],
     }
     if eff_b is not None:
         # pair-B keys carry an explicit suffix so they never collide with
@@ -403,6 +471,17 @@ def _write_baseline(result: dict) -> None:
         "the same per-core turbo/DVFS state — a solo 2-core job boosts",
         "~40-60% above the 8-active-core clock on this box, which is what",
         "corrupted the r01 driver-measured ratio (0.69).",
+        "",
+        "QUIET-CORE SELECTION (added after the 0.75 fixed-pin artifact):",
+        "before each pair, every host core runs a fixed spin probe",
+        "concurrently and the 8 currently-quietest cores host that pair —",
+        "the legs measure the JOB's scaling, not which fixed vCPUs a noisy",
+        "neighbor is stealing from this half hour (a fixed 0-7 pin showed",
+        "the 2-core leg on quiet cores 0-1 running ABOVE its healthy",
+        "baseline while the 8-core leg dragged stolen cores 2-7). The low",
+        "leg takes the two FASTEST selected cores, which biases the ratio",
+        "down — the conservative direction. `cores_used` and",
+        "`core_probe_spread` in the JSON record what the probe saw.",
         "",
         "Noise/warmup handling: this VM's throughput swings ~25% over",
         "minutes (cloud steal), and every noise source is ONE-SIDED — it",
