@@ -27,6 +27,12 @@ a 100 TB preparation run wants and the reasons for it:
                                 cap keeps each site's best surviving
                                 pages (skew-safe two-phase window)
 
+Optional selection/assembly stages (off by default) extend the tail:
+learned-BPE token budgets (``bpe_merges``), an NB quality-classifier
+gate (``nb_filter``), DSIR importance resampling against a trusted
+target corpus (``dsir``), and greedy packing into fixed-token training
+shards (``shard_budget``) — see ``prepare_training_corpus``.
+
 The frame returned with ``filter_rows=False`` carries every flag plus
 the combined ``keep`` column; ``prep_report`` rolls the removal
 accounting into ONE aggregation pass over it. With ``filter_rows=True``
@@ -53,12 +59,34 @@ def prepare_training_corpus(
     max_docs_per_host: int | None = None,
     redact: bool = True,
     filter_rows: bool = True,
+    bpe_merges: list | None = None,
+    nb_filter: tuple | None = None,
+    dsir: dict | None = None,
+    shard_budget: int | None = None,
 ) -> DataFrame:
     """pages (url, warc_ts, html, text, lang) -> cleaned training docs.
 
     ``extract=None`` auto-detects: the bronze extraction UDF runs when an
     ``html`` column is present. ``benchmark`` is a DataFrame with a text
     column (eval suite) for decontamination; ``None`` skips that stage.
+
+    Optional selection/assembly stages (all default off):
+
+    - ``bpe_merges``: a merge list from ``ops.bpe.train_bpe`` — adds a
+      real learned ``bpe_tokens`` count next to the ``ws_tokens`` proxy
+      (map-only broadcast encode).
+    - ``nb_filter``: ``(model, priors, keep_labels)`` from
+      ``ops.selection.train_nb`` — scores every doc (adds ``pred_label``)
+      and, when ``keep_labels`` is non-empty, folds
+      ``pred_label IN keep_labels`` into ``keep``.
+    - ``dsir``: ``{"target": DataFrame, "k": int, "n": 2, "buckets":
+      10_000}`` — DSIR selection AFTER all cleaning: the source LM is
+      trained on the surviving pool itself (the published setup), the
+      target LM on the supplied trusted corpus, and the pool is
+      Gumbel-top-k resampled down to ``k`` docs.
+    - ``shard_budget``: greedy-pack the final docs into training shards
+      of ~this many tokens (``bpe_tokens`` when available, else
+      ``ws_tokens``), adding ``shard_id``.
     """
     from ..ops.cleaning import c4_clean, contamination_check, dedup_lines, redact_pii
     from ..ops.textstats import with_quality, with_repetition, with_token_count
@@ -81,6 +109,9 @@ def prepare_training_corpus(
                          min_count=dup_line_min_count)
     # token/quality signals describe the text that would actually ship
     df = with_quality(with_token_count(df, text_col), text_col)
+    if bpe_merges is not None:
+        from ..ops.bpe import apply_bpe
+        df = apply_bpe(df, bpe_merges, text_col=text_col)
     # exact content dedup: best copy per normalized fingerprint
     norm = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
@@ -95,9 +126,18 @@ def prepare_training_corpus(
         df = df.withColumn("is_contaminated", F.lit(False))
     if redact:
         df = redact_pii(df, text_col=text_col)
+    if nb_filter is not None:
+        from ..ops.selection import score_nb
+        nb_model, nb_priors, keep_labels = nb_filter
+        scored = score_nb(df, nb_model, nb_priors, id_col=url_col,
+                          text_col=text_col).select(
+            F.col("id").alias(url_col), "pred_label")
+        df = df.join(scored, url_col, "left")
     keep = (F.col("c4_keep") & ~F.col("repetition_flag")
             & ~F.col("is_contaminated")
             & (F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0))
+    if nb_filter is not None and nb_filter[2]:
+        keep = keep & F.col("pred_label").isin(list(nb_filter[2]))
     if "error" in df.columns:
         keep = keep & F.col("error").isNull()
     if quality_floor is not None:
@@ -108,6 +148,21 @@ def prepare_training_corpus(
     if max_docs_per_host:
         df = cap_per_host(df, max_docs_per_host, url_col=url_col,
                           order_col="quality_score")
+    if dsir is not None:
+        from ..ops.selection import dsir_resample, dsir_weights, train_hashed_lm
+        n = dsir.get("n", 2)
+        buckets = dsir.get("buckets", 10_000)
+        tgt = train_hashed_lm(dsir["target"], text_col=dsir.get("target_text_col", "text"),
+                              n=n, buckets=buckets)
+        src = train_hashed_lm(df, text_col=text_col, n=n, buckets=buckets)
+        w = dsir_weights(df, tgt, src, id_col=url_col, text_col=text_col,
+                         n=n, buckets=buckets)
+        df = dsir_resample(df, w, dsir["k"], id_col=url_col,
+                           seed=dsir.get("seed", 17))
+    if shard_budget:
+        from ..ops.sampling import pack_shards
+        tokens_col = "bpe_tokens" if bpe_merges is not None else "ws_tokens"
+        df = pack_shards(df, tokens_col, shard_budget, id_col=url_col)
     return df
 
 

@@ -106,3 +106,59 @@ def test_prepare_training_corpus_synthetic_smoke(spark):
     assert 0 <= kept <= 300
     # extraction ran: parser column present and populated on kept rows
     assert "parser" in flagged.columns
+
+
+def test_prepare_training_corpus_selection_stages(spark):
+    """Optional tail stages: BPE token budgets, NB gate, DSIR resample,
+    shard packing — defaults off (covered above), here all on."""
+    from pdfextractor_spark.ops.bpe import train_bpe
+    from pdfextractor_spark.ops.selection import train_nb
+    from pdfextractor_spark.pipeline.webclean import prepare_training_corpus
+
+    good_rows = [
+        (f"https://site{i}.org/a", _TS, None,
+         _GOOD + f" Distinct watershed sentence number {i} closes this page.",
+         "en")
+        for i in range(8)
+    ]
+    pages = _pages(spark, good_rows)
+    merges = train_bpe(pages, num_merges=32, min_count=2)
+    nb_train = spark.createDataFrame(
+        [(_GOOD, "good"), ("buy cheap pills online free discount now", "spam"),
+         ("watershed planning informative sentences reader content", "good"),
+         ("casino bonus click here free spins jackpot", "spam")],
+        "text string, label string",
+    )
+    model, priors = train_nb(nb_train, n=1, buckets=512)
+    target = spark.createDataFrame([( _GOOD,)], "text string")
+
+    out = prepare_training_corpus(
+        pages,
+        bpe_merges=merges,
+        nb_filter=(model, priors, {"good"}),
+        dsir={"target": target, "k": 4, "n": 1, "buckets": 512},
+        shard_budget=200,
+    )
+    rows = out.collect()
+    assert len(rows) == 4  # dsir k
+    for r in rows:
+        assert r["pred_label"] == "good"
+        assert r["bpe_tokens"] > 0
+        assert r["shard_id"] >= 0
+    # deterministic end to end
+    again = prepare_training_corpus(
+        pages, bpe_merges=merges, nb_filter=(model, priors, {"good"}),
+        dsir={"target": target, "k": 4, "n": 1, "buckets": 512},
+        shard_budget=200,
+    ).collect()
+    assert sorted(r["url"] for r in again) == sorted(r["url"] for r in rows)
+    # a spam-labeled page is gated out by the NB filter
+    spam_pages = _pages(spark, good_rows + [
+        ("https://spam.biz/p", _TS, None,
+         "Buy cheap pills online free discount now. Casino bonus click here free spins. "
+         "Win big jackpot now with free spins. Best discount pills shipped free today. "
+         "Click here for casino bonus and jackpot.", "en"),
+    ])
+    gated = prepare_training_corpus(
+        spam_pages, nb_filter=(model, priors, {"good"}))
+    assert "https://spam.biz/p" not in {r["url"] for r in gated.collect()}
