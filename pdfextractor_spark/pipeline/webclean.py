@@ -60,7 +60,7 @@ def prepare_training_corpus(
     redact: bool = True,
     filter_rows: bool = True,
     bpe_merges: list | None = None,
-    nb_filter: tuple | None = None,
+    nb_filter: dict | None = None,
     dsir: dict | None = None,
     shard_budget: int | None = None,
 ) -> DataFrame:
@@ -75,10 +75,13 @@ def prepare_training_corpus(
     - ``bpe_merges``: a merge list from ``ops.bpe.train_bpe`` — adds a
       real learned ``bpe_tokens`` count next to the ``ws_tokens`` proxy
       (map-only broadcast encode).
-    - ``nb_filter``: ``(model, priors, keep_labels)`` from
-      ``ops.selection.train_nb`` — scores every doc (adds ``pred_label``)
-      and, when ``keep_labels`` is non-empty, folds
-      ``pred_label IN keep_labels`` into ``keep``.
+    - ``nb_filter``: ``{"model": ..., "priors": ..., "keep_labels":
+      {...}, "n": 1, "buckets": 10_000}`` with model/priors from
+      ``ops.selection.train_nb`` — scores every doc (adds
+      ``pred_label``) and, when ``keep_labels`` is non-empty, folds
+      ``pred_label IN keep_labels`` into ``keep``. ``n``/``buckets``
+      MUST match the values the model was trained with (bucket ids are
+      hashes mod ``buckets``; a mismatch silently floors every lookup).
     - ``dsir``: ``{"target": DataFrame, "k": int, "n": 2, "buckets":
       10_000}`` — DSIR selection AFTER all cleaning: the source LM is
       trained on the surviving pool itself (the published setup), the
@@ -128,16 +131,17 @@ def prepare_training_corpus(
         df = redact_pii(df, text_col=text_col)
     if nb_filter is not None:
         from ..ops.selection import score_nb
-        nb_model, nb_priors, keep_labels = nb_filter
-        scored = score_nb(df, nb_model, nb_priors, id_col=url_col,
-                          text_col=text_col).select(
-            F.col("id").alias(url_col), "pred_label")
+        scored = score_nb(
+            df, nb_filter["model"], nb_filter["priors"], id_col=url_col,
+            text_col=text_col, n=nb_filter.get("n", 1),
+            buckets=nb_filter.get("buckets", 10_000),
+        ).select(F.col("id").alias(url_col), "pred_label")
         df = df.join(scored, url_col, "left")
     keep = (F.col("c4_keep") & ~F.col("repetition_flag")
             & ~F.col("is_contaminated")
             & (F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0))
-    if nb_filter is not None and nb_filter[2]:
-        keep = keep & F.col("pred_label").isin(list(nb_filter[2]))
+    if nb_filter is not None and nb_filter.get("keep_labels"):
+        keep = keep & F.col("pred_label").isin(list(nb_filter["keep_labels"]))
     if "error" in df.columns:
         keep = keep & F.col("error").isNull()
     if quality_floor is not None:

@@ -135,7 +135,8 @@ def test_prepare_training_corpus_selection_stages(spark):
     out = prepare_training_corpus(
         pages,
         bpe_merges=merges,
-        nb_filter=(model, priors, {"good"}),
+        nb_filter={"model": model, "priors": priors, "keep_labels": {"good"},
+                   "n": 1, "buckets": 512},
         dsir={"target": target, "k": 4, "n": 1, "buckets": 512},
         shard_budget=200,
     )
@@ -147,7 +148,8 @@ def test_prepare_training_corpus_selection_stages(spark):
         assert r["shard_id"] >= 0
     # deterministic end to end
     again = prepare_training_corpus(
-        pages, bpe_merges=merges, nb_filter=(model, priors, {"good"}),
+        pages, bpe_merges=merges, nb_filter={"model": model, "priors": priors, "keep_labels": {"good"},
+                   "n": 1, "buckets": 512},
         dsir={"target": target, "k": 4, "n": 1, "buckets": 512},
         shard_budget=200,
     ).collect()
@@ -160,5 +162,6 @@ def test_prepare_training_corpus_selection_stages(spark):
          "Click here for casino bonus and jackpot.", "en"),
     ])
     gated = prepare_training_corpus(
-        spam_pages, nb_filter=(model, priors, {"good"}))
+        spam_pages, nb_filter={"model": model, "priors": priors, "keep_labels": {"good"},
+                            "n": 1, "buckets": 512})
     assert "https://spam.biz/p" not in {r["url"] for r in gated.collect()}
