@@ -142,16 +142,28 @@ def _pick_cores(n: int = 8) -> tuple[list[int], dict[int, float]]:
     0-1 ran ABOVE its healthy baseline while the 8-core leg dragged cores
     2-7 through a stolen window — ratio 0.75 with both legs' plans
     unchanged). Selection is one-sided-safe: picking quiet cores can only
-    move BOTH legs toward true capability, and the low leg takes the two
-    FASTEST of the selected set, which biases the ratio DOWN, the
-    conservative direction. Falls back to 0..n-1 when the host has no
-    spare cores to choose from."""
+    move BOTH legs toward true capability. Falls back to 0..n-1 when the
+    host has no spare cores to choose from."""
     avail = os.cpu_count() or n
     if avail <= n:
         return list(range(n)), {}
     probe = _probe_cores(list(range(avail)))
     ranked = sorted(probe, key=lambda c: probe[c])
     return ranked[:n], probe
+
+
+def _mean_quality_pair(cores8: list[int], probe: dict[int, float]) -> list[int]:
+    """The two selected cores whose probed speed is closest to the MEAN of
+    the whole selected set. The 8-core leg's throughput reflects its cores'
+    average quality, so per-core quality parity between levels — what
+    'same cluster hardware at N and 4N executors' means — requires the
+    2-core leg to get average cores, not the two fastest (measured: with a
+    1.7x host steal spread, a fastest-pair low leg read 775 docs/s vs 703
+    healthy-window baseline and deflated the ratio by ~9%)."""
+    if not probe:
+        return cores8[:2]
+    mean = sum(probe[c] for c in cores8) / len(cores8)
+    return sorted(cores8, key=lambda c: abs(probe[c] - mean))[:2]
 
 
 class _SpinLoad:
@@ -244,37 +256,41 @@ def main() -> None:
     # 6 samples per level for the leg-best.
     # QUIET-CORE SELECTION (re-probed per pair): the legs measure the
     # job's scaling, not which fixed vCPUs a neighbor is stealing from —
-    # see _pick_cores. cores8 is fastest-first; the low leg takes the two
-    # fastest (conservative for the ratio), spin fillers hold the rest.
+    # see _pick_cores. The low leg runs on the mean-quality pair of the
+    # selected set (per-core quality parity between levels — see
+    # _mean_quality_pair), spin fillers hold the remaining six.
     n_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "3"))
     pair_ratios = []
     pairs = []
-    probe_info = {"reprobes": 0, "spread_all": None, "cores_used": None}
+    probe_info = {"reprobes": 0, "spread_all": None, "cores_used": None,
+                  "low_pair": None}
 
-    def _cores8() -> list[int]:
+    def _cores8() -> tuple[list[int], list[int]]:
         cores8, probe = _pick_cores(8)
+        low_pair = _mean_quality_pair(cores8, probe)
         if probe:
             vals = sorted(probe.values())
             probe_info["reprobes"] += 1
             probe_info["spread_all"] = round(vals[-1] / vals[0], 3)
             probe_info["cores_used"] = cores8
-        return cores8
+            probe_info["low_pair"] = low_pair
+        return cores8, low_pair
 
-    def _run_low(cores8: list[int]):
-        spin = _SpinLoad(cores8[2:])
+    def _run_low(cores8: list[int], low_pair: list[int]):
+        spin = _SpinLoad([c for c in cores8 if c not in low_pair])
         try:
-            return _pinned_extraction(corpus_path, 2, reps=2, core_list=cores8[:2])
+            return _pinned_extraction(corpus_path, 2, reps=2, core_list=low_pair)
         finally:
             spin.stop()
 
     def _run_pair(low_first: bool) -> None:
-        cores8 = _cores8()
+        cores8, low_pair = _cores8()
         if low_first:
-            low = _run_low(cores8)
+            low = _run_low(cores8, low_pair)
             high = _pinned_extraction(corpus_path, 8, reps=2, core_list=cores8)
         else:
             high = _pinned_extraction(corpus_path, 8, reps=2, core_list=cores8)
-            low = _run_low(cores8)
+            low = _run_low(cores8, low_pair)
         pairs.append((low, high))
         pair_ratios.append((high["docs_per_sec"] / low["docs_per_sec"]) / 4.0)
 
@@ -348,7 +364,7 @@ def main() -> None:
     # of a ~30-minute suite.
     a_low_solo = _pinned_extraction(
         corpus_path, 2, reps=1,
-        core_list=(probe_info["cores_used"] or [0, 1])[:2])
+        core_list=probe_info["low_pair"] or [0, 1])
     eff_solo = (a_high["docs_per_sec"] / a_low_solo["docs_per_sec"]) / 4.0
     n_docs = a_high["docs"]
 
@@ -428,6 +444,7 @@ def main() -> None:
         # the host-wide probe spread (max/min per-core spin time; ~1.0 on a
         # healthy host, >>1 when a neighbor is stealing specific vCPUs)
         "cores_used": probe_info["cores_used"],
+        "low_pair": probe_info["low_pair"],
         "core_probe_spread": probe_info["spread_all"],
     }
     if eff_b is not None:
@@ -479,8 +496,11 @@ def _write_baseline(result: dict) -> None:
         "neighbor is stealing from this half hour (a fixed 0-7 pin showed",
         "the 2-core leg on quiet cores 0-1 running ABOVE its healthy",
         "baseline while the 8-core leg dragged stolen cores 2-7). The low",
-        "leg takes the two FASTEST selected cores, which biases the ratio",
-        "down — the conservative direction. `cores_used` and",
+        "leg runs on the two cores closest to the selected set's MEAN",
+        "probe speed — per-core quality parity between the levels, which",
+        "is what 'same cluster hardware at N and 4N executors' means (a",
+        "fastest-pair low leg inflates the 2-core baseline by the steal",
+        "spread and deflates the ratio ~9%). `cores_used`, `low_pair` and",
         "`core_probe_spread` in the JSON record what the probe saw.",
         "",
         "Noise/warmup handling: this VM's throughput swings ~25% over",
