@@ -34,7 +34,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["canonicalize_url", "url_dedup", "url_dup_stats",
-           "url_host", "host_stats", "cap_per_host"]
+           "url_host", "host_stats", "cap_per_host",
+           "psl_rules", "registrable_domain"]
 
 _TRACKING_RE = "^(utm_[a-z0-9]+|gclid|fbclid|msclkid)="
 
@@ -155,3 +156,82 @@ def cap_per_host(pages: DataFrame, max_docs: int, url_col: str = "url",
     return (local.withColumn("_rn", F.row_number().over(w_host))
             .where(F.col("_rn") <= max_docs)
             .drop("_rn", "_salt", "_host"))
+
+
+def psl_rules(spark, lines: list[str]) -> DataFrame:
+    """Parse public-suffix-list rule lines into the (name, kind, len)
+    table ``registrable_domain`` joins against. ``kind``: ``n`` plain
+    suffix, ``w`` wildcard base (``*.ck`` stored as ``ck``), ``e``
+    exception (``!www.ck`` stored as ``www.ck``). Comment (``//``) and
+    blank lines are ignored, so the published PSL file can be fed
+    verbatim. The table is a few 10k rows — broadcast by construction."""
+    rows = []
+    for ln in lines:
+        ln = ln.strip()
+        if not ln or ln.startswith("//"):
+            continue
+        if ln.startswith("!"):
+            name, kind = ln[1:], "e"
+        elif ln.startswith("*."):
+            name, kind = ln[2:], "w"
+        else:
+            name, kind = ln, "n"
+        name = name.lower()
+        rows.append((name, kind, name.count(".") + 1))
+    return spark.createDataFrame(rows, "name string, kind string, len int")
+
+
+def registrable_domain(df: DataFrame, rules: DataFrame,
+                       host_col: str = "host",
+                       out_col: str = "etld1") -> DataFrame:
+    """Fold hosts to their registrable domain (eTLD+1) under public-
+    suffix-list semantics: longest matching rule wins, ``*.foo`` makes
+    every direct child of ``foo`` a public suffix, ``!bar.foo``
+    un-suffixes that exact name, and the default rule treats an unknown
+    TLD as the suffix. A host that IS a public suffix folds to null;
+    IP-address hosts fold to themselves.
+
+    Plan shape: each host explodes into its <=~10 label-suffix
+    candidates map-side, the rule table joins BROADCAST, and ONE
+    aggregation shuffle per host resolves the longest match — so the
+    operator costs one narrow shuffle however large the corpus. At
+    10^12 docs, run it on the DISTINCT-host table (~10^8 rows) and join
+    the mapping back instead of folding every row."""
+    h = F.lower(F.col(host_col))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    cands = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            F.array_join(F.slice(labels, n - i + 1, i), ".").alias("cand"),
+            i.alias("clen")),
+    )
+    exploded = df.select(h.alias("_h"), n.alias("_n"),
+                         F.explode(cands).alias("_c")) \
+        .select("_h", "_n", F.col("_c.cand").alias("_cand"),
+                F.col("_c.clen").alias("_clen"))
+    m = exploded.join(F.broadcast(rules), exploded["_cand"] == rules["name"],
+                      "left")
+    agg = m.groupBy("_h", "_n").agg(
+        F.max(F.when(F.col("kind") == "n", F.col("_clen"))).alias("_pn"),
+        # wildcard: base matched AND the host actually has the extra label
+        F.max(F.when((F.col("kind") == "w")
+                     & (F.col("_n") > F.col("_clen")),
+                     F.col("_clen") + 1)).alias("_pw"),
+        F.max(F.when(F.col("kind") == "e", F.col("_clen") - 1)).alias("_pe"),
+    )
+    ps_len = F.coalesce(
+        F.col("_pe"),
+        F.greatest(F.coalesce(F.col("_pn"), F.lit(1)),
+                   F.coalesce(F.col("_pw"), F.lit(1))),
+    )
+    lab2 = F.split(F.col("_h"), r"\.")
+    etld1 = F.when(F.col("_h").rlike(r"^[0-9.]+$"), F.col("_h")) \
+        .when(F.col("_n") > ps_len,
+              F.array_join(
+                  F.slice(lab2, F.col("_n") - ps_len, ps_len + 1), ".")) \
+        .otherwise(F.lit(None))
+    mapping = agg.select(F.col("_h").alias(host_col + "_key"),
+                         etld1.alias(out_col))
+    return df.join(mapping, h == F.col(host_col + "_key"), "left") \
+        .drop(host_col + "_key")

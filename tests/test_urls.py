@@ -153,3 +153,36 @@ def test_cap_per_host_matches_single_window(spark):
 
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_registrable_domain_psl_semantics(spark):
+    from pdfextractor_spark.ops.urls import psl_rules, registrable_domain
+
+    rules = psl_rules(spark, [
+        "// mini public-suffix list for the test",
+        "com", "uk", "co.uk", "jp", "ck", "*.ck", "!www.ck", "github.io",
+    ])
+    hosts = [
+        ("a.b.com", "b.com"),            # longest normal rule: com
+        ("x.co.uk", "x.co.uk"),          # co.uk beats uk
+        ("deep.x.co.uk", "x.co.uk"),
+        ("foo.bar.ck", "foo.bar.ck"),    # *.ck -> bar.ck is the suffix
+        ("bar.ck", None),                # host IS a wildcard public suffix
+        ("www.ck", "www.ck"),            # exception un-suffixes www.ck
+        ("sub.www.ck", "www.ck"),
+        ("user.github.io", "user.github.io"),  # private-domain rule
+        ("pages.user.github.io", "user.github.io"),
+        ("foo.xyzzy", "foo.xyzzy"),      # unknown TLD -> default rule
+        ("com", None),                   # bare public suffix
+        ("192.168.10.1", "192.168.10.1"),  # IP folds to itself
+        ("localhost", None),             # single label, nothing to fold
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    got = {r["host"]: r["etld1"]
+           for r in registrable_domain(df, rules).collect()}
+    for h, want in hosts:
+        assert got[h] == want, (h, got[h], want)
+    # rule side stays broadcast
+    plan = registrable_domain(df, rules) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
