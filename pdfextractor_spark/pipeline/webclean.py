@@ -53,6 +53,7 @@ def prepare_training_corpus(
     extract: bool | None = None,
     url_col: str = "url", ts_col: str = "warc_ts", text_col: str = "text",
     benchmark: DataFrame | None = None,
+    robots: tuple | None = None,
     badwords: list[str] | None = None,
     dup_line_min_count: int | None = 2,
     quality_floor: float | None = None,
@@ -69,6 +70,9 @@ def prepare_training_corpus(
     ``extract=None`` auto-detects: the bronze extraction UDF runs when an
     ``html`` column is present. ``benchmark`` is a DataFrame with a text
     column (eval suite) for decontamination; ``None`` skips that stage.
+    ``robots`` is ``(robots_df, agent)`` — a (host, robots_txt) table +
+    the crawler's user-agent; pages the agent may not fetch get
+    ``robots_allowed = false`` and fold into ``keep``.
 
     Optional selection/assembly stages (all default off):
 
@@ -98,11 +102,23 @@ def prepare_training_corpus(
     df = pages
     if ts_col and ts_col in df.columns:
         df = url_dedup(df, url_col=url_col, ts_col=ts_col)
+    if robots is not None and filter_rows:
+        # politeness gate runs FIRST after url dedup: a disallowed page
+        # must not spend extraction/cleaning compute (hard removal here;
+        # the flag variant below survives for accounting runs)
+        from ..ops.robots import robots_filter
+        df = robots_filter(df, robots[0], robots[1], url_col=url_col) \
+            .where("robots_allowed").drop("robots_allowed")
     if extract is None:
         extract = "html" in df.columns
     if extract:
         from .bronze import extract_bronze
         df = extract_bronze(df).withColumnRenamed("raw_text", text_col)
+    if robots is not None and not filter_rows:
+        # flag-only run: compute AFTER extraction (the bronze UDF projects
+        # its own schema and would drop the flag) so `keep` can report it
+        from ..ops.robots import robots_filter
+        df = robots_filter(df, robots[0], robots[1], url_col=url_col)
     df = c4_clean(df, text_col=text_col, badwords=badwords)
     # repetition is a judgment on the page AS CRAWLED — measure it before
     # line-dedup collapses a spam page's repeats into one innocuous line
@@ -140,6 +156,8 @@ def prepare_training_corpus(
     keep = (F.col("c4_keep") & ~F.col("repetition_flag")
             & ~F.col("is_contaminated")
             & (F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0))
+    if robots is not None and not filter_rows:
+        keep = keep & F.col("robots_allowed")
     if nb_filter is not None and nb_filter.get("keep_labels"):
         keep = keep & F.col("pred_label").isin(list(nb_filter["keep_labels"]))
     if "error" in df.columns:

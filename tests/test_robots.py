@@ -1,0 +1,86 @@
+"""robots.txt filtering (ops/robots.py): RFC 9309 group selection,
+longest-match Allow/Disallow, wildcard/anchor patterns, defaults."""
+
+from pdfextractor_spark.ops.robots import parse_robots, robots_filter
+
+_ROBOTS_A = """\
+# comments are stripped
+User-agent: otherbot
+Disallow: /
+
+User-agent: trainingbot
+User-agent: extrabot
+Disallow: /private/
+Allow: /private/ok/
+Disallow: /*.pdf$
+Disallow: /tmp*
+Disallow:
+
+User-agent: *
+Disallow: /everything/
+"""
+
+_ROBOTS_STAR_ONLY = """\
+User-agent: *
+Disallow: /blocked/
+Allow: /blocked/but-fine
+"""
+
+
+def _robots(spark):
+    return spark.createDataFrame(
+        [("a.com", _ROBOTS_A), ("b.org", _ROBOTS_STAR_ONLY), ("c.net", "")],
+        "host string, robots_txt string",
+    )
+
+
+def test_parse_robots_group_selection(spark):
+    rules = {(r["host"], r["pattern"]): r["allow"]
+             for r in parse_robots(_robots(spark), "trainingbot").collect()}
+    # exact-agent group wins over *; shared UA lines join one group;
+    # empty Disallow is a no-op
+    assert rules == {
+        ("a.com", "/private/"): False,
+        ("a.com", "/private/ok/"): True,
+        ("a.com", "/*.pdf$"): False,
+        ("a.com", "/tmp*"): False,
+        ("b.org", "/blocked/"): False,
+        ("b.org", "/blocked/but-fine"): True,
+    }
+    # an agent with no exact group falls back to *
+    star = {(r["host"], r["pattern"]) for r in
+            parse_robots(_robots(spark), "strangerbot").collect()}
+    assert ("a.com", "/everything/") in star
+    assert ("a.com", "/private/") not in star
+
+
+def test_robots_filter_longest_match_semantics(spark):
+    cases = [
+        ("https://a.com/public/page", True),          # no rule matches
+        ("https://a.com/private/doc", False),         # Disallow /private/
+        ("https://a.com/private/ok/doc", True),       # longer Allow wins
+        ("https://a.com/files/paper.pdf", False),     # /*.pdf$ anchored
+        ("https://a.com/files/paper.pdf.html", True), # $ anchor blocks only exact
+        ("https://a.com/tmpfile", False),             # /tmp* prefix wildcard
+        ("https://a.com/", True),
+        ("https://b.org/blocked/page", False),
+        ("https://b.org/blocked/but-fine/page", True),
+        ("https://c.net/anything", True),             # empty robots file
+        ("https://nohost.io/x", True),                # no robots row at all
+    ]
+    pages = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r["robots_allowed"]
+           for r in robots_filter(pages, _robots(spark), "trainingbot").collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_robots_filter_deterministic_and_keeps_rows(spark):
+    pages = spark.createDataFrame(
+        [(f"https://a.com/p{i}",) for i in range(20)], "url string")
+    out = robots_filter(pages, _robots(spark), "trainingbot")
+    assert out.count() == 20  # flag, not a row filter
+    a = sorted((r["url"], r["robots_allowed"]) for r in out.collect())
+    b = sorted((r["url"], r["robots_allowed"]) for r in
+               robots_filter(pages, _robots(spark), "trainingbot").collect())
+    assert a == b

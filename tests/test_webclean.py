@@ -165,3 +165,27 @@ def test_prepare_training_corpus_selection_stages(spark):
         spam_pages, nb_filter={"model": model, "priors": priors, "keep_labels": {"good"},
                             "n": 1, "buckets": 512})
     assert "https://spam.biz/p" not in {r["url"] for r in gated.collect()}
+
+
+def test_prepare_training_corpus_robots_gate(spark):
+    from pdfextractor_spark.pipeline.webclean import prepare_training_corpus
+
+    pages = _pages(spark, [
+        # distinct texts: content dedup must not interfere with the gate
+        ("https://open.org/a", _TS, None, _GOOD + " Open site page.", "en"),
+        ("https://closed.org/private/a", _TS, None, _GOOD + " Private page.", "en"),
+        ("https://closed.org/public/a", _TS, None, _GOOD + " Public page.", "en"),
+    ])
+    robots = spark.createDataFrame(
+        [("closed.org", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    out = prepare_training_corpus(pages, robots=(robots, "trainingbot"))
+    urls = {r["url"] for r in out.collect()}
+    assert urls == {"https://open.org/a", "https://closed.org/public/a"}
+    # with filter_rows=False the flag is visible instead
+    flagged = prepare_training_corpus(
+        pages, robots=(robots, "trainingbot"), filter_rows=False)
+    got = {r["url"]: (r["robots_allowed"], r["keep"]) for r in flagged.collect()}
+    assert got["https://closed.org/private/a"] == (False, False)
+    assert got["https://open.org/a"] == (True, True)
