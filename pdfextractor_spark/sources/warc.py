@@ -34,7 +34,9 @@ import zlib
 from datetime import datetime, timezone
 from typing import Iterator
 
-__all__ = ["parse_warc", "make_warc", "read_warc"]
+import pandas as pd
+
+__all__ = ["parse_warc", "make_warc", "read_warc", "wet_records", "write_wet"]
 
 _CRLF = b"\r\n"
 
@@ -182,3 +184,68 @@ def make_warc(records: list[dict], per_record_gzip: bool = False) -> bytes:
             record = buf.getvalue()
         out.append(record)
     return b"".join(out)
+
+
+def wet_records(df, url_col: str = "url", text_col: str = "text",
+                ts_col: str = "warc_ts"):
+    """pages/silver rows -> one WET conversion record per row, each its
+    own gzip member (``wet: binary``) — Common Crawl's WET framing, where
+    members concatenate into a valid ``.warc.wet.gz`` in any order.
+
+    Map-only (an Arrow-batched UDF building bytes); because every record
+    is a self-contained member, downstream writers can emit one file per
+    partition with a plain binary concat — no global ordering, no
+    single-writer stage, which is what makes the export scale.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BinaryType())
+    def _wet(urls: pd.Series, texts: pd.Series, tss: pd.Series) -> pd.Series:
+        out = []
+        for url, text, ts in zip(urls, texts, tss):
+            body = (text or "").encode("utf-8")
+            date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                    if ts is not None and not pd.isna(ts)
+                    else "2024-01-01T00:00:00Z")
+            head = (f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                    f"WARC-Target-URI: {url}\r\n"
+                    f"WARC-Date: {date}\r\n"
+                    f"Content-Type: text/plain\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n").encode("latin-1")
+            rec = head + body + _CRLF + _CRLF
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(rec)
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    return df.select(
+        F.col(url_col).alias("url"),
+        _wet(F.col(url_col), F.col(text_col), F.col(ts_col)).alias("wet"),
+    )
+
+
+def write_wet(df, out_dir: str, url_col: str = "url", text_col: str = "text",
+              ts_col: str = "warc_ts") -> list[str]:
+    """Write the frame as ``part-NNNNN.warc.wet.gz`` files under
+    ``out_dir`` (one file per partition, members concatenated). Returns
+    the written file names. Executor-side writes — on a cluster
+    ``out_dir`` must be shared storage, exactly like any file sink."""
+    import os
+
+    recs = wet_records(df, url_col, text_col, ts_col)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(idx, it):
+        path = os.path.join(out_dir, f"part-{idx:05d}.warc.wet.gz")
+        n = 0
+        with open(path, "wb") as f:
+            for row in it:
+                f.write(row["wet"])
+                n += 1
+        yield (path, n) if n else None
+
+    written = [p for p in recs.rdd.mapPartitionsWithIndex(_write).collect()
+               if p is not None]
+    return [p for p, _n in written]

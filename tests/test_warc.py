@@ -64,3 +64,35 @@ def test_read_warc_into_pages_and_extract(spark, tmp_path):
     assert silver["http://c.example/x"]["parser"] == "html"
     # the fake PDF payload routes down the pdf branch -> per-row error
     assert silver["http://b.example/doc.pdf"]["error"] is not None
+
+
+def test_wet_export_round_trips_through_parse_warc(spark, tmp_path):
+    import datetime as dt
+
+    from pdfextractor_spark.sources.warc import parse_warc, wet_records, write_wet
+
+    rows = [
+        ("https://a.com/x", dt.datetime(2024, 3, 1, 12, 0, 0), "Hello WET.\nLine two."),
+        ("https://b.org/y", None, "Unicode: éclair 日本語"),
+        ("https://c.net/z", dt.datetime(2023, 7, 4), ""),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    # member-level round trip: concatenated members parse as conversion records
+    members = {r["url"]: bytes(r["wet"]) for r in wet_records(df).collect()}
+    blob = b"".join(members[u] for u, _, _ in rows)
+    recs = list(parse_warc(blob))
+    assert [r["type"] for r in recs] == ["conversion"] * 3
+    got = {r["url"]: r["body"].decode("utf-8") for r in recs}
+    for url, _ts, text in rows:
+        assert got[url] == text
+    assert recs[0]["date"] == "2024-03-01T12:00:00Z"
+    # file-level: write per-partition .wet.gz files and re-parse them all
+    out_dir = str(tmp_path / "wet")
+    files = write_wet(df.repartition(2), out_dir)
+    assert files and all(f.endswith(".warc.wet.gz") for f in files)
+    parsed = {}
+    for f in files:
+        with open(f, "rb") as fh:
+            for r in parse_warc(fh.read()):
+                parsed[r["url"]] = r["body"].decode("utf-8")
+    assert parsed == {u: t for u, _ts, t in rows}
