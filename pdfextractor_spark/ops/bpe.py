@@ -55,7 +55,12 @@ __all__ = ["train_bpe", "apply_bpe", "encode_word", "decode_tokens", "EOW"]
 # any single input character.
 EOW = "</w>"
 
-_WS_SPLIT = re.compile(r"\s+")
+# re.ASCII pins \s to [ \t\n\r\f\v] — the same set Java's \s matches —
+# so pretokenization agrees byte-for-byte with train_bpe's Spark-side
+# F.split(_t, r"\s+"): a word containing NBSP (common in extracted HTML)
+# must be ONE word on both sides or encode never sees what training
+# counted
+_WS_SPLIT = re.compile(r"\s+", re.ASCII)
 
 
 # ---------------------------------------------------------------------------
@@ -170,6 +175,29 @@ def train_bpe(
 # ---------------------------------------------------------------------------
 
 
+# per-PROCESS word->tokens caches, keyed by merge-table identity and kept
+# alive with the table itself (a cache local to the UDF body would be
+# rebuilt every Arrow batch, re-running the merge loop for the Zipf-head
+# words each ~10k rows). Bounded: last few models, 1M words each.
+_WORD_CACHES: dict = {}
+
+
+def _process_cache(ranks: dict, max_models: int = 4,
+                   max_words: int = 1_000_000) -> dict:
+    key = id(ranks)
+    hit = _WORD_CACHES.get(key)
+    if hit is not None:
+        cache = hit[1]
+        if len(cache) > max_words:
+            cache.clear()
+        return cache
+    while len(_WORD_CACHES) >= max_models:
+        _WORD_CACHES.pop(next(iter(_WORD_CACHES)))
+    cache: dict = {}
+    _WORD_CACHES[key] = (ranks, cache)  # ref keeps id() stable
+    return cache
+
+
 def encode_word(word: str, ranks: dict, cache: dict | None = None) -> list:
     """Greedy BPE segmentation of one word: repeatedly merge the present
     pair with the lowest merge rank (GPT-2 encoder semantics)."""
@@ -229,7 +257,7 @@ def apply_bpe(
     @F.pandas_udf(schema)
     def _encode(texts: pd.Series) -> pd.DataFrame:
         r = bc.value
-        cache: dict = {}
+        cache = _process_cache(r)
         ns, tok_lists = [], []
         for t in texts:
             if t is None or not t:

@@ -137,7 +137,8 @@ def _pattern_regex(pattern: Column) -> Column:
     """robots path pattern -> anchored regex, natively: regex metachars
     escaped, ``*`` -> ``.*``, trailing ``$`` kept as the anchor."""
     anchored = pattern.endswith("$")
-    body = F.when(anchored, F.expr("substring(pattern, 1, length(pattern) - 1)")) \
+    body = F.when(anchored,
+                  pattern.substr(F.lit(1), F.length(pattern) - 1)) \
         .otherwise(pattern)
     esc = F.regexp_replace(body, r"[.\^$+?()\[\]{}|\\]", r"\\$0")
     wild = F.regexp_replace(esc, r"\*", ".*")
@@ -149,14 +150,20 @@ def robots_filter(pages: DataFrame, robots: DataFrame,
                   agent: str = "trainingbot", url_col: str = "url",
                   keep_col: str = "robots_allowed") -> DataFrame:
     """pages + ``robots_allowed``: longest-match Allow/Disallow decision
-    for each url's path under its host's rules (allow wins length ties;
-    no rules / no robots row => allowed)."""
+    for each url's path-plus-query under its host's rules (allow wins
+    length ties; no rules / no robots row => allowed). Rules match the
+    path WITH its query string appended — the robots spec's match target
+    — so ``Disallow: /*?`` and ``Disallow: /search?`` work."""
     rules = parse_robots(robots, agent)
     rules = rules.withColumn("_re", _pattern_regex(F.col("pattern"))) \
         .withColumn("_plen", F.length("pattern"))
     path = F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    path = F.when(path == "", "/").otherwise(path)
+    query = F.try_parse_url(F.col(url_col), F.lit("QUERY"))
+    target = F.when(query.isNotNull(),
+                    F.concat(path, F.lit("?"), query)).otherwise(path)
     p = pages.withColumn("_host", url_host(url_col, strip_www=False)) \
-        .withColumn("_path", F.when(path == "", "/").otherwise(path))
+        .withColumn("_path", target)
     joined = p.select(F.col(url_col).alias("_u"), "_host", "_path") \
         .join(rules, p["_host"] == rules["host"], "left") \
         .withColumn("_hit", F.regexp_like(F.col("_path"), F.col("_re")))

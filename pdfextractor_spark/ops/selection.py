@@ -64,22 +64,33 @@ def _tokens(text_col):
 
 
 def hashed_ngram_buckets(text_col, n: int = 2, buckets: int = 10_000):
-    """array<int> of hashed word-n-gram bucket ids for one document."""
+    """array<int> of hashed word-n-gram bucket ids for one document —
+    empty when the document has fewer than ``n`` tokens (guarded:
+    ``sequence(1, 0)`` counts DOWN in Spark, so the unguarded transform
+    would evaluate ``slice(toks, 0, n)`` and throw)."""
     toks = _tokens(text_col)
     if n == 1:
         grams = toks
     else:
-        grams = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        m = F.size(toks) - (n - 1)
+        grams = F.when(m <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
         )
     return F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(buckets)).cast("int"))
 
 
-def _doc_buckets(df: DataFrame, id_col: str, text_col: str, n: int, buckets: int) -> DataFrame:
+def _doc_buckets(df: DataFrame, id_col: str, text_col: str, n: int,
+                 buckets: int, keep_empty: bool = False) -> DataFrame:
+    """(id, bucket) pairs; with ``keep_empty`` a featureless document
+    contributes one null-bucket sentinel row (explode_outer) so per-doc
+    aggregations still see every id without an extra join."""
+    explode = F.explode_outer if keep_empty else F.explode
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(hashed_ngram_buckets(F.col(text_col), n, buckets)).alias("bucket"),
+        explode(hashed_ngram_buckets(F.col(text_col), n, buckets)).alias("bucket"),
     )
 
 
@@ -203,9 +214,11 @@ def score_nb(df: DataFrame, model: DataFrame, priors: list,
     sum_f log p(f|label)] with per-label OOV floors for unseen buckets.
     Scoring is one broadcast join (bucket -> map<label,logp>) + one
     per-document aggregation; ties break to the greatest label string.
-    Documents with no features (empty text) score null for every label
-    and get a null prediction."""
-    doc = _doc_buckets(df, id_col, text_col, n, buckets)
+    Output has EXACTLY one row per distinct input id — documents with no
+    features (empty text) get a null prediction row via an explode_outer
+    sentinel (no extra join), so callers can join back without losing
+    rows."""
+    doc = _doc_buckets(df, id_col, text_col, n, buckets, keep_empty=True)
     wide = F.broadcast(
         model.groupBy("bucket").agg(
             F.map_from_entries(F.collect_list(F.struct("label", "logp"))).alias("lp")
@@ -218,7 +231,10 @@ def score_nb(df: DataFrame, model: DataFrame, priors: list,
         ).alias(f"_s_{i}")
         for i, (label, _prior, floor) in enumerate(priors)
     ]
-    agg = joined.groupBy("id").agg(*per_label)
+    # count only REAL features: the sentinel row's null bucket must not
+    # let a featureless doc score the OOV floor and get a prediction
+    agg = joined.groupBy("id").agg(
+        F.count(F.col("bucket")).alias("_nf"), *per_label)
     candidates = F.array(
         *[
             # struct compare is lexicographic: score first, then label —
@@ -231,8 +247,9 @@ def score_nb(df: DataFrame, model: DataFrame, priors: list,
         ]
     )
     best = F.array_max(F.filter(candidates, lambda c: c["s"].isNotNull()))
+    has_features = F.col("_nf") > 0
     return agg.select(
         "id",
-        best["label"].alias("pred_label"),
-        F.round(best["s"], 6).alias("best_logp"),
+        F.when(has_features, best["label"]).alias("pred_label"),
+        F.when(has_features, F.round(best["s"], 6)).alias("best_logp"),
     )

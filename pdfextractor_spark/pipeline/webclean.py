@@ -94,6 +94,11 @@ def prepare_training_corpus(
     - ``shard_budget``: greedy-pack the final docs into training shards
       of ~this many tokens (``bpe_tokens`` when available, else
       ``ws_tokens``), adding ``shard_id``.
+
+    ``dsir`` and ``shard_budget`` are selection/assembly stages that
+    physically drop and regroup rows, so they run only with
+    ``filter_rows=True``; a ``filter_rows=False`` accounting run returns
+    the flagged frame before them.
     """
     from ..ops.cleaning import c4_clean, contamination_check, dedup_lines, redact_pii
     from ..ops.textstats import with_quality, with_repetition, with_token_count
@@ -159,7 +164,11 @@ def prepare_training_corpus(
     if robots is not None and not filter_rows:
         keep = keep & F.col("robots_allowed")
     if nb_filter is not None and nb_filter.get("keep_labels"):
-        keep = keep & F.col("pred_label").isin(list(nb_filter["keep_labels"]))
+        # null-safe: a featureless doc has pred_label null; isin(null) is
+        # null and a null keep would be neither kept nor counted dropped
+        keep = keep & F.coalesce(
+            F.col("pred_label").isin(list(nb_filter["keep_labels"])),
+            F.lit(False))
     if "error" in df.columns:
         keep = keep & F.col("error").isNull()
     if quality_floor is not None:
@@ -170,6 +179,12 @@ def prepare_training_corpus(
     if max_docs_per_host:
         df = cap_per_host(df, max_docs_per_host, url_col=url_col,
                           order_col="quality_score")
+    # dsir / shard packing are SELECTION/ASSEMBLY stages: they physically
+    # drop and regroup rows, which contradicts a flag-only accounting run
+    # (and would train the DSIR source LM on keep=false junk), so they
+    # only run when filter_rows=True
+    if not filter_rows:
+        return df
     if dsir is not None:
         from ..ops.selection import dsir_resample, dsir_weights, train_hashed_lm
         n = dsir.get("n", 2)

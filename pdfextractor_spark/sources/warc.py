@@ -89,7 +89,11 @@ def parse_warc(data: bytes) -> Iterator[dict]:
         head_end = raw.find(b"\r\n\r\n", pos)
         if head_end < 0:
             break  # trailing garbage / truncation: no full header block
-        head = raw[pos:head_end].decode("latin-1", errors="replace")
+        head_bytes = raw[pos:head_end]
+        try:
+            head = head_bytes.decode("utf-8")  # WARC 1.0 headers are UTF-8
+        except UnicodeDecodeError:
+            head = head_bytes.decode("latin-1", errors="replace")
         lines = head.split("\r\n")
         if not lines[0].startswith("WARC/"):
             raise ValueError(f"not a WARC record at offset {pos}: {lines[0][:40]!r}")
@@ -202,17 +206,23 @@ def wet_records(df, url_col: str = "url", text_col: str = "text",
 
     @F.pandas_udf(T.BinaryType())
     def _wet(urls: pd.Series, texts: pd.Series, tss: pd.Series) -> pd.Series:
+        import re as _re
+
         out = []
         for url, text, ts in zip(urls, texts, tss):
             body = (text or "").encode("utf-8")
             date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
                     if ts is not None and not pd.isna(ts)
                     else "2024-01-01T00:00:00Z")
+            # header values are UTF-8 per WARC 1.0; strip control chars
+            # from the URI so a crafted url can't inject header lines or
+            # break the Content-Length framing
+            safe_url = _re.sub(r"[\x00-\x1f\x7f]+", "", str(url or ""))
             head = (f"WARC/1.0\r\nWARC-Type: conversion\r\n"
-                    f"WARC-Target-URI: {url}\r\n"
+                    f"WARC-Target-URI: {safe_url}\r\n"
                     f"WARC-Date: {date}\r\n"
                     f"Content-Type: text/plain\r\n"
-                    f"Content-Length: {len(body)}\r\n\r\n").encode("latin-1")
+                    f"Content-Length: {len(body)}\r\n\r\n").encode("utf-8")
             rec = head + body + _CRLF + _CRLF
             buf = io.BytesIO()
             with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
@@ -238,12 +248,20 @@ def write_wet(df, out_dir: str, url_col: str = "url", text_col: str = "text",
     os.makedirs(out_dir, exist_ok=True)
 
     def _write(idx, it):
+        # open lazily on the first row: empty partitions (normal after
+        # filtering) must not leave zero-byte invalid gzip files behind
         path = os.path.join(out_dir, f"part-{idx:05d}.warc.wet.gz")
+        f = None
         n = 0
-        with open(path, "wb") as f:
+        try:
             for row in it:
+                if f is None:
+                    f = open(path, "wb")
                 f.write(row["wet"])
                 n += 1
+        finally:
+            if f is not None:
+                f.close()
         yield (path, n) if n else None
 
     written = [p for p in recs.rdd.mapPartitionsWithIndex(_write).collect()

@@ -105,3 +105,19 @@ def test_apply_bpe_matches_pure_python_on_testdata(spark, sf_dir):
             for w in (r["text"] or "").split()
         )
         assert got[r["doc_id"]] == expect
+
+
+def test_whitespace_semantics_match_spark_split(spark):
+    """Training splits with Java \\s (ASCII); encoding must agree: a word
+    containing NBSP is ONE word on both sides."""
+    from pdfextractor_spark.ops.bpe import _WS_SPLIT
+
+    assert _WS_SPLIT.split("a b c") == ["a b", "c"]
+    df = spark.createDataFrame([("a b a b a b c c",)], "text string")
+    merges = train_bpe(df, num_merges=4, min_count=2)
+    out = apply_bpe(df, merges, tokens_col="toks").collect()[0]
+    # counts computed against the trained word statistics, not a re-split
+    ranks = {p: i for i, p in enumerate(merges)}
+    expect = sum(len(encode_word(w, ranks, {}))
+                 for w in ["a b", "a b", "a b", "c", "c"])
+    assert out["bpe_tokens"] == expect

@@ -84,3 +84,21 @@ def test_robots_filter_deterministic_and_keeps_rows(spark):
     b = sorted((r["url"], r["robots_allowed"]) for r in
                robots_filter(pages, _robots(spark), "trainingbot").collect())
     assert a == b
+
+
+def test_robots_rules_match_query_string(spark):
+    robots = spark.createDataFrame(
+        [("q.com", "User-agent: *\nDisallow: /*?\nAllow: /search?safe=1\n")],
+        "host string, robots_txt string",
+    )
+    cases = [
+        ("https://q.com/page", True),              # no query
+        ("https://q.com/page?x=1", False),         # /*? blocks any query
+        ("https://q.com/search?safe=1", True),     # longer Allow wins
+        ("https://q.com/search?safe=0", False),
+    ]
+    pages = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r["robots_allowed"]
+           for r in robots_filter(pages, robots, "anybot").collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)

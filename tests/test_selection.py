@@ -140,3 +140,26 @@ def test_nb_classifier_separable_and_exact(spark):
     plan = score_nb(test_docs, model, priors, n=1, buckets=_B) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_short_and_featureless_docs_do_not_crash(spark):
+    """Regression: sequence(1,0) counts DOWN in Spark — unguarded, a doc
+    with fewer than n tokens made slice(toks, 0, n) throw and killed the
+    stage; and score_nb must emit one row per input id, null for
+    featureless docs."""
+    docs = _df(spark, [("one", "single"), ("zero", ""), ("two", "two tokens")])
+    lm = train_hashed_lm(docs, n=2, buckets=_B)  # must not raise
+    assert lm.count() >= 1
+    w = dsir_weights(docs, lm, lm, n=2, buckets=_B)
+    got = {r["id"]: r["log_weight"] for r in w.collect()}
+    assert "two" in got  # the only doc with a bigram
+    assert "one" not in got and "zero" not in got  # no features -> no weight
+    # NB: featureless docs present with null prediction
+    train = spark.createDataFrame([("single token text", "a")],
+                                  "text string, label string")
+    model, priors = train_nb(train, n=1, buckets=_B)
+    rows = {r["id"]: r["pred_label"]
+            for r in score_nb(docs, model, priors, n=1, buckets=_B).collect()}
+    assert set(rows) == {"one", "zero", "two"}
+    assert rows["zero"] is None
+    assert rows["one"] == "a"

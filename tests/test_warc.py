@@ -96,3 +96,28 @@ def test_wet_export_round_trips_through_parse_warc(spark, tmp_path):
             for r in parse_warc(fh.read()):
                 parsed[r["url"]] = r["body"].decode("utf-8")
     assert parsed == {u: t for u, _ts, t in rows}
+
+
+def test_wet_export_unicode_and_hostile_urls(spark, tmp_path):
+    import os
+
+    from pdfextractor_spark.sources.warc import parse_warc, wet_records, write_wet
+
+    rows = [
+        ("https://example.com/日本語/ページ", None, "unicode path doc"),
+        ("https://evil.com/x\r\nWARC-Type: injected", None, "crlf doc"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    blob = b"".join(bytes(r["wet"]) for r in wet_records(df).collect())
+    recs = list(parse_warc(blob))
+    assert len(recs) == 2 and all(r["type"] == "conversion" for r in recs)
+    by_body = {r["body"].decode("utf-8"): r for r in recs}
+    # unicode URI round-trips; control chars are stripped, not injected
+    assert by_body["unicode path doc"]["url"] == "https://example.com/日本語/ページ"
+    assert by_body["crlf doc"]["url"] == "https://evil.com/xWARC-Type: injected"
+    # empty partitions leave no zero-byte invalid gzip files behind
+    out_dir = str(tmp_path / "wet2")
+    files = write_wet(df.repartition(8), out_dir)
+    on_disk = sorted(os.listdir(out_dir))
+    assert sorted(os.path.basename(f) for f in files) == on_disk
+    assert all(os.path.getsize(os.path.join(out_dir, f)) > 0 for f in on_disk)

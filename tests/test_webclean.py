@@ -189,3 +189,33 @@ def test_prepare_training_corpus_robots_gate(spark):
     got = {r["url"]: (r["robots_allowed"], r["keep"]) for r in flagged.collect()}
     assert got["https://closed.org/private/a"] == (False, False)
     assert got["https://open.org/a"] == (True, True)
+
+
+def test_flag_only_run_skips_selection_and_assembly(spark):
+    """filter_rows=False is the accounting contract: every input page one
+    row, flags visible — dsir/shard stages must not drop or regroup."""
+    from pdfextractor_spark.pipeline.webclean import prepare_training_corpus
+
+    rows = [
+        (f"https://s{i}.org/a", _TS, None,
+         _GOOD + f" Unique closing sentence number {i} here.", "en")
+        for i in range(6)
+    ]
+    pages = _pages(spark, rows)
+    target = spark.createDataFrame([(_GOOD,)], "text string")
+    flagged = prepare_training_corpus(
+        pages, filter_rows=False,
+        dsir={"target": target, "k": 2, "n": 1, "buckets": 256},
+        shard_budget=100,
+    )
+    assert flagged.count() == len(rows)       # nothing dropped
+    assert "keep" in flagged.columns
+    assert "shard_id" not in flagged.columns  # assembly skipped
+    # the same config WITH filtering applies the selection
+    picked = prepare_training_corpus(
+        pages, filter_rows=True,
+        dsir={"target": target, "k": 2, "n": 1, "buckets": 256},
+        shard_budget=100,
+    )
+    assert picked.count() == 2
+    assert "shard_id" in picked.columns
