@@ -19,15 +19,16 @@ Expressed Spark-first:
   (the published tie-break). Unmatched paths and hosts with no robots
   row are allowed (the spec's default).
 
-Rule matching explodes pages x their-host's-rules (robots files average
-a few dozen rules), so the operator is one broadcast-or-shuffle join and
-one per-url aggregation — the same shape as the PSL fold.
+Rule matching folds each host's rules into one ARRAY row and decides
+the longest match MAP-SIDE with higher-order functions over the joined
+array — one broadcast-or-shuffle join on host, zero shuffles of the
+page table on url.
 
 At 100 TB: the robots side is one row per HOST (~10^8), orders of
-magnitude under the page table; the join shuffles on host where the
-page side is already clustered after the per-host stages, and the rule
-explosion multiplies rows by the rule count only inside the join stage,
-never materialized.
+magnitude under the page table; the only full-table shuffle is the
+host join (map-side when AQE broadcasts the folded rules), the rule
+fold's groupBy runs on the robots table alone, and the verdict is a
+projection.
 
 Reference parity note: the reference repo has no crawl-politeness
 surface; this implements the graft brief's webtext capability from the
@@ -75,7 +76,13 @@ def _rules_for_agent(txt: Column, agent: str) -> Column:
         lambda acc, l: F.struct(
             F.when(F.lower(l).rlike(r"^user-agent\s*:") & ~acc["prev_ua"],
                    acc["gid"] + 1).otherwise(acc["gid"]).alias("gid"),
-            F.lower(l).rlike(r"^user-agent\s*:").alias("prev_ua"),
+            # RFC 9309 ABNF: group = startgroupline *(startgroupline /
+            # emptyline) *(rule / emptyline) — a blank (or comment-only,
+            # already stripped to "") line between consecutive User-agent
+            # lines does NOT close the startgroupline run, so the UA run
+            # survives it; only an actual directive line ends the run.
+            F.when(l == "", acc["prev_ua"])
+            .otherwise(F.lower(l).rlike(r"^user-agent\s*:")).alias("prev_ua"),
             F.when(
                 F.lower(l).rlike(r"^user-agent\s*:"),
                 F.array_append(acc["out"], F.struct(
@@ -154,29 +161,37 @@ def robots_filter(pages: DataFrame, robots: DataFrame,
     length ties; no rules / no robots row => allowed). Rules match the
     path WITH its query string appended — the robots spec's match target
     — so ``Disallow: /*?`` and ``Disallow: /search?`` work."""
+    # ONE-PASS shape: fold each host's rules into an ARRAY (the shuffle is
+    # on the robots table — one row per host, orders of magnitude under the
+    # page table), join pages to that array once on host, and decide the
+    # longest match MAP-SIDE with higher-order functions. The page table is
+    # never shuffled on url at all (the previous explode -> groupBy(url) ->
+    # join-back shape paid two url-keyed shuffles of the full page table).
     rules = parse_robots(robots, agent)
-    rules = rules.withColumn("_re", _pattern_regex(F.col("pattern"))) \
-        .withColumn("_plen", F.length("pattern"))
+    by_host = (rules
+               .select(F.col("host").alias("_rhost"),
+                       F.struct(_pattern_regex(F.col("pattern")).alias("re"),
+                                F.length("pattern").alias("plen"),
+                                F.col("allow").alias("allow")).alias("_r"))
+               # groupBy tolerates duplicate host rows in the robots table
+               # (their rule sets union, matching the exploded-join shape)
+               .groupBy("_rhost").agg(F.collect_list("_r").alias("_rules")))
     path = F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
     path = F.when(path == "", "/").otherwise(path)
     query = F.try_parse_url(F.col(url_col), F.lit("QUERY"))
     target = F.when(query.isNotNull(),
                     F.concat(path, F.lit("?"), query)).otherwise(path)
-    p = pages.withColumn("_host", url_host(url_col, strip_www=False)) \
-        .withColumn("_path", target)
-    joined = p.select(F.col(url_col).alias("_u"), "_host", "_path") \
-        .join(rules, p["_host"] == rules["host"], "left") \
-        .withColumn("_hit", F.regexp_like(F.col("_path"), F.col("_re")))
-    verdict = (
-        joined.groupBy("_u").agg(
-            # longest matching rule; allow=true wins ties -> order by
-            # (len, allow) and take the max struct
-            F.max(F.when(F.col("_hit"),
-                         F.struct(F.col("_plen").alias("l"),
-                                  F.col("allow").alias("a")))).alias("_best"))
-        .select(F.col("_u"),
-                F.coalesce(F.col("_best.a"), F.lit(True)).alias(keep_col))
-    )
-    return pages.join(verdict, pages[url_col] == verdict["_u"], "left") \
-        .drop("_u") \
-        .withColumn(keep_col, F.coalesce(F.col(keep_col), F.lit(True)))
+    joined = (pages
+              .withColumn("_host", url_host(url_col, strip_www=False))
+              .withColumn("_tgt", target)
+              .join(by_host, F.col("_host") == F.col("_rhost"), "left"))
+    # longest matching rule; allow=true wins ties -> max of (len, allow)
+    # structs over the matching subset (array_max of an empty/null array is
+    # null -> allowed, the spec default)
+    hits = F.filter(F.col("_rules"),
+                    lambda r: F.regexp_like(F.col("_tgt"), r["re"]))
+    best = F.array_max(F.transform(
+        hits, lambda r: F.struct(r["plen"].alias("l"), r["allow"].alias("a"))))
+    return (joined
+            .withColumn(keep_col, F.coalesce(best["a"], F.lit(True)))
+            .drop("_rhost", "_rules", "_host", "_tgt"))

@@ -102,3 +102,51 @@ def test_robots_rules_match_query_string(spark):
            for r in robots_filter(pages, robots, "anybot").collect()}
     for u, want in cases:
         assert got[u] == want, (u, got[u], want)
+
+
+def test_blank_line_between_ua_lines_keeps_group(spark):
+    # RFC 9309 ABNF allows emptyline between startgrouplines: a blank (or
+    # comment-only) line between two User-agent lines must NOT split the
+    # group — earlier agents would otherwise get zero rules and the gate
+    # would fail open.
+    txt = (
+        "User-agent: trainingbot\n"
+        "\n"
+        "# comment only\n"
+        "User-agent: helperbot\n"
+        "Disallow: /x/\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /star/\n"
+    )
+    robots = spark.createDataFrame([("g.com", txt)],
+                                   "host string, robots_txt string")
+    for agent in ("trainingbot", "helperbot"):
+        rules = {(r["pattern"], r["allow"])
+                 for r in parse_robots(robots, agent).collect()}
+        assert rules == {("/x/", False)}, (agent, rules)
+    # a rule line DOES close the UA run: the next UA starts a new group
+    txt2 = (
+        "User-agent: trainingbot\n"
+        "Disallow: /a/\n"
+        "User-agent: helperbot\n"
+        "Disallow: /b/\n"
+    )
+    robots2 = spark.createDataFrame([("g.com", txt2)],
+                                    "host string, robots_txt string")
+    rules2 = {r["pattern"] for r in parse_robots(robots2, "trainingbot").collect()}
+    assert rules2 == {"/a/"}
+
+
+def test_robots_filter_never_shuffles_pages_on_url(spark):
+    # the politeness gate runs over EVERY page before extraction: the page
+    # table must see at most the host join — never a url-keyed Exchange
+    # (the old explode -> groupBy(url) -> join-back shape paid two)
+    pages = spark.createDataFrame(
+        [(f"https://a.com/p{i}",) for i in range(50)], "url string")
+    out = robots_filter(pages, _robots(spark), "trainingbot")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(url" not in plan
+    assert "hashpartitioning(_u" not in plan
+    # allowed: the robots-side rule fold + (at most) a host-keyed join
+    assert plan.count("Exchange hashpartitioning") <= 2
