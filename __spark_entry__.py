@@ -596,12 +596,16 @@ def gold_bmp_dedupe_from_flat(b):
 
 def q_extract_reports(spark, sf_dir):
     """Silver extraction over the documents table with a DETERMINISM
-    bound-flag: two fresh, independently-partitioned extraction runs over a
-    deterministic ~10% sample must produce byte-identical silver rows
-    (sha2 over the canonical row JSON). The oracle pins cardinality, the
-    url/lang mapping, and the flag TRUE; the entity-count math is oracled
-    by the dedicated rollup queries (goal_regex_rollup,
-    extract_pattern_usage, gold_*)."""
+    bound-flag: the FULL run's rows (cached, so extraction executes once)
+    are digested against one fresh, differently-partitioned re-extraction
+    of a deterministic ~2% sample — byte-identical silver rows (sha2 over
+    the canonical row JSON) across partitionings is the invariant. The r3
+    shape re-ran extraction on a 10% sample TWICE on top of the full run,
+    tripling the flagship query's bench cost; reusing the full run as leg
+    A keeps the cross-partitioning digest oracle at one extra 2% job. The
+    oracle pins cardinality, the url/lang mapping, and the flag TRUE; the
+    entity-count math is oracled by the dedicated rollup queries
+    (goal_regex_rollup, extract_pattern_usage, gold_*)."""
     from pdfextractor_spark.pipeline.silver import extract_silver
 
     docs = _t(spark, sf_dir, "documents")
@@ -610,15 +614,22 @@ def q_extract_reports(spark, sf_dir):
         F.col("lang"),
         F.col("text").alias("raw_text"),
     )
-    silver = extract_silver(bronze_like, mode="naive")
-    sample = bronze_like.where(F.col("doc_id") % 10 == 0)
+    # cache: the full-run rows serve BOTH the returned silver output and
+    # digest leg A below; without it the plan re-runs the full extraction
+    # once per reference (extraction is per-row pure mapInPandas, so the
+    # full run restricted to the sample is bit-identical to a fresh
+    # sample run iff the job is partitioning-deterministic — the flag)
+    silver = extract_silver(bronze_like, mode="naive").cache()
 
     def _digests(df: DataFrame) -> DataFrame:
         row_json = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
         return df.select("url", F.sha2(row_json, 256).alias("digest"))
 
-    a = _digests(extract_silver(sample.repartition(4, "url"), mode="naive"))
-    b = _digests(extract_silver(sample.repartition(7), mode="naive"))
+    in_sample = F.regexp_extract("url", r"^doc://(\d+)$", 1).cast("long") % 50 == 0
+    a = _digests(silver.where(in_sample))
+    b = _digests(extract_silver(
+        bronze_like.where(F.col("doc_id") % 50 == 0).repartition(7),
+        mode="naive"))
     agree = (
         a.withColumnRenamed("digest", "da")
         .join(b.withColumnRenamed("digest", "db"), "url", "full_outer")
@@ -1559,10 +1570,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "extract_reports": """
-            -- determinism bound-flag: the Spark query re-runs extraction on
-            -- a 10% sample under two different partitionings and compares
-            -- sha256 row digests; the oracle pins cardinality, url/lang
-            -- mapping, and the agreement flag TRUE
+            -- determinism bound-flag: the Spark query digests the full
+            -- run's rows against a fresh differently-partitioned 2%-sample
+            -- re-extraction (sha256 row digests); the oracle pins
+            -- cardinality, url/lang mapping, and the agreement flag TRUE
             SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, lang,
                    TRUE AS runs_agree
             FROM documents
