@@ -48,7 +48,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -148,20 +148,80 @@ def dsir_weights(df: DataFrame, target_model: DataFrame, source_model: DataFrame
 
 
 def dsir_resample(df: DataFrame, weights: DataFrame, k: int,
-                  id_col: str = "doc_id", seed: int = 17) -> DataFrame:
+                  id_col: str = "doc_id", seed: int = 17,
+                  exact_k_threshold: int = 500_000) -> DataFrame:
     """Keep k rows of ``df`` sampled without replacement with probability
     proportional to exp(log_weight): deterministic Gumbel top-k keyed on
-    ``xxhash64(id, seed)`` — reproducible under any partitioning, executed
-    as a TakeOrderedAndProject (no global sort materialization)."""
+    ``xxhash64(id, seed)`` — reproducible under any partitioning.
+
+    Two physical paths with IDENTICAL results (both select the top-k by
+    ``(_gkey desc, id)``):
+
+    - ``k <= exact_k_threshold``: ``orderBy().limit(k)`` — Spark's
+      TakeOrderedAndProject merges per-partition heaps on the driver,
+      fine for bounded k — and a broadcast semi-join back to ``df``.
+    - large k (the documented 100 TB use: resample a cleaned pool down to
+      a 10^7-10^9-doc training set, where a driver merge and a broadcast
+      of k ids are both scale-killers): approxQuantile finds a cutoff
+      whose rank is guaranteed past k (rank error <= eps*n by the
+      Greenwald-Khanna bound, eps sized so the candidate band is
+      ~k*(1+delta)); the candidates are range-partitioned on the sort key
+      and ranked EXACTLY with a per-partition row_number plus a
+      driver-side prefix sum of the bounded per-partition counts (the
+      pack_shards two-level trick) — no TakeOrderedAndProject, no
+      driver-sized collect, and the final semi-join carries NO broadcast
+      hint (AQE picks the strategy for a k-row build side).
+    """
     u = (F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(_M31)) + 0.5) / float(_M31)
     gumbel = -F.log(-F.log(u))
     keyed = weights.select(
         "id", (F.col("log_weight") + gumbel).alias("_gkey")
     )
-    picked = keyed.orderBy(F.col("_gkey").desc(), F.col("id")).limit(k)
-    return df.join(
-        F.broadcast(picked.select(F.col("id").alias(id_col))), id_col, "semi"
-    )
+    if k <= exact_k_threshold:
+        picked = keyed.orderBy(F.col("_gkey").desc(), F.col("id")).limit(k)
+        return df.join(
+            F.broadcast(picked.select(F.col("id").alias(id_col))), id_col, "semi"
+        )
+    n = keyed.count()
+    if n <= k:
+        return df.join(keyed.select(F.col("id").alias(id_col)), id_col, "semi")
+    # cutoff c with rank-from-top guaranteed in [k(1+d/2), k(1+3d/2)]:
+    # quantile at 1 - k(1+d)/n with rank error eps*n = d*k/2, so
+    # {_gkey >= c} surely contains the true top-k and is ~k(1+d) rows
+    delta = 0.1
+    q_lo = 1.0 - (k * (1.0 + delta)) / n
+    if q_lo <= 0.0:
+        cand = keyed
+    else:
+        eps = max(delta * k / (2.0 * n), 1e-7)
+        (cutoff,) = keyed.approxQuantile("_gkey", [q_lo], eps)
+        cand = keyed.where(F.col("_gkey") >= cutoff)
+        if cand.count() < k:  # pathological tie mass / NaN keys: stay exact
+            cand = keyed
+    spark = df.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # persist AFTER the range partition: the per-partition counts job and
+    # the ranking job must observe the SAME partition assignment (range
+    # boundaries come from a sampling pass, so recomputation could move
+    # boundary rows between partitions otherwise). The cached band is
+    # ~k*(1+delta) (id, double) rows spread over the cluster.
+    cand = (cand.repartitionByRange(parts, F.col("_gkey").desc(), F.col("id"))
+            .withColumn("_pid", F.spark_partition_id())
+            .persist())
+    sizes = {r["_pid"]: r["cnt"] for r in
+             cand.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):  # range partitions are ordered by the sort key
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in sorted(sizes) for x in (pid, offsets[pid])])
+    w = Window.partitionBy("_pid").orderBy(F.col("_gkey").desc(), F.col("id"))
+    picked = (cand
+              .withColumn("_rk", F.row_number().over(w) + off_map[F.col("_pid")])
+              .where(F.col("_rk") <= k)
+              .select(F.col("id").alias(id_col)))
+    return df.join(picked, id_col, "semi")
 
 
 # ---------------------------------------------------------------------------

@@ -163,3 +163,49 @@ def test_short_and_featureless_docs_do_not_crash(spark):
     assert set(rows) == {"one", "zero", "two"}
     assert rows["zero"] is None
     assert rows["one"] == "a"
+
+
+def test_dsir_resample_large_k_path_matches_exact_and_plan_safe(spark):
+    # the scale path (quantile cutoff + distributed exact rank) must pick
+    # the IDENTICAL top-k set as the exact orderBy().limit() path, and its
+    # plan must contain neither a TakeOrderedAndProject (driver-side heap
+    # merge of k rows) nor a forced broadcast of the picked ids
+    docs = _df(spark, [(f"d{i:03d}", f"doc number {i}") for i in range(400)])
+    weights = spark.createDataFrame(
+        [(f"d{i:03d}", float((i * 37) % 101) / 10.0) for i in range(400)],
+        "id string, log_weight double",
+    )
+    exact = sorted(r["doc_id"] for r in
+                   dsir_resample(docs, weights, 60, seed=17).collect())
+    scaled_df = dsir_resample(docs, weights, 60, seed=17, exact_k_threshold=0)
+    scaled = sorted(r["doc_id"] for r in scaled_df.collect())
+    assert scaled == exact and len(scaled) == 60
+    plan = scaled_df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+    # no driver-sized broadcast: with auto-broadcast off the semi-join must
+    # still plan (no F.broadcast hint forcing k ids through the driver)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cold = dsir_resample(docs, weights, 60, seed=17, exact_k_threshold=0)
+        got = sorted(r["doc_id"] for r in cold.collect())
+        assert got == exact
+        plan2 = cold._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2
+        assert "TakeOrderedAndProject" not in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_dsir_resample_large_k_tiny_n_and_k_near_n(spark):
+    docs = _df(spark, [(f"d{i}", f"text {i}") for i in range(12)])
+    weights = spark.createDataFrame(
+        [(f"d{i}", float(i)) for i in range(12)], "id string, log_weight double")
+    # n <= k on the scale path keeps everything
+    assert len(dsir_resample(docs, weights, 20, exact_k_threshold=0)
+               .collect()) == 12
+    # k close to n (quantile clamps to the whole set) still exact
+    exact = sorted(r["doc_id"] for r in dsir_resample(docs, weights, 11).collect())
+    scaled = sorted(r["doc_id"] for r in
+                    dsir_resample(docs, weights, 11, exact_k_threshold=0).collect())
+    assert scaled == exact
