@@ -93,23 +93,42 @@ def _stage_corpus(spark, rows, path: str) -> None:
     df.repartition(64).write.mode("overwrite").parquet(path)
 
 
-def _pinned_extraction(corpus_path: str, cores: int, reps: int = 2,
-                       core_list: list[int] | None = None) -> dict:
-    """Run the extraction job in a subprocess pinned to exactly ``cores``
-    CPUs (taskset), so a local[N] run cannot borrow idle host cores for its
-    python workers — the honest stand-in for an N-executor cluster.
+def _launch_extraction(corpus_path: str, cores: int, reps: int = 2,
+                       core_list: list[int] | None = None, group: int = 1):
+    """Start the extraction job in a subprocess pinned to exactly ``cores``
+    CPUs (taskset — inherited by the JVM and its python workers), so a
+    local[N] run cannot borrow idle host cores: the honest stand-in for an
+    N-executor cluster. Returns the Popen; pair with _collect_extraction.
     ``core_list`` pins to an explicit host-core set (must have ``cores``
-    entries); default is cores 0..cores-1."""
+    entries); default is cores 0..cores-1. ``group`` batches consecutive
+    runs so both legs' min-of-N estimators average over the same
+    wall-clock window length (see benchjob docstring)."""
     import subprocess
 
     cpuset = (",".join(str(c) for c in core_list) if core_list
               else f"0-{cores - 1}")
     cmd = ["taskset", "-c", cpuset, sys.executable,
-           "-m", "pdfextractor_spark.benchjob", corpus_path, str(cores), str(reps)]
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True,
-                         cwd=os.path.dirname(os.path.abspath(__file__)))
+           "-m", "pdfextractor_spark.benchjob", corpus_path, str(cores),
+           str(reps), str(group)]
+    return subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True,
+                            cwd=os.path.dirname(os.path.abspath(__file__)))
+
+
+def _collect_extraction(proc) -> dict:
+    out, err = proc.communicate()
+    if proc.returncode != 0 or not out.strip():
+        raise RuntimeError(f"benchjob failed (rc={proc.returncode}): "
+                           f"{(err or '')[-2000:]}")
     time.sleep(2)  # let the exiting JVM release cores before the next level
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def _pinned_extraction(corpus_path: str, cores: int, reps: int = 2,
+                       core_list: list[int] | None = None,
+                       group: int = 1) -> dict:
+    return _collect_extraction(
+        _launch_extraction(corpus_path, cores, reps, core_list, group))
 
 
 def _probe_cores(candidates: list[int], iters: int = 6_000_000) -> dict[int, float]:

@@ -5,8 +5,16 @@ Run as a subprocess pinned to exactly N CPUs (``taskset -c 0-{N-1}``) so a
 this makes the two-cluster-size scaling measurement honest (an N-core run
 behaves like an N-core cluster, per the north rule's N vs 4N criterion).
 
-Usage: python -m pdfextractor_spark.benchjob <corpus_parquet> <cores> [reps]
+Usage: python -m pdfextractor_spark.benchjob <corpus_parquet> <cores> [reps] [group]
 Prints one JSON line: {"cores": N, "docs": D, "wall_sec": W, "docs_per_sec": T}
+
+``group`` (default 1) batches consecutive runs: the reported wall is the
+minimum over groups of the group's PER-RUN mean. A high-parallelism leg
+that runs 4x faster per run uses group=4 so its min-of-N estimator
+averages noise over the same wall-clock window length as the
+low-parallelism leg's single runs — otherwise the short leg's min can
+cherry-pick a quiet 30-second window the long leg must average over,
+inflating the measured scaling ratio one-sidedly.
 """
 
 from __future__ import annotations
@@ -22,6 +30,7 @@ def main() -> None:
     corpus_path = sys.argv[1]
     cores = int(sys.argv[2])
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    group = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     # partitions per core (measured: 4 beats 8 here — task overhead exceeds
     # the straggler savings at this corpus size)
     parts_mult = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS_MULT", "4"))
@@ -65,7 +74,13 @@ def main() -> None:
     extract_fused(pages.limit(4000), num_partitions=cores * parts_mult).agg(
         F.count(F.lit(1))).collect()
 
-    wall, docs, match_rate = min(run() for _ in range(reps))
+    runs = [run() for _ in range(reps)]
+    docs, match_rate = runs[0][1], runs[0][2]
+    group = max(1, min(group, reps))
+    walls = [r[0] for r in runs]
+    # min over groups of the group's per-run mean (group=1 == min-of-N)
+    wall = min(sum(walls[i:i + group]) / group
+               for i in range(0, reps - group + 1, group))
     spark.stop()
     shm = os.environ.get("SPARK_LOCAL_DIRS", "")
     if shm.startswith("/dev/shm/spark-bench-"):

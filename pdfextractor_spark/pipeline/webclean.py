@@ -150,14 +150,25 @@ def prepare_training_corpus(
         df = df.withColumn("is_contaminated", F.lit(False))
     if redact:
         df = redact_pii(df, text_col=text_col)
+    if nb_filter is not None or dsir is not None:
+        # ROW-unique scoring id: urls need not be unique here (ts_col
+        # absent skips url_dedup), and a duplicate key would let
+        # score_nb's per-id groupBy merge features across distinct
+        # documents and dsir_resample's semi-join fan back out past k.
+        # The content dedup above leaves normalized text globally unique
+        # among survivors, so (url, text-hash) is row-unique; it is also
+        # deterministic under any partitioning (monotonically_increasing_id
+        # is not).
+        df = df.withColumn(
+            "_wcid", F.struct(F.col(url_col), F.xxhash64(F.col(text_col))))
     if nb_filter is not None:
         from ..ops.selection import score_nb
         scored = score_nb(
-            df, nb_filter["model"], nb_filter["priors"], id_col=url_col,
+            df, nb_filter["model"], nb_filter["priors"], id_col="_wcid",
             text_col=text_col, n=nb_filter.get("n", 1),
             buckets=nb_filter.get("buckets", 10_000),
-        ).select(F.col("id").alias(url_col), "pred_label")
-        df = df.join(scored, url_col, "left")
+        ).select(F.col("id").alias("_wcid"), "pred_label")
+        df = df.join(scored, "_wcid", "left")
     keep = (F.col("c4_keep") & ~F.col("repetition_flag")
             & ~F.col("is_contaminated")
             & (F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0))
@@ -184,7 +195,7 @@ def prepare_training_corpus(
     # (and would train the DSIR source LM on keep=false junk), so they
     # only run when filter_rows=True
     if not filter_rows:
-        return df
+        return df.drop("_wcid")
     if dsir is not None:
         from ..ops.selection import dsir_resample, dsir_weights, train_hashed_lm
         n = dsir.get("n", 2)
@@ -192,10 +203,11 @@ def prepare_training_corpus(
         tgt = train_hashed_lm(dsir["target"], text_col=dsir.get("target_text_col", "text"),
                               n=n, buckets=buckets)
         src = train_hashed_lm(df, text_col=text_col, n=n, buckets=buckets)
-        w = dsir_weights(df, tgt, src, id_col=url_col, text_col=text_col,
+        w = dsir_weights(df, tgt, src, id_col="_wcid", text_col=text_col,
                          n=n, buckets=buckets)
-        df = dsir_resample(df, w, dsir["k"], id_col=url_col,
+        df = dsir_resample(df, w, dsir["k"], id_col="_wcid",
                            seed=dsir.get("seed", 17))
+    df = df.drop("_wcid")
     if shard_budget:
         from ..ops.sampling import pack_shards
         tokens_col = "bpe_tokens" if bpe_merges is not None else "ws_tokens"

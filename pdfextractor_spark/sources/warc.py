@@ -113,6 +113,7 @@ def parse_warc(data: bytes) -> Iterator[dict]:
             "type": fields.get("warc-type", ""),
             "url": fields.get("warc-target-uri"),
             "date": fields.get("warc-date"),
+            "record_id": fields.get("warc-record-id"),
             "content_type": fields.get("content-type"),
             "http_content_type": http_ctype,
             "body": body,
@@ -207,6 +208,7 @@ def wet_records(df, url_col: str = "url", text_col: str = "text",
     @F.pandas_udf(T.BinaryType())
     def _wet(urls: pd.Series, texts: pd.Series, tss: pd.Series) -> pd.Series:
         import re as _re
+        import uuid as _uuid
 
         out = []
         for url, text, ts in zip(urls, texts, tss):
@@ -218,7 +220,15 @@ def wet_records(df, url_col: str = "url", text_col: str = "text",
             # from the URI so a crafted url can't inject header lines or
             # break the Content-Length framing
             safe_url = _re.sub(r"[\x00-\x1f\x7f]+", "", str(url or ""))
+            # WARC-Record-ID is MANDATORY on every WARC 1.0 record;
+            # deterministic uuid5 over (url, date) so re-exports are
+            # byte-stable. WARC-Refers-To carries the uuid of the capture
+            # this conversion derives from (CC WET convention).
+            rid = _uuid.uuid5(_uuid.NAMESPACE_URL, f"{safe_url}\n{date}")
+            ref = _uuid.uuid5(_uuid.NAMESPACE_URL, f"response\n{safe_url}\n{date}")
             head = (f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                    f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+                    f"WARC-Refers-To: <urn:uuid:{ref}>\r\n"
                     f"WARC-Target-URI: {safe_url}\r\n"
                     f"WARC-Date: {date}\r\n"
                     f"Content-Type: text/plain\r\n"

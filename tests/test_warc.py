@@ -121,3 +121,33 @@ def test_wet_export_unicode_and_hostile_urls(spark, tmp_path):
     on_disk = sorted(os.listdir(out_dir))
     assert sorted(os.path.basename(f) for f in files) == on_disk
     assert all(os.path.getsize(os.path.join(out_dir, f)) > 0 for f in on_disk)
+
+
+def test_wet_records_carry_mandatory_record_id(spark):
+    # WARC-Record-ID is mandatory on every WARC 1.0 record (and CC WET
+    # carries WARC-Refers-To); ids must be deterministic so re-exports are
+    # byte-stable
+    import datetime as dt
+    import re
+
+    from pdfextractor_spark.sources.warc import parse_warc, wet_records
+
+    rows = [("https://a.com/x", dt.datetime(2024, 3, 1, 12, 0, 0), "body one"),
+            ("https://b.org/y", None, "body two")]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    blobs1 = {r["url"]: bytes(r["wet"]) for r in wet_records(df).collect()}
+    blobs2 = {r["url"]: bytes(r["wet"]) for r in wet_records(df).collect()}
+    assert blobs1 == blobs2  # deterministic bytes, including the uuids
+    urn = re.compile(r"^<urn:uuid:[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-"
+                     r"[0-9a-f]{4}-[0-9a-f]{12}>$")
+    ids = set()
+    for blob in blobs1.values():
+        (rec,) = parse_warc(blob)
+        assert rec["record_id"] and urn.match(rec["record_id"]), rec["record_id"]
+        ids.add(rec["record_id"])
+        # WARC-Refers-To present and distinct from the record id
+        import gzip as _gz
+        head = _gz.decompress(blob).split(b"\r\n\r\n", 1)[0].decode()
+        m = re.search(r"WARC-Refers-To: (<urn:uuid:[0-9a-f-]{36}>)", head)
+        assert m and m.group(1) != rec["record_id"]
+    assert len(ids) == 2  # unique per document

@@ -219,3 +219,42 @@ def test_flag_only_run_skips_selection_and_assembly(spark):
     )
     assert picked.count() == 2
     assert "shard_id" in picked.columns
+
+
+def test_selection_stages_survive_duplicate_urls(spark):
+    """Scoring/resampling must key on a ROW-unique id: with ts_col absent
+    (url_dedup skipped) the same url can carry distinct documents — the
+    NB gate must not merge their features and DSIR must keep exactly k."""
+    from pdfextractor_spark.ops.selection import train_nb
+    from pdfextractor_spark.pipeline.webclean import prepare_training_corpus
+
+    rows = [
+        ("https://dup.org/page", None, None,
+         _GOOD + f" Distinct watershed sentence number {i} closes this page.",
+         "en")
+        for i in range(6)
+    ]
+    pages = _pages(spark, rows)
+    nb_train = spark.createDataFrame(
+        [(_GOOD, "good"), ("buy cheap pills online free discount now", "spam")],
+        "text string, label string",
+    )
+    model, priors = train_nb(nb_train, n=1, buckets=512)
+    target = spark.createDataFrame([(_GOOD,)], "text string")
+
+    # NB scoring: one output row per input row, no fan-out via the url join
+    gated = prepare_training_corpus(
+        pages, ts_col=None,
+        nb_filter={"model": model, "priors": priors, "keep_labels": {"good"},
+                   "n": 1, "buckets": 512},
+    ).collect()
+    assert len(gated) == 6
+    assert all(r["pred_label"] == "good" for r in gated)
+
+    # DSIR: exact k even though every url is identical
+    out = prepare_training_corpus(
+        pages, ts_col=None,
+        dsir={"target": target, "k": 3, "n": 1, "buckets": 512},
+    ).collect()
+    assert len(out) == 3
+    assert "_wcid" not in {c for c in out[0].asDict()}
