@@ -935,12 +935,13 @@ def q_winnow_overlap(spark, sf_dir):
 
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal decode over deterministic REAL payloads:
-    BMP/PNG/GIF/JPEG-baseline/JPEG-progressive images and PCM WAV audio
-    decode natively (numpy/stdlib — dimensions, duration,
-    channel/spectral features); MP3 audio and MP4 video get real
-    container-metadata parses (frame-header walk / ISO-BMFF box walk);
-    every 4th video row carries a truncated container that exercises the
-    honest per-row-error path."""
+    BMP/PNG/GIF/JPEG-baseline/JPEG-progressive images — including
+    Adam7-interlaced and 16-bit PNGs and 4-pass-interlaced GIFs, the
+    crawl-common variants — and PCM WAV audio decode natively
+    (numpy/stdlib — dimensions, duration, channel/spectral features);
+    MP3 audio and MP4 video get real container-metadata parses
+    (frame-header walk / ISO-BMFF box walk); every 4th video row carries
+    a truncated container that exercises the honest per-row-error path."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
@@ -968,7 +969,11 @@ def q_multimodal_decode(spark, sf_dir):
                                (yy * 255 // max(1, h - 1)),
                                np.full((h, w), i % 256)], axis=2).astype(np.uint8)
                 enc = (make_bmp, make_png, make_gif, make_jpeg,
-                       make_jpeg_progressive)[(i // 3) % 5]
+                       make_jpeg_progressive,
+                       lambda p: make_png(p, interlace=True),   # Adam7
+                       lambda p: make_png(p, depth=16),         # 16-bit
+                       lambda p: make_gif(p, interlace=True),   # 4-pass
+                       )[(i // 3) % 8]
                 out.append(enc(px))
             elif kind == 1:  # audio: WAV sine / MP3 frame stream alternate
                 if (i // 3) % 2 == 0:

@@ -3,8 +3,10 @@ with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Decode is REAL for every still-image format plus PCM audio — pure
 numpy/stdlib, no codec libraries needed: BMP (24/32-bit uncompressed),
-PNG (8-bit gray/RGB/palette/alpha, zlib + full None/Sub/Up/Average/Paeth
-filter set), GIF (variable-width LSB-first LZW, first frame), baseline
+PNG (gray/RGB/palette/alpha at every legal bit depth 1/2/4/8/16,
+non-interlaced and Adam7, zlib + full None/Sub/Up/Average/Paeth filter
+set), GIF (variable-width LSB-first LZW, first frame, 4-pass interlace),
+baseline
 AND progressive JPEG (``ops/jpeg.py``: T.81 sequential + Annex G
 progressive DCT, 4:4:4/4:2:2/4:2:0, restart
 intervals) and PNM (P5/P6) images with mean-channel + gray-histogram
@@ -47,6 +49,7 @@ __all__ = [
     "decode_media", "sample_frames",
     "decode_bmp", "decode_wav", "make_bmp", "make_wav",
     "decode_png", "decode_gif", "make_png", "make_gif",
+    "make_png_gray", "make_png_palette",
 ]
 
 MEDIA_SCHEMA = StructType([
@@ -115,12 +118,105 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, np.ascontiguousarray(rgb[:, :, :3])
 
 
-def make_png(pixels: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 RGB -> non-interlaced 8-bit RGB PNG (zlib + filter 0
-    rows; test/corpus generator twin of decode_png)."""
+# Adam7 pass origins/steps (x0, y0, dx, dy) — RFC 2083 §2.6 / PNG spec
+# "Interlaced data order". Passes whose reduced image is empty for the
+# given dims contribute NO scanlines at all (spec: wholly omitted).
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_spans(w: int, h: int, interlace: int):
+    """Scanline groups in IDAT order: (x0, y0, dx, dy, pass_w, pass_h)."""
+    if interlace == 0:
+        return [(0, 0, 1, 1, w, h)]
+    spans = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw and ph:
+            spans.append((x0, y0, dx, dy, pw, ph))
+    return spans
+
+
+def _png_defilter(raw: bytes, offset: int, n_rows: int, rb: int, bpp: int) -> np.ndarray:
+    """Reverse PNG row filters over ``n_rows`` scanlines of ``rb`` bytes
+    starting at ``raw[offset]``; ``bpp`` is the filter's byte distance
+    (max(1, channels*depth//8) — the same predictors PDF xref streams use).
+    Returns (n_rows, rb) uint8."""
+    out = np.empty((n_rows, rb), dtype=np.uint8)
+    prev = np.zeros(rb, dtype=np.uint8)
+    for y in range(n_rows):
+        row_start = offset + y * (rb + 1)
+        ftype = raw[row_start]
+        row = np.frombuffer(raw, dtype=np.uint8, count=rb, offset=row_start + 1)
+        if ftype == 0:  # None
+            cur = row.copy()
+        elif ftype == 2:  # Up
+            cur = row + prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(rb, dtype=np.uint8)
+            rowi = row.astype(np.int32)
+            for x in range(rb):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    v = rowi[x] + a
+                elif ftype == 3:
+                    v = rowi[x] + ((a + b) >> 1)
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = rowi[x] + pred
+                cur[x] = v & 0xFF
+        else:
+            raise ValueError(f"PNG filter {ftype} invalid")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def _png_unpack(block: np.ndarray, w: int, nch: int, depth: int) -> np.ndarray:
+    """Defiltered scanline bytes (n_rows, rb) -> samples (n_rows, w, nch)
+    uint8. 16-bit samples are reduced to their high byte (the standard
+    8-bit rendering); sub-byte samples are returned as raw values (the
+    caller scales grayscale, palette values stay indices)."""
+    n_rows = block.shape[0]
+    if depth == 8:
+        return block[:, : w * nch].reshape(n_rows, w, nch)
+    if depth == 16:
+        # network byte order: high byte first
+        return block[:, : w * nch * 2].reshape(n_rows, w, nch, 2)[..., 0]
+    bits = np.unpackbits(block, axis=1)[:, : w * depth].reshape(n_rows, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8).reshape(n_rows, w, 1)
+
+
+def _png_pack_rows(rows: np.ndarray, depth: int) -> np.ndarray:
+    """Samples (n_rows, w, nch) uint8 -> scanline bytes (n_rows, rb) uint8
+    at ``depth``; 16-bit doubles each byte (s -> s*257, so the decoder's
+    high-byte reduction round-trips exactly), sub-byte packs MSB-first with
+    zero padding to the byte boundary (what the spec requires)."""
+    n_rows, w, nch = rows.shape
+    if depth == 8:
+        return rows.reshape(n_rows, w * nch)
+    if depth == 16:
+        return np.repeat(rows.reshape(n_rows, w * nch), 2, axis=1)
+    flat = rows.reshape(n_rows, w * nch)
+    bits = ((flat[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(np.uint8)
+    return np.packbits(bits.reshape(n_rows, -1), axis=1)
+
+
+def _encode_png(samples: np.ndarray, ctype: int, depth: int,
+                interlace: bool, plte: np.ndarray | None = None) -> bytes:
+    """Shared PNG writer: ``samples`` (h, w, nch) uint8 already at the
+    target depth's value range. First row of each (pass-)span uses filter
+    None, later rows filter Up — exercising the decoder's cross-row state
+    within every Adam7 pass."""
     import zlib
 
-    h, w, _ = pixels.shape
+    h, w, _nch = samples.shape
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -128,20 +224,63 @@ def make_png(pixels: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # depth 8, RGB
-    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0)
+    raw = bytearray()
+    for x0, y0, dx, dy, _pw, _ph in _png_spans(w, h, 1 if interlace else 0):
+        packed = _png_pack_rows(np.ascontiguousarray(samples[y0::dy, x0::dx]), depth)
+        for y in range(packed.shape[0]):
+            if y == 0:
+                raw += b"\x00" + packed[0].tobytes()
+            else:
+                raw += b"\x02" + ((packed[y].astype(np.int16) - packed[y - 1]) & 0xFF).astype(np.uint8).tobytes()
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", np.ascontiguousarray(plte[:, :3], dtype=np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def make_png(pixels: np.ndarray, depth: int = 8, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> RGB PNG (test/corpus generator twin of
+    decode_png). ``depth`` 8 or 16 (16 stores s*257 per sample so the
+    decoder's high-byte reduction is exact); ``interlace`` writes Adam7."""
+    if depth not in (8, 16):
+        raise ValueError(f"RGB PNG depth {depth} not supported")
+    return _encode_png(pixels, ctype=2, depth=depth, interlace=interlace)
+
+
+def make_png_gray(gray: np.ndarray, depth: int = 8, interlace: bool = False) -> bytes:
+    """(h, w) uint8 grayscale -> PNG at ``depth`` 1/2/4/8/16. Sub-byte
+    inputs must already hold values < 2**depth (raw sample codes)."""
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"gray PNG depth {depth} not supported")
+    if depth < 8 and int(gray.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"gray value out of range for depth {depth}")
+    return _encode_png(gray[:, :, None], ctype=0, depth=depth, interlace=interlace)
+
+
+def make_png_palette(idx: np.ndarray, palette: np.ndarray,
+                     depth: int = 8, interlace: bool = False) -> bytes:
+    """(h, w) uint8 palette indices + (n, 3) palette -> indexed PNG at
+    ``depth`` 1/2/4/8."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette PNG depth {depth} not supported")
+    if int(idx.max(initial=0)) >= min(1 << depth, len(palette)):
+        raise ValueError("palette index out of range")
+    return _encode_png(idx[:, :, None], ctype=3, depth=depth,
+                       interlace=interlace, plte=np.asarray(palette))
+
+
+# ctype -> legal bit depths (PNG spec §11.2.2, table); doubles as the
+# unknown-color-type rejection
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
 
 
 def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
-    """PNG bytes -> (width, height, (h, w, 3) uint8 RGB). 8-bit depth,
-    color types 0/2/3/4/6, non-interlaced; full filter set (None/Sub/Up/
-    Average/Paeth — the same predictors PDF xref streams use)."""
+    """PNG bytes -> (width, height, (h, w, 3) uint8 RGB). Color types
+    0/2/3/4/6 at every legal bit depth (1/2/4/8/16), non-interlaced AND
+    Adam7-interlaced; full filter set (None/Sub/Up/Average/Paeth). 16-bit
+    samples reduce to their high byte; sub-byte grayscale scales to 0-255."""
     import zlib
 
     if data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -159,7 +298,7 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"PLTE":
-            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+            plte = np.frombuffer(body, dtype=np.uint8)[: 3 * (len(body) // 3)].reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -167,51 +306,32 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0:
-        raise NotImplementedError(f"PNG depth={depth} interlace={interlace} not supported")
-    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if nch is None:
-        raise NotImplementedError(f"PNG color type {ctype} not supported")
+    if depth not in _PNG_DEPTHS.get(ctype, ()):
+        raise NotImplementedError(f"PNG color type {ctype} depth {depth} not supported")
+    if interlace not in (0, 1):
+        raise NotImplementedError(f"PNG interlace {interlace} not supported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     check_pixels(w, h, "PNG")
-    stride = w * nch
+    bpp = max(1, nch * depth // 8)
+
+    def rb(width: int) -> int:
+        return (width * nch * depth + 7) // 8
+
+    spans = _png_spans(w, h, interlace)
     # bounded inflate: the needed raw size is known from the (checked)
     # dims, so a deflate bomb can never expand past it
-    need = h * (stride + 1)
+    need = sum(ph * (rb(pw) + 1) for *_xy, pw, ph in spans)
     raw = zlib.decompressobj().decompress(b"".join(idat), need)
     if len(raw) < need:
         raise ValueError("PNG data truncated")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        row_start = y * (stride + 1)
-        ftype = raw[row_start]
-        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=row_start + 1)
-        if ftype == 0:  # None
-            cur = row.copy()
-        elif ftype == 2:  # Up
-            cur = row + prev
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
-            cur = np.zeros(stride, dtype=np.uint8)
-            rowi = row.astype(np.int32)
-            for x in range(stride):
-                a = int(cur[x - nch]) if x >= nch else 0
-                b = int(prev[x])
-                if ftype == 1:
-                    v = rowi[x] + a
-                elif ftype == 3:
-                    v = rowi[x] + ((a + b) >> 1)
-                else:
-                    c = int(prev[x - nch]) if x >= nch else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    v = rowi[x] + pred
-                cur[x] = v & 0xFF
-        else:
-            raise ValueError(f"PNG filter {ftype} invalid")
-        out[y] = cur
-        prev = cur
-    px = out.reshape(h, w, nch)
+    px = np.zeros((h, w, nch), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in spans:
+        block = _png_defilter(raw, off, ph, rb(pw), bpp)
+        px[y0::dy, x0::dx] = _png_unpack(block, pw, nch, depth)
+        off += ph * (rb(pw) + 1)
+    if ctype == 0 and depth < 8:
+        px = (px.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
     if ctype == 2:
         rgb = px
     elif ctype == 6:
@@ -223,7 +343,7 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     else:  # palette
         if plte is None:
             raise ValueError("PNG palette image without PLTE")
-        rgb = plte[px[:, :, 0]]
+        rgb = plte[np.minimum(px[:, :, 0], len(plte) - 1)]
     return w, h, np.ascontiguousarray(rgb)
 
 
@@ -234,17 +354,28 @@ def _web_palette() -> np.ndarray:
     return np.vstack([cube, np.zeros((256 - 216, 3), dtype=np.uint8)])
 
 
-def make_gif(pixels: np.ndarray) -> bytes:
+def _gif_row_order(h: int) -> list[int]:
+    """GIF89a 4-pass interlace row order (spec Appendix E): rows appear in
+    the stream as every 8th from 0, every 8th from 4, every 4th from 2,
+    every 2nd from 1."""
+    return (list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2)))
+
+
+def make_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB -> single-frame GIF89a quantized to the fixed
     6x6x6 web palette, written with literal LZW codes (periodic clears keep
-    the code width at 9 bits — the classic 'uncompressed GIF' encoding)."""
+    the code width at 9 bits — the classic 'uncompressed GIF' encoding).
+    ``interlace`` stores rows in the 4-pass order with the descriptor flag
+    set (test twin for decode_gif's deinterlace)."""
     h, w, _ = pixels.shape
     pal = _web_palette()
     q = (pixels.astype(np.int32) + 25) // 51  # nearest of 0,51,...,255
-    idx = (q[:, :, 0] * 36 + q[:, :, 1] * 6 + q[:, :, 2]).astype(np.uint8).ravel()
+    idx2d = (q[:, :, 0] * 36 + q[:, :, 1] * 6 + q[:, :, 2]).astype(np.uint8)
+    idx = (idx2d[_gif_row_order(h)] if interlace else idx2d).ravel()
     header = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # 256-col GCT
     gct = pal.tobytes()
-    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
     # LZW stream: min code size 8 -> 9-bit codes; CLEAR=256, EOI=257
     bits = bytearray()
     acc = 0
@@ -309,8 +440,6 @@ def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
             size = 3 * (2 << (iflags & 0x07))
             pal = np.frombuffer(data, dtype=np.uint8, count=size, offset=pos).reshape(-1, 3)
             pos += size
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF not supported")
         if pal is None:
             raise ValueError("GIF image without a color table")
         check_pixels(w, h, "GIF")
@@ -367,7 +496,12 @@ def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
         idx = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8)
         if idx.size < w * h:
             raise ValueError("GIF pixel data truncated")
-        rgb = pal[np.minimum(idx, len(pal) - 1)].reshape(h, w, 3)
+        idx2d = idx.reshape(h, w)
+        if iflags & 0x40:  # 4-pass interlace: stream rows -> display rows
+            full = np.empty_like(idx2d)
+            full[_gif_row_order(h)] = idx2d
+            idx2d = full
+        rgb = pal[np.minimum(idx2d, len(pal) - 1)]
         return int(w), int(h), np.ascontiguousarray(rgb)
     raise ValueError("GIF contains no image block")
 

@@ -107,3 +107,55 @@ def test_runner_green_under_iceberg_fallback(spark, tmp_path, monkeypatch):
     # resume path under the same fallback: nothing left to do, still green
     summary2 = run_pipeline(spark, pages, out)
     assert summary2["docs"] == 40
+
+
+ICEBERG_JAR_AVAILABLE = any(
+    "iceberg-spark-runtime" in j
+    for j in os.listdir(
+        os.path.join(os.path.dirname(os.path.abspath(__import__("pyspark").__file__)), "jars")
+    )
+)
+
+
+@pytest.mark.skipif(
+    not ICEBERG_JAR_AVAILABLE,
+    reason="no iceberg-spark-runtime jar resolvable offline in this container; "
+    "the parquet-fallback contract above is the tested behavior here. On a "
+    "cluster with the jar on the classpath this test pins the REAL catalog "
+    "path: hadoop-catalog snapshot commit + time-travel read of a checkpoint.",
+)
+def test_iceberg_hadoop_catalog_roundtrip(tmp_path):
+    """Real Iceberg round-trip (runs only where the runtime jar exists):
+    write_checkpoint must produce a snapshot in a local hadoop catalog,
+    read_checkpoint must read it back, and a second write must produce a
+    second snapshot readable via VERSION AS OF (resume/lineage contract,
+    reference backend/routes/process.js:119-132)."""
+    from pyspark.sql import SparkSession
+
+    wh = str(tmp_path / "warehouse")
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("iceberg-roundtrip")
+        .config("spark.sql.catalog.icecat", "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.icecat.type", "hadoop")
+        .config("spark.sql.catalog.icecat.warehouse", wh)
+        .getOrCreate()
+    )
+    try:
+        from pdfextractor_spark.pipeline import tableio
+
+        tableio._CATALOG_CACHE.clear()
+        df = spark.range(5).withColumnRenamed("id", "doc_id")
+        path = str(tmp_path / "run" / "bronze")
+        ref = write_checkpoint(df, path, fmt="iceberg")
+        assert ref[0] == "table"  # catalog detected -> snapshot commit, not parquet
+        assert read_checkpoint(spark, ref).count() == 5
+        ident = table_identifier("icecat", path)
+        snaps = spark.sql(f"SELECT snapshot_id FROM {ident}.snapshots").collect()
+        assert len(snaps) >= 1
+        write_checkpoint(df, path, mode="append", fmt="iceberg")
+        v0 = spark.read.option("snapshot-id", snaps[0][0]).table(ident)
+        assert v0.count() == 5  # time-travel still sees the first snapshot
+        assert read_checkpoint(spark, ref).count() == 10
+    finally:
+        spark.stop()
