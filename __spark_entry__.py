@@ -23,6 +23,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Small constant table WITHOUT Python workers: a list-backed
+    ``createDataFrame`` plans a Python scan over defaultParallelism
+    slices, and worker creation is serialized JVM-side (~0.14s per fork:
+    measured 4.5s for a 97-row table, whether as 32 starved tasks or one
+    task draining 32 slices). The pandas route converts driver-side and
+    ships Arrow batches — no Python workers at all (~60ms)."""
+    import pandas as pd
+
+    cols = [f.split()[0] for f in schema.split(",")]
+    pdf = pd.DataFrame(rows, columns=cols)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def _silver_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the full silver extraction over the documents table (text as the
     document body, doc_id as the url key)."""
@@ -322,7 +336,8 @@ def q_nation_setops(spark, sf_dir):
     s_n = supplier.select(F.col("s_nationkey").alias("nk")).distinct()
     only_customers = c_n.exceptAll(s_n).distinct()
     both = c_n.intersect(s_n)
-    return spark.createDataFrame(
+    return _local_df(
+        spark,
         [(only_customers.count(), both.count())],
         "customers_only long, both long",
     )
@@ -1237,7 +1252,8 @@ def q_part_size_bands(spark, sf_dir):
     from pdfextractor_spark.ops.joins import range_join_broadcast
 
     part = _t(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
+    bands = _local_df(
+        spark,
         [("small", 1, 10), ("medium", 11, 25), ("large", 26, 50)],
         "band string, lo int, hi int",
     )
@@ -1319,7 +1335,8 @@ def q_webclean_corpus(spark, sf_dir):
                                                       prepare_training_corpus)
 
     pages = _pages_from_documents(spark, sf_dir)
-    robots = spark.createDataFrame(
+    robots = _local_df(
+        spark,
         [(f"site{i}.org",
           "User-agent: trainingbot\nDisallow: /p/\nAllow: /p/1*\n"
           if i % 3 == 0 else "")
@@ -1351,7 +1368,7 @@ def q_robots_gate(spark, sf_dir):
               if i % 3 == 0
               else ("User-agent: *\nDisallow: /\n" if i % 3 == 1 else ""))
              for i in range(97)]
-    robots = spark.createDataFrame(hosts, "host string, robots_txt string")
+    robots = _local_df(spark, hosts, "host string, robots_txt string")
     out = robots_filter(pages, robots, "trainingbot")
     host_class = (F.regexp_extract("url", r"site(\d+)\.org", 1).cast("long") % 3)
     return (out.groupBy(host_class.alias("host_class"))

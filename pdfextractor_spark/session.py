@@ -31,6 +31,15 @@ def get_spark(app_name: str = "pdfextractor-spark", cores: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalesces post-shuffle partitions by BYTES; extracted text
+        # shuffles ~5x lz4-compressed, and the per-doc work downstream of a
+        # dedup/window exchange (PII regexes, flag chains) is CPU-dense per
+        # byte. With parallelismFirst the coalesce target is
+        # max(total/parallelism, minPartitionSize); the 1 MiB default folds
+        # a ~1 MB shuffle (thousands of documents) into ONE task. 64k keeps
+        # small-corpus runs parallel and is a no-op at scale, where
+        # total/parallelism dominates.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"))
