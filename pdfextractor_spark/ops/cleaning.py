@@ -126,8 +126,6 @@ def c4_clean(docs: DataFrame, text_col: str = "text",
     """
     out_col = out_col or text_col
     text = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.split(text, "\n")
-    nonblank = F.filter(lines, lambda l: F.length(F.trim(l)) > 0)
 
     def _line_ok(l):
         t = F.trim(l)
@@ -136,22 +134,36 @@ def c4_clean(docs: DataFrame, text_col: str = "text",
                 & (F.size(F.split(t, r"\s+")) >= min_words)
                 & ~F.lower(t).contains("javascript"))
 
-    kept = F.filter(lines, _line_ok)
-    cleaned = F.array_join(kept, "\n")
+    # STAGED PROJECTIONS: the line split, the kept-filter, and the
+    # rejoined text are each referenced by several output columns, and a
+    # Column is an expression TREE — the single-expression shape split
+    # the document 7x and ran the per-line keep predicate 3x per row
+    # (HOFs are CodegenFallback: no common-subexpression elimination).
+    # Materialized intermediates make the later uses attribute
+    # references; CollapseProject leaves multi-referenced non-cheap
+    # producers alone.
+    staged = (docs
+              .withColumn("_c4_lines", F.split(text, "\n"))
+              .withColumn("_c4_kept", F.filter(F.col("_c4_lines"), _line_ok))
+              .withColumn("_c4_cleaned", F.array_join(F.col("_c4_kept"), "\n")))
     # sentence count over the kept text: terminal-punct runs approximate
     # C4's sentence splitter closely enough for the >=5 threshold
-    sentences = F.regexp_count(cleaned, F.lit("[.!?]+[\"”’']?(\\s|$)"))
+    sentences = F.regexp_count(F.col("_c4_cleaned"),
+                               F.lit("[.!?]+[\"”’']?(\\s|$)"))
     toks = F.array_distinct(F.split(F.lower(text), r"[^a-z0-9']+"))
     has_bad = (F.arrays_overlap(toks, F.array(*[F.lit(w.lower()) for w in badwords]))
                if badwords else F.lit(False))
-    df = (docs
-          .withColumn("c4_lines_total", F.size(nonblank))
-          .withColumn("c4_lines_kept", F.size(kept))
+    df = (staged
+          .withColumn("c4_lines_total",
+                      F.size(F.filter(F.col("_c4_lines"),
+                                      lambda l: F.length(F.trim(l)) > 0)))
+          .withColumn("c4_lines_kept", F.size(F.col("_c4_kept")))
           .withColumn("c4_sentences", sentences)
           .withColumn("c4_has_brace", text.contains("{"))
           .withColumn("c4_has_lorem", F.lower(text).contains("lorem ipsum"))
           .withColumn("c4_has_badword", has_bad)
-          .withColumn(out_col, cleaned))
+          .withColumn(out_col, F.col("_c4_cleaned"))
+          .drop("_c4_lines", "_c4_kept", "_c4_cleaned"))
     return df.withColumn(
         "c4_keep",
         (~F.col("c4_has_brace")) & (~F.col("c4_has_lorem"))

@@ -125,17 +125,29 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     length over doc length — the standard non-overlapping approximation;
     the argmax runs as a sort + longest-run F.aggregate, no UDF). The
     ``repetition_flag`` applies the published thresholds: dup lines
-    > 0.30, dup paragraphs > 0.30, top-2-gram chars > 0.20."""
+    > 0.30, dup paragraphs > 0.30, top-2-gram chars > 0.20.
+
+    STAGED PROJECTIONS, deliberately: a Column is an expression TREE, so
+    deriving the rounded column AND the flag from one ``dup_lines``
+    Column embeds a full copy of the split/filter pipeline per use — the
+    single-expression shape evaluated the array_sort+aggregate argmax 4x
+    and the segment splits 28x PER ROW (HOFs are CodegenFallback, so no
+    common-subexpression elimination rescues them). Materializing each
+    expensive intermediate as its own column makes downstream uses cheap
+    attribute references; CollapseProject leaves multi-referenced
+    non-cheap producers alone, so the staging survives optimization."""
     text = F.coalesce(F.col(text_col), F.lit(""))
 
-    def _dup_frac(sep_pattern):
-        segs = F.filter(
+    def _segs(sep_pattern):
+        return F.filter(
             F.transform(F.split(text, sep_pattern), lambda s: F.trim(s)),
             lambda s: s != "")
+
+    def _dup_frac(segs):
         return F.when(F.size(segs) == 0, F.lit(0.0)).otherwise(
             1.0 - F.size(F.array_distinct(segs)) / F.size(segs))
 
-    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+    toks = F.col("_rep_toks")  # staged below: referenced 4x inside grams
     grams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
         F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
                     lambda i: F.concat_ws(" ", F.element_at(toks, i),
@@ -153,14 +165,26 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.when(F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)) > acc["best"],
                    g).otherwise(acc["gram"]).alias("gram")),
     )
+    staged = (df
+              .withColumn("_rep_toks",
+                          F.filter(F.split(F.lower(F.trim(text)), r"\s+"),
+                                   lambda t: t != ""))
+              .withColumns({"_rep_segs_l": _segs(r"\n"),
+                            "_rep_segs_p": _segs(r"\n{2,}"),
+                            "_rep_best": best})
+              .withColumns({"_rep_dl": _dup_frac(F.col("_rep_segs_l")),
+                            "_rep_dp": _dup_frac(F.col("_rep_segs_p"))}))
+    b = F.col("_rep_best")
     top_frac = F.when(F.length(F.trim(text)) == 0, F.lit(0.0)).otherwise(
         F.least(F.lit(1.0),
-                best["best"] * F.length(best["gram"]) / F.length(F.trim(text))))
-    dup_lines = _dup_frac(r"\n")
-    dup_paras = _dup_frac(r"\n{2,}")
-    return (df
-            .withColumn("dup_line_frac", F.round(dup_lines, 6))
-            .withColumn("dup_para_frac", F.round(dup_paras, 6))
-            .withColumn("top_bigram_char_frac", F.round(top_frac, 6))
+                b["best"] * F.length(b["gram"]) / F.length(F.trim(text))))
+    staged = staged.withColumn("_rep_top", top_frac)
+    dl, dp, top = F.col("_rep_dl"), F.col("_rep_dp"), F.col("_rep_top")
+    return (staged
+            .withColumn("dup_line_frac", F.round(dl, 6))
+            .withColumn("dup_para_frac", F.round(dp, 6))
+            .withColumn("top_bigram_char_frac", F.round(top, 6))
             .withColumn("repetition_flag",
-                        (dup_lines > 0.30) | (dup_paras > 0.30) | (top_frac > 0.20)))
+                        (dl > 0.30) | (dp > 0.30) | (top > 0.20))
+            .drop("_rep_toks", "_rep_segs_l", "_rep_segs_p", "_rep_best",
+                  "_rep_dl", "_rep_dp", "_rep_top"))

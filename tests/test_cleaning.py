@@ -112,6 +112,14 @@ def test_c4_clean_line_and_doc_rules(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
 
+    # staged projections: the line split and keep-filter each evaluate
+    # once per row (was split x7 / keep-predicate x3 — HOFs get no CSE)
+    opt = c4_clean(docs, badwords=["badword"])._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # doc lines + the per-line \s+ word count + badword token split
+    assert opt.count("split(") == 3
+    assert opt.count("filter(") == 2  # kept lines + nonblank count
+
 
 def test_dedup_lines_corpus_level(spark):
     """Duplicate-line removal across documents: keep='first' retains the
@@ -188,3 +196,11 @@ def test_gopher_repetition_signals(spark):
     # all native: no Python UDF, no shuffle
     plan = with_repetition(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+    # staged projections: every expensive HOF evaluates ONCE per row —
+    # the single-expression shape inlined the argmax fold 4x and the
+    # segment splits 28x per row (HOFs are CodegenFallback, so no CSE)
+    opt = with_repetition(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("array_sort") == 1
+    assert opt.count("aggregate(") == 1
+    assert opt.count("split(") == 3  # one per source split (lines/paras/toks)
