@@ -21,12 +21,14 @@ def stage_lineage(df: DataFrame, stage: str, error_col: str = "error",
     """Per-partition rollup: (stage, partition_id, doc_count, bytes, failures)."""
     base = df.withColumn("partition_id", F.spark_partition_id())
     byts = (F.sum(F.length(F.col(bytes_col))) if bytes_col in df.columns else F.lit(0)).alias("bytes")
+    fails = (F.sum(F.when(F.col(error_col).isNotNull(), 1).otherwise(0))
+             if error_col in df.columns else F.lit(0)).alias("failures")
     return (
         base.groupBy("partition_id")
         .agg(
             F.count(F.lit(1)).alias("doc_count"),
             byts,
-            F.sum(F.when(F.col(error_col).isNotNull(), 1).otherwise(0)).alias("failures"),
+            fails,
         )
         .select(F.lit(stage).alias("stage"), "partition_id", "doc_count",
                 F.coalesce(F.col("bytes"), F.lit(0)).alias("bytes"), "failures")
@@ -56,9 +58,10 @@ def write_stage(df: DataFrame, path: str, stage: str, mode: str = "overwrite",
     spark = df.sparkSession
     ref = write_checkpoint(df, path, mode=mode)
     written = read_checkpoint(spark, ref)
-    if error_col in written.columns:
-        write_checkpoint(
-            stage_lineage(written, stage, error_col=error_col, bytes_col=bytes_col),
-            path.rstrip("/") + "_lineage",
-            mode="overwrite",
-        )
+    # lineage always rides the checkpoint; a stage with no error column
+    # records failures=0 (stage_lineage tolerates its absence)
+    write_checkpoint(
+        stage_lineage(written, stage, error_col=error_col, bytes_col=bytes_col),
+        path.rstrip("/") + "_lineage",
+        mode="overwrite",
+    )

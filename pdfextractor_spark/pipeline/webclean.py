@@ -48,6 +48,43 @@ from pyspark.sql import functions as F
 __all__ = ["prepare_training_corpus", "prep_report"]
 
 
+def _perdoc_stages(pages: DataFrame, *, extract: bool | None, url_col: str,
+                   ts_col: str, text_col: str, robots: tuple | None,
+                   badwords: list[str] | None, filter_rows: bool) -> DataFrame:
+    """Stages 1-4: the PER-DOCUMENT prefix of the pipeline (url dedup,
+    robots gate, extraction, C4 cleaning, Gopher repetition). Every
+    transformation here is keyed by the document row, which is what makes
+    the prefix checkpoint-resumable by url anti-join (pipeline.webrunner);
+    everything after it is corpus-global."""
+    df = pages
+    if ts_col and ts_col in df.columns:
+        from ..ops.urls import url_dedup
+        df = url_dedup(df, url_col=url_col, ts_col=ts_col)
+    if robots is not None and filter_rows:
+        # politeness gate runs FIRST after url dedup: a disallowed page
+        # must not spend extraction/cleaning compute (hard removal here;
+        # the flag variant below survives for accounting runs)
+        from ..ops.robots import robots_filter
+        df = robots_filter(df, robots[0], robots[1], url_col=url_col) \
+            .where("robots_allowed").drop("robots_allowed")
+    if extract is None:
+        extract = "html" in df.columns
+    if extract:
+        from .bronze import extract_bronze
+        df = extract_bronze(df).withColumnRenamed("raw_text", text_col)
+    if robots is not None and not filter_rows:
+        # flag-only run: compute AFTER extraction (the bronze UDF projects
+        # its own schema and would drop the flag) so `keep` can report it
+        from ..ops.robots import robots_filter
+        df = robots_filter(df, robots[0], robots[1], url_col=url_col)
+    from ..ops.cleaning import c4_clean
+    from ..ops.textstats import with_repetition
+    df = c4_clean(df, text_col=text_col, badwords=badwords)
+    # repetition is a judgment on the page AS CRAWLED — measure it before
+    # line-dedup collapses a spam page's repeats into one innocuous line
+    return with_repetition(df, text_col)
+
+
 def prepare_training_corpus(
     pages: DataFrame, *,
     extract: bool | None = None,
@@ -100,34 +137,43 @@ def prepare_training_corpus(
     ``filter_rows=True``; a ``filter_rows=False`` accounting run returns
     the flagged frame before them.
     """
-    from ..ops.cleaning import c4_clean, contamination_check, dedup_lines, redact_pii
-    from ..ops.textstats import with_quality, with_repetition, with_token_count
-    from ..ops.urls import cap_per_host, url_dedup
+    df = _perdoc_stages(pages, extract=extract, url_col=url_col,
+                        ts_col=ts_col, text_col=text_col, robots=robots,
+                        badwords=badwords, filter_rows=filter_rows)
+    df = _flag_stages(df, url_col=url_col, text_col=text_col,
+                      benchmark=benchmark, robots_flagged=(
+                          robots is not None and not filter_rows),
+                      dup_line_min_count=dup_line_min_count,
+                      quality_floor=quality_floor, redact=redact,
+                      bpe_merges=bpe_merges, nb_filter=nb_filter,
+                      want_wcid=(nb_filter is not None or dsir is not None))
+    if filter_rows:
+        return _select_stages(df, url_col=url_col, text_col=text_col,
+                              max_docs_per_host=max_docs_per_host,
+                              bpe_merges=bpe_merges, dsir=dsir,
+                              shard_budget=shard_budget)
+    # flag-only accounting run: keep every row + every flag; the host cap
+    # still applies (duplication is not a judgment call), selection and
+    # assembly do not (see _select_stages)
+    if max_docs_per_host:
+        from ..ops.urls import cap_per_host
+        df = cap_per_host(df, max_docs_per_host, url_col=url_col,
+                          order_col="quality_score")
+    return df.drop("_wcid")
 
-    df = pages
-    if ts_col and ts_col in df.columns:
-        df = url_dedup(df, url_col=url_col, ts_col=ts_col)
-    if robots is not None and filter_rows:
-        # politeness gate runs FIRST after url dedup: a disallowed page
-        # must not spend extraction/cleaning compute (hard removal here;
-        # the flag variant below survives for accounting runs)
-        from ..ops.robots import robots_filter
-        df = robots_filter(df, robots[0], robots[1], url_col=url_col) \
-            .where("robots_allowed").drop("robots_allowed")
-    if extract is None:
-        extract = "html" in df.columns
-    if extract:
-        from .bronze import extract_bronze
-        df = extract_bronze(df).withColumnRenamed("raw_text", text_col)
-    if robots is not None and not filter_rows:
-        # flag-only run: compute AFTER extraction (the bronze UDF projects
-        # its own schema and would drop the flag) so `keep` can report it
-        from ..ops.robots import robots_filter
-        df = robots_filter(df, robots[0], robots[1], url_col=url_col)
-    df = c4_clean(df, text_col=text_col, badwords=badwords)
-    # repetition is a judgment on the page AS CRAWLED — measure it before
-    # line-dedup collapses a spam page's repeats into one innocuous line
-    df = with_repetition(df, text_col)
+
+def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
+                 benchmark: DataFrame | None, robots_flagged: bool,
+                 dup_line_min_count: int | None, quality_floor: float | None,
+                 redact: bool, bpe_merges: list | None, nb_filter: dict | None,
+                 want_wcid: bool) -> DataFrame:
+    """Stages 5-11: the CORPUS-GLOBAL cleaning stages (line dedup, quality
+    stats, exact content dedup, decontamination, PII, NB gate) ending in
+    the combined ``keep`` flag column — rows are NOT dropped here, so the
+    output feeds both ``prep_report`` accounting and the selection pass."""
+    from ..ops.cleaning import contamination_check, dedup_lines, redact_pii
+    from ..ops.textstats import with_quality, with_token_count
+
     if dup_line_min_count:
         df = dedup_lines(df, doc_id=url_col, text_col=text_col,
                          min_count=dup_line_min_count)
@@ -150,7 +196,7 @@ def prepare_training_corpus(
         df = df.withColumn("is_contaminated", F.lit(False))
     if redact:
         df = redact_pii(df, text_col=text_col)
-    if nb_filter is not None or dsir is not None:
+    if want_wcid:
         # ROW-unique scoring id: urls need not be unique here (ts_col
         # absent skips url_dedup), and a duplicate key would let
         # score_nb's per-id groupBy merge features across distinct
@@ -172,7 +218,7 @@ def prepare_training_corpus(
     keep = (F.col("c4_keep") & ~F.col("repetition_flag")
             & ~F.col("is_contaminated")
             & (F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0))
-    if robots is not None and not filter_rows:
+    if robots_flagged:
         keep = keep & F.col("robots_allowed")
     if nb_filter is not None and nb_filter.get("keep_labels"):
         # null-safe: a featureless doc has pred_label null; isin(null) is
@@ -184,18 +230,24 @@ def prepare_training_corpus(
         keep = keep & F.col("error").isNull()
     if quality_floor is not None:
         keep = keep & (F.col("quality_score") >= quality_floor)
-    df = df.withColumn("keep", keep)
-    if filter_rows:
-        df = df.where("keep").drop("keep")
+    return df.withColumn("keep", keep)
+
+
+def _select_stages(df: DataFrame, *, url_col: str, text_col: str,
+                   max_docs_per_host: int | None, bpe_merges: list | None,
+                   dsir: dict | None, shard_budget: int | None) -> DataFrame:
+    """Stages 12-14: SELECTION/ASSEMBLY over a flagged frame — drop
+    keep=false rows, apply the per-host cap, DSIR-resample against the
+    trusted target, pack training shards. These physically drop and
+    regroup rows, which contradicts a flag-only accounting run (and
+    would train the DSIR source LM on keep=false junk), so the
+    accounting path never enters here."""
+    from ..ops.urls import cap_per_host
+
+    df = df.where("keep").drop("keep")
     if max_docs_per_host:
         df = cap_per_host(df, max_docs_per_host, url_col=url_col,
                           order_col="quality_score")
-    # dsir / shard packing are SELECTION/ASSEMBLY stages: they physically
-    # drop and regroup rows, which contradicts a flag-only accounting run
-    # (and would train the DSIR source LM on keep=false junk), so they
-    # only run when filter_rows=True
-    if not filter_rows:
-        return df.drop("_wcid")
     if dsir is not None:
         from ..ops.selection import dsir_resample, dsir_weights, train_hashed_lm
         n = dsir.get("n", 2)
@@ -207,7 +259,8 @@ def prepare_training_corpus(
                          n=n, buckets=buckets)
         df = dsir_resample(df, w, dsir["k"], id_col="_wcid",
                            seed=dsir.get("seed", 17))
-    df = df.drop("_wcid")
+    if "_wcid" in df.columns:
+        df = df.drop("_wcid")
     if shard_budget:
         from ..ops.sampling import pack_shards
         tokens_col = "bpe_tokens" if bpe_merges is not None else "ws_tokens"

@@ -1,0 +1,170 @@
+"""Checkpointed, resumable execution of the corpus-preparation pipeline.
+
+``pipeline.webclean`` declares the 14-stage cleaning plan as one lazy
+DataFrame — the right shape for a single pass, but a 100 TB preparation
+run does not execute as one job: it checkpoints at the stage boundaries
+so a failure (or a re-crawl delta) resumes instead of recomputing days
+of work. This module is the corpus-prep analogue of ``pipeline.runner``
+(the medallion bronze->silver->gold runner): the same format-dispatched
+checkpoints (Iceberg snapshot commits when a catalog is configured,
+parquet + ``_lineage`` side-tables in this sandbox) around the three
+natural phases of the pipeline:
+
+1. ``cleaned``  — the PER-DOCUMENT prefix (url dedup, robots gate,
+   extraction, C4, Gopher repetition). Keyed by url, so an interrupted
+   or incremental run resumes via the J7 anti-join: only urls absent
+   from the checkpoint are recomputed, and their rows append.
+2. ``flagged``  — the CORPUS-GLOBAL cleaning stages (line dedup, quality
+   stats, exact content dedup, decontamination, PII, NB gate) ending in
+   the ``keep`` flag. Global operators aggregate over the whole corpus,
+   so this phase is all-or-nothing: it is skipped on resume only while
+   its recorded input row count still matches the ``cleaned``
+   checkpoint (an upstream append invalidates it), recomputed otherwise.
+3. ``corpus``   — SELECTION/ASSEMBLY (keep filter, per-host cap, DSIR
+   resample, shard packing), revalidated against ``flagged`` the same
+   way. The one-row ``prep_report`` accounting lands next to it as
+   ``gold_prep_report``.
+
+The validity rule is deliberately the simplest sufficient one: a phase's
+output is current iff its input row count is unchanged. Row count is
+cheap at any scale (metadata-only on parquet/Iceberg), catches every
+append/truncation the runner itself can produce, and false-positives
+only toward recomputation — never toward serving stale output.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lineage import resume_remaining, write_stage
+from .runner import _exists, _stage_ref
+from .tableio import read_checkpoint, write_checkpoint
+from .webclean import _flag_stages, _perdoc_stages, _select_stages, prep_report
+
+__all__ = ["run_corpus_prep"]
+
+
+def _write_meta(spark: SparkSession, path: str, input_rows: int) -> None:
+    import pandas as pd
+
+    write_checkpoint(
+        spark.createDataFrame(pd.DataFrame({"input_rows": [input_rows]}),
+                              schema="input_rows long"),
+        path, mode="overwrite")
+
+
+def _meta_rows(spark: SparkSession, path: str) -> int | None:
+    ref = _stage_ref(spark, path)
+    if not _exists(spark, ref):
+        return None
+    rows = read_checkpoint(spark, ref).collect()
+    return int(rows[0]["input_rows"]) if rows else None
+
+
+def run_corpus_prep(
+    spark: SparkSession, pages: DataFrame, out_dir: str, *,
+    resume: bool = True,
+    extract: bool | None = None,
+    url_col: str = "url", ts_col: str = "warc_ts", text_col: str = "text",
+    robots: tuple | None = None,
+    benchmark: DataFrame | None = None,
+    badwords: list[str] | None = None,
+    dup_line_min_count: int | None = 2,
+    quality_floor: float | None = None,
+    max_docs_per_host: int | None = None,
+    redact: bool = True,
+    bpe_merges: list | None = None,
+    nb_filter: dict | None = None,
+    dsir: dict | None = None,
+    shard_budget: int | None = None,
+) -> dict:
+    """Run the corpus-prep pipeline with stage checkpoints. Parameters
+    mirror ``prepare_training_corpus`` (always the production
+    ``filter_rows=True`` semantics: the robots gate removes rows before
+    extraction, selection stages run). Returns a summary dict with per-
+    stage timings, row counts, resume bookkeeping, and the prep_report
+    accounting row."""
+    os.makedirs(out_dir, exist_ok=True)
+    cleaned_path = os.path.join(out_dir, "cleaned")
+    flagged_path = os.path.join(out_dir, "flagged")
+    corpus_path = os.path.join(out_dir, "corpus")
+    cleaned_ref = _stage_ref(spark, cleaned_path)
+    flagged_ref = _stage_ref(spark, flagged_path)
+    corpus_ref = _stage_ref(spark, corpus_path)
+    summary: dict = {}
+    t0 = time.time()
+
+    def _perdoc(df: DataFrame) -> DataFrame:
+        return _perdoc_stages(df, extract=extract, url_col=url_col,
+                              ts_col=ts_col, text_col=text_col,
+                              robots=robots, badwords=badwords,
+                              filter_rows=True)
+
+    # --- phase 1: per-document prefix, url-resumable ----------------------
+    if resume and _exists(spark, cleaned_ref):
+        done = read_checkpoint(spark, cleaned_ref)
+        todo = resume_remaining(pages, done, key=url_col)
+        n_todo = todo.count()
+        if n_todo > 0:
+            write_checkpoint(_perdoc(todo), cleaned_path, mode="append")
+        summary["cleaned_appended"] = n_todo
+    else:
+        write_stage(_perdoc(pages), cleaned_path, "cleaned",
+                    bytes_col=text_col)
+        summary["cleaned_appended"] = -1  # full build
+    cleaned = read_checkpoint(spark, cleaned_ref)
+    n_cleaned = cleaned.count()
+    summary["cleaned_rows"] = n_cleaned
+    summary["cleaned_sec"] = round(time.time() - t0, 3)
+
+    # --- phase 2: corpus-global flags, count-validated --------------------
+    t1 = time.time()
+    flagged_current = (resume
+                       and _exists(spark, flagged_ref)
+                       and _meta_rows(spark, flagged_path + "_meta") == n_cleaned)
+    if not flagged_current:
+        flagged_df = _flag_stages(
+            cleaned, url_col=url_col, text_col=text_col,
+            benchmark=benchmark, robots_flagged=False,
+            dup_line_min_count=dup_line_min_count,
+            quality_floor=quality_floor, redact=redact,
+            bpe_merges=bpe_merges, nb_filter=nb_filter,
+            want_wcid=(nb_filter is not None or dsir is not None))
+        write_stage(flagged_df, flagged_path, "flagged", bytes_col=text_col)
+        _write_meta(spark, flagged_path + "_meta", n_cleaned)
+    summary["flagged_recomputed"] = not flagged_current
+    flagged = read_checkpoint(spark, flagged_ref)
+    n_flagged = flagged.count()
+    summary["flagged_rows"] = n_flagged
+    summary["flagged_sec"] = round(time.time() - t1, 3)
+
+    # --- phase 3: selection/assembly + accounting, count-validated --------
+    t2 = time.time()
+    corpus_current = (resume
+                      and _exists(spark, corpus_ref)
+                      and _meta_rows(spark, corpus_path + "_meta") == n_flagged)
+    if not corpus_current:
+        corpus_df = _select_stages(
+            flagged, url_col=url_col, text_col=text_col,
+            max_docs_per_host=max_docs_per_host, bpe_merges=bpe_merges,
+            dsir=dsir, shard_budget=shard_budget)
+        write_stage(corpus_df, corpus_path, "corpus", bytes_col=text_col)
+        _write_meta(spark, corpus_path + "_meta", n_flagged)
+        write_checkpoint(prep_report(flagged, text_col=text_col),
+                         os.path.join(out_dir, "gold_prep_report"),
+                         mode="overwrite")
+    summary["corpus_recomputed"] = not corpus_current
+    corpus = read_checkpoint(spark, corpus_ref)
+    summary["corpus_rows"] = corpus.count()
+    summary["corpus_sec"] = round(time.time() - t2, 3)
+    report = read_checkpoint(
+        spark, _stage_ref(spark, os.path.join(out_dir, "gold_prep_report"))
+    ).collect()[0].asDict()
+    summary["prep_report"] = {k: (int(v) if v is not None else 0)
+                              for k, v in report.items()}
+    summary["total_sec"] = round(time.time() - t0, 3)
+    return summary
