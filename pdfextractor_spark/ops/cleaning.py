@@ -20,11 +20,12 @@ table, all expressed natively (no Python in the plan):
 
 from __future__ import annotations
 
+import pandas as pd  # module level: pandas_udf resolves pd.Series hints
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["ngram_hashes", "contamination_check", "redact_pii", "PII_PATTERNS",
-           "c4_clean", "dedup_lines"]
+           "c4_clean", "dedup_lines", "dedup_spans"]
 
 
 def ngram_hashes(col, n: int = 13) -> Column:
@@ -220,3 +221,111 @@ def dedup_lines(docs: DataFrame, doc_id: str = "doc_id",
             .withColumn(text_col, rebuilt)
             .withColumn("dedup_lines_dropped", F.size(dropset))
             .drop("_drop_pos"))
+
+
+def dedup_spans(docs: DataFrame, doc_id: str = "doc_id",
+                text_col: str = "text", width: int = 50,
+                min_count: int = 2, keep: str = "first") -> DataFrame:
+    """Corpus-level EXACT-SUBSTRING dedup at ``width``-token granularity
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", the ExactSubstr criterion restated for a distributed plan).
+
+    Any token run of length >= ``width`` that occurs ``min_count``-or-
+    more times across the corpus (across documents or repeated inside
+    one) is removed from every occurrence (``keep='none'``) or from
+    every occurrence except the first by ``(doc_id, position)`` order
+    (``keep='first'``, the paper's policy). Detection is EXACT at token
+    granularity: a duplicated run of length L >= width shares all of its
+    stride-1 ``width``-token windows between copies, so every token of
+    the run is covered by some matching window — the window-hash
+    multiset over all positions is the distributed stand-in for the
+    paper's single-node suffix array.
+
+    Tokens are non-empty whitespace splits; a document that loses spans
+    is rebuilt by joining its surviving tokens with single spaces (a
+    token-level operator normalizes whitespace in rewritten documents —
+    untouched documents keep their original bytes). Adds
+    ``dedup_span_tokens_dropped``.
+
+    Scale shape:
+      1. one staged projection computes each document's window-hash
+         ARRAYS (two independent xxhash64 per window: 64-bit keys
+         birthday-collide at 10^12-window scale, and a collision here
+         silently deletes ``width`` tokens of text) — O(n*width) map-side
+         CPU, the price of stride-1 exactness without a rolling hash
+         (Spark 4's ANSI overflow semantics rule out native Rabin-Karp);
+      2. posexplode to ``(doc_id, start, h1, h2)`` — ints only, the
+         token arrays and text stay out of the explode and no document
+         text ever shuffles;
+      3. count keys (one shuffle; map-side partial agg), keep counts
+         >= min_count; rank occurrences per key for ``keep='first'``;
+      4. regroup covered starts per document (one shuffle of ints) and
+         rebuild map-side in ONE vectorized Arrow UDF per batch — the
+         interval union is a numpy difference-array cumsum (O(n), where
+         the equivalent native fold over an accumulator array is
+         quadratic for spam documents whose every window is duplicated).
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    n = F.size(F.col("_ds_toks"))
+    starts = F.when(n >= width, F.sequence(F.lit(1), n - (width - 1))) \
+        .otherwise(F.array().cast("array<int>"))  # sequence(1,0) counts DOWN
+
+    def _whash(seeded: bool):
+        def h(p):
+            joined = F.array_join(F.slice(F.col("_ds_toks"), p, width), " ")
+            return F.xxhash64(F.lit(42), joined) if seeded else F.xxhash64(joined)
+        return F.transform(F.col("_ds_starts"), h)
+
+    staged = (docs
+              .withColumn("_ds_toks", toks)
+              .withColumn("_ds_starts", starts)
+              .withColumn("_ds_h1", _whash(False))
+              .withColumn("_ds_h2", _whash(True)))
+    wins = (staged
+            .select(doc_id, F.posexplode(F.arrays_zip("_ds_h1", "_ds_h2"))
+                    .alias("_start", "_h"))
+            .select(doc_id, "_start",
+                    F.col("_h._ds_h1").alias("_h1"),
+                    F.col("_h._ds_h2").alias("_h2")))
+    dup_keys = (wins.groupBy("_h1", "_h2").count()
+                .where(F.col("count") >= min_count).drop("count"))
+    hits = wins.join(dup_keys, ["_h1", "_h2"])
+    if keep == "first":
+        w = Window.partitionBy("_h1", "_h2").orderBy(F.col(doc_id), F.col("_start"))
+        hits = hits.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") > 1)
+    drops = hits.groupBy(doc_id).agg(F.collect_set("_start").alias("_drop_starts"))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<text:string,dropped:int>")
+    def _rebuild(txt: pd.Series, starts_: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        out_t, out_d = [], []
+        for t, ss in zip(txt, starts_):
+            if ss is None or len(ss) == 0:
+                out_t.append(t)
+                out_d.append(0)
+                continue
+            tk = (t or "").split()
+            cover = np.zeros(len(tk) + 1, dtype=np.int32)
+            # posexplode indices into the windows array == 0-based token
+            # starts (the 1-based slice positions live only in _ds_starts)
+            s = np.asarray(ss, dtype=np.int64)
+            np.add.at(cover, s, 1)
+            np.add.at(cover, np.minimum(s + width, len(tk)), -1)
+            mask = np.cumsum(cover[:-1]) > 0
+            out_t.append(" ".join(tok for tok, m in zip(tk, mask) if not m))
+            out_d.append(int(mask.sum()))
+        return pd.DataFrame({"text": out_t, "dropped": out_d})
+
+    rebuilt = _rebuild(text, F.coalesce(
+        F.col("_drop_starts"), F.array().cast("array<int>")))
+    return (docs.join(drops, doc_id, "left")
+            .withColumn("_ds_out", rebuilt)
+            .withColumn(text_col, F.col("_ds_out.text"))
+            .withColumn("dedup_span_tokens_dropped", F.col("_ds_out.dropped"))
+            .drop("_drop_starts", "_ds_out"))

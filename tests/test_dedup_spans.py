@@ -1,0 +1,134 @@
+"""Exact-substring (span) dedup — ops/cleaning.dedup_spans.
+
+The Spark plan is verified against a brute-force pure-Python twin of the
+Lee et al. 2021 ExactSubstr criterion at token granularity: collect every
+stride-1 width-token window over the corpus, find window values occurring
+min_count+ times, drop every covered token (keep='none') or every covered
+token outside the first occurrence per window value (keep='first').
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from pdfextractor_spark.ops.cleaning import dedup_spans
+
+
+def _twin(rows, width=4, min_count=2, keep="first"):
+    toks = {i: (t or "").split() for i, t in rows}
+    occ = defaultdict(list)  # window tuple -> [(doc_id, start)]
+    for i in sorted(toks):
+        tk = toks[i]
+        for s in range(len(tk) - width + 1):
+            occ[tuple(tk[s:s + width])].append((i, s))
+    dropped = defaultdict(set)  # doc_id -> covered token indices
+    for places in occ.values():
+        if len(places) < min_count:
+            continue
+        start_at = 1 if keep == "first" else 0
+        for (i, s) in sorted(places)[start_at:]:
+            dropped[i].update(range(s, s + width))
+    out = {}
+    for i, t in rows:
+        tk = toks[i]
+        if not dropped[i]:
+            out[i] = (t, 0)
+        else:
+            out[i] = (" ".join(tok for j, tok in enumerate(tk)
+                               if j not in dropped[i]), len(dropped[i]))
+    return out
+
+
+CORPUS = [
+    # docs 1 and 2 share an 8-token run (> width): every covered token of
+    # the SECOND occurrence must go, the first stays
+    (1, "alpha beta gamma delta epsilon zeta eta theta closes one"),
+    (2, "intro words alpha beta gamma delta epsilon zeta eta theta tail"),
+    # doc 3 repeats a 5-token run inside itself
+    (3, "red green blue cyan pink glue red green blue cyan pink"),
+    # doc 4 shorter than the window — untouched
+    (4, "tiny doc"),
+    # doc 5 unique text — untouched
+    (5, "completely unrelated sentence with its own private tokens"),
+    # doc 6 empty / null-ish
+    (6, ""),
+]
+
+
+def _run(spark, keep="first", width=4, min_count=2):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    out = dedup_spans(df, width=width, min_count=min_count, keep=keep)
+    got = {r["doc_id"]: (r["text"], r["dedup_span_tokens_dropped"])
+           for r in out.collect()}
+    want = _twin(CORPUS, width=width, min_count=min_count, keep=keep)
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+    return got
+
+
+def test_dedup_spans_matches_twin_keep_first(spark):
+    got = _run(spark, keep="first")
+    # the first occurrence (doc 1) survives intact
+    assert got[1] == (CORPUS[0][1], 0)
+    # doc 2 lost exactly the 8 shared tokens
+    assert got[2] == ("intro words tail", 8)
+    # within-doc repeat: second copy of the 5-token run removed
+    assert got[3][1] == 5 and got[3][0].startswith("red green blue cyan pink")
+    assert got[4] == ("tiny doc", 0) and got[5][1] == 0 and got[6] == ("", 0)
+
+
+def test_dedup_spans_matches_twin_keep_none(spark):
+    got = _run(spark, keep="none")
+    # both copies of the shared run are gone
+    assert got[1][1] == 8 and got[2] == ("intro words tail", 8)
+    assert got[3][1] > 5  # both in-doc copies covered
+
+
+def test_dedup_spans_min_count_and_width(spark):
+    # min_count above the occurrence count -> nothing dropped
+    got = _run(spark, keep="first", min_count=3)
+    assert all(d == 0 for (_t, d) in got.values())
+    # width larger than the shared run -> nothing dropped
+    got = _run(spark, keep="first", width=9)
+    assert all(d == 0 for (_t, d) in got.values())
+
+
+def test_dedup_spans_plan_shape(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    plan = dedup_spans(df)._jdf.queryExecution().executedPlan().toString()
+    # rebuild is the ONE vectorized Arrow UDF; nothing row-at-a-time
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    # no cartesian anywhere in the window-hash plan
+    assert "CartesianProduct" not in plan
+    # document text never shuffles: every Exchange carries only ids,
+    # window starts, and hash columns
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+
+
+def test_dedup_spans_randomized_twin(spark):
+    """Deterministic random corpora with planted shared runs: the Spark
+    plan must equal the brute-force twin on every doc, both policies."""
+    import random
+
+    rng = random.Random(17)
+    vocab = [f"w{k}" for k in range(30)]
+    planted = ["shared run of tokens appears verbatim several times over"]
+    rows = []
+    for i in range(24):
+        n = rng.randint(0, 18)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.5:
+            at = rng.randint(0, len(toks))
+            toks[at:at] = planted[0].split()
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for keep in ("first", "none"):
+        got = {r["doc_id"]: (r["text"], r["dedup_span_tokens_dropped"])
+               for r in dedup_spans(df, width=5, keep=keep).collect()}
+        want = _twin(rows, width=5, keep=keep)
+        assert got == want
