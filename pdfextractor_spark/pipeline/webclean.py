@@ -93,6 +93,7 @@ def prepare_training_corpus(
     robots: tuple | None = None,
     badwords: list[str] | None = None,
     dup_line_min_count: int | None = 2,
+    dedup_span_width: int | None = None,
     quality_floor: float | None = None,
     max_docs_per_host: int | None = None,
     redact: bool = True,
@@ -113,6 +114,10 @@ def prepare_training_corpus(
 
     Optional selection/assembly stages (all default off):
 
+    - ``dedup_span_width``: corpus-level EXACT-SUBSTRING dedup
+      (``ops.cleaning.dedup_spans``, Lee et al. 2021) at this token
+      width, applied right after line dedup so boilerplate lines are
+      already gone and window hashes cover genuine long-form reuse.
     - ``bpe_merges``: a merge list from ``ops.bpe.train_bpe`` — adds a
       real learned ``bpe_tokens`` count next to the ``ws_tokens`` proxy
       (map-only broadcast encode).
@@ -144,6 +149,7 @@ def prepare_training_corpus(
                       benchmark=benchmark, robots_flagged=(
                           robots is not None and not filter_rows),
                       dup_line_min_count=dup_line_min_count,
+                      dedup_span_width=dedup_span_width,
                       quality_floor=quality_floor, redact=redact,
                       bpe_merges=bpe_merges, nb_filter=nb_filter,
                       want_wcid=(nb_filter is not None or dsir is not None))
@@ -164,7 +170,8 @@ def prepare_training_corpus(
 
 def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
                  benchmark: DataFrame | None, robots_flagged: bool,
-                 dup_line_min_count: int | None, quality_floor: float | None,
+                 dup_line_min_count: int | None, dedup_span_width: int | None,
+                 quality_floor: float | None,
                  redact: bool, bpe_merges: list | None, nb_filter: dict | None,
                  want_wcid: bool) -> DataFrame:
     """Stages 5-11: the CORPUS-GLOBAL cleaning stages (line dedup, quality
@@ -177,6 +184,12 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
     if dup_line_min_count:
         df = dedup_lines(df, doc_id=url_col, text_col=text_col,
                          min_count=dup_line_min_count)
+    if dedup_span_width:
+        # exact-substring dedup AFTER line dedup: boilerplate lines are
+        # already gone, so window hashes cover genuine long-form reuse
+        from ..ops.cleaning import dedup_spans
+        df = dedup_spans(df, doc_id=url_col, text_col=text_col,
+                         width=dedup_span_width)
     # token/quality signals describe the text that would actually ship
     df = with_quality(with_token_count(df, text_col), text_col)
     if bpe_merges is not None:
@@ -280,6 +293,11 @@ def prep_report(flagged: DataFrame, text_col: str = "text") -> DataFrame:
     dedup_dropped = (F.col("dedup_lines_dropped")
                      if "dedup_lines_dropped" in flagged.columns
                      else F.lit(0))
+    span_dropped = (F.col("dedup_span_tokens_dropped")
+                    if "dedup_span_tokens_dropped" in flagged.columns
+                    else F.lit(0))
+    pii_total = (F.col("pii_total") if "pii_total" in flagged.columns
+                 else F.lit(0))
     return flagged.agg(
         F.count(F.lit(1)).alias("docs_in"),
         _n(F.col("keep")).alias("docs_kept"),
@@ -291,6 +309,7 @@ def prep_report(flagged: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum(F.when(F.col("keep"), F.col("ws_tokens")).otherwise(0))
             .cast("long").alias("tokens_kept"),
         F.sum(dedup_dropped).cast("long").alias("boilerplate_lines_dropped"),
-        F.sum(F.when(F.col("keep"), F.col("pii_total")).otherwise(0))
+        F.sum(span_dropped).cast("long").alias("dup_span_tokens_dropped"),
+        F.sum(F.when(F.col("keep"), pii_total).otherwise(0))
             .cast("long").alias("pii_redactions_kept_docs"),
     )

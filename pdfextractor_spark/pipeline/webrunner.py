@@ -74,6 +74,7 @@ def run_corpus_prep(
     benchmark: DataFrame | None = None,
     badwords: list[str] | None = None,
     dup_line_min_count: int | None = 2,
+    dedup_span_width: int | None = None,
     quality_floor: float | None = None,
     max_docs_per_host: int | None = None,
     redact: bool = True,
@@ -131,6 +132,7 @@ def run_corpus_prep(
             cleaned, url_col=url_col, text_col=text_col,
             benchmark=benchmark, robots_flagged=False,
             dup_line_min_count=dup_line_min_count,
+            dedup_span_width=dedup_span_width,
             quality_floor=quality_floor, redact=redact,
             bpe_merges=bpe_merges, nb_filter=nb_filter,
             want_wcid=(nb_filter is not None or dsir is not None))

@@ -132,3 +132,32 @@ def test_dedup_spans_randomized_twin(spark):
                for r in dedup_spans(df, width=5, keep=keep).collect()}
         want = _twin(rows, width=5, keep=keep)
         assert got == want
+
+
+def test_dedup_spans_in_webclean_pipeline(spark):
+    """dedup_span_width wires the stage into prepare_training_corpus, and
+    prep_report carries the dup_span_tokens_dropped accounting."""
+    from pdfextractor_spark.pipeline.webclean import (prep_report,
+                                                      prepare_training_corpus)
+
+    shared = ("This exact shared span of ten tokens keeps appearing "
+              "again today.")
+    rows = [
+        (f"https://s{i}.org/p", f"Opening sentence number {i} is unique "
+         f"and long enough here. {shared} Unique closing line number {i} "
+         "also makes the cut. Extra filler sentence one lands here. "
+         "Extra filler sentence two lands here. Extra filler three ends.",
+         "en")
+        for i in range(4)
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string, lang string")
+    flagged = prepare_training_corpus(
+        pages, extract=False, dup_line_min_count=None, dedup_span_width=5,
+        redact=False, filter_rows=False)
+    rep = prep_report(flagged).collect()[0]
+    # the shared 11-token span survives once; 3 later docs lose >= 11 each
+    assert rep["dup_span_tokens_dropped"] >= 33
+    by_url = {r["url"]: r for r in flagged.collect()}
+    assert shared in by_url["https://s0.org/p"]["text"]
+    for i in (1, 2, 3):
+        assert "shared span of ten tokens" not in by_url[f"https://s{i}.org/p"]["text"]
