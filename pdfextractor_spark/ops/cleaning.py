@@ -184,7 +184,9 @@ def dedup_lines(docs: DataFrame, doc_id: str = "doc_id",
     Blank lines are never counted or dropped, so paragraph structure
     survives.
 
-    Scale shape — no full document text ever shuffles:
+    Scale shape — detection shuffles integers only; document text moves
+    in exactly one place (the final drop-set join-back, broadcast when
+    the duplicate set is small — the common case):
       1. explode to ``(doc_id, pos, key)`` where key is a 128-bit pair of
          xxhash64 values (plain 64-bit would risk birthday collisions at
          10^12-line scale, and a collision here silently deletes text);
@@ -241,7 +243,9 @@ def dedup_spans(docs: DataFrame, doc_id: str = "doc_id",
     multiset over all positions is the distributed stand-in for the
     paper's single-node suffix array.
 
-    Tokens are non-empty whitespace splits; a document that loses spans
+    Tokens are non-empty ASCII-whitespace splits (Java ``\\s``, the
+    Spark `split` semantics — Unicode spaces like NBSP bind their
+    neighbors into one token); a document that loses spans
     is rebuilt by joining its surviving tokens with single spaces (a
     token-level operator normalizes whitespace in rewritten documents —
     untouched documents keep their original bytes). Adds
@@ -254,9 +258,13 @@ def dedup_spans(docs: DataFrame, doc_id: str = "doc_id",
          silently deletes ``width`` tokens of text) — O(n*width) map-side
          CPU, the price of stride-1 exactness without a rolling hash
          (Spark 4's ANSI overflow semantics rule out native Rabin-Karp);
-      2. posexplode to ``(doc_id, start, h1, h2)`` — ints only, the
-         token arrays and text stay out of the explode and no document
-         text ever shuffles;
+      2. posexplode to ``(doc_id, start, h1, h2)`` — ints only; the
+         token arrays and text stay out of the explode, so every
+         DETECTION stage (count, rank, regroup) shuffles integers only.
+         Document text moves in exactly ONE place: the final join-back
+         of the per-doc drop sets (broadcast when small; one Exchange of
+         the docs side when ``drops`` outgrows the broadcast threshold —
+         unavoidable, the rewrite has to meet its document);
       3. count keys (one shuffle; map-side partial agg), keep counts
          >= min_count; rank occurrences per key for ``keep='first'``;
       4. regroup covered starts per document (one shuffle of ints) and
@@ -302,15 +310,24 @@ def dedup_spans(docs: DataFrame, doc_id: str = "doc_id",
 
     @pandas_udf("struct<text:string,dropped:int>")
     def _rebuild(txt: pd.Series, starts_: pd.Series) -> pd.DataFrame:
+        import re
+
         import numpy as np
 
+        # MUST tokenize exactly like the Spark-side F.split(text, r"\s+")
+        # above: Java \s is ASCII-only [ \t\n\x0B\f\r], while Python
+        # str.split() splits on all Unicode whitespace — an NBSP/U+2028/
+        # U+3000 (ubiquitous in crawled HTML) would shift every token
+        # index after it and delete the WRONG tokens. re.ASCII pins \s to
+        # the identical ASCII class.
+        ws = re.compile(r"\s+", re.ASCII)
         out_t, out_d = [], []
         for t, ss in zip(txt, starts_):
             if ss is None or len(ss) == 0:
                 out_t.append(t)
                 out_d.append(0)
                 continue
-            tk = (t or "").split()
+            tk = [x for x in ws.split(t or "") if x]
             cover = np.zeros(len(tk) + 1, dtype=np.int32)
             # posexplode indices into the windows array == 0-based token
             # starts (the 1-based slice positions live only in _ds_starts)

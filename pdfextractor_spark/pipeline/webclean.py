@@ -181,15 +181,29 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
     from ..ops.cleaning import contamination_check, dedup_lines, redact_pii
     from ..ops.textstats import with_quality, with_token_count
 
+    if dup_line_min_count or dedup_span_width:
+        # ROW-distinct dedup id: urls need not be unique here (ts_col
+        # absent skips url_dedup), and keying the per-doc drop-set
+        # regroup on a duplicated url would merge drop sets across
+        # DISTINCT documents and delete the wrong lines/tokens from
+        # both. Exact (url, text) duplicates do share an id — they
+        # receive identical drops and collapse at the exact content
+        # dedup below either way. Computed once, BEFORE any rewrite,
+        # so both stages key on the same opaque id.
+        df = df.withColumn("_ddid", F.struct(
+            F.col(url_col),
+            F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))))
     if dup_line_min_count:
-        df = dedup_lines(df, doc_id=url_col, text_col=text_col,
+        df = dedup_lines(df, doc_id="_ddid", text_col=text_col,
                          min_count=dup_line_min_count)
     if dedup_span_width:
         # exact-substring dedup AFTER line dedup: boilerplate lines are
         # already gone, so window hashes cover genuine long-form reuse
         from ..ops.cleaning import dedup_spans
-        df = dedup_spans(df, doc_id=url_col, text_col=text_col,
+        df = dedup_spans(df, doc_id="_ddid", text_col=text_col,
                          width=dedup_span_width)
+    if "_ddid" in df.columns:
+        df = df.drop("_ddid")
     # token/quality signals describe the text that would actually ship
     df = with_quality(with_token_count(df, text_col), text_col)
     if bpe_merges is not None:

@@ -96,18 +96,32 @@ def test_dedup_spans_min_count_and_width(spark):
 
 def test_dedup_spans_plan_shape(spark):
     df = spark.createDataFrame(CORPUS, "doc_id long, text string")
-    plan = dedup_spans(df)._jdf.queryExecution().executedPlan().toString()
+    out = dedup_spans(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
     # rebuild is the ONE vectorized Arrow UDF; nothing row-at-a-time
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan
     # no cartesian anywhere in the window-hash plan
     assert "CartesianProduct" not in plan
-    # document text never shuffles: every Exchange carries only ids,
-    # window starts, and hash columns
+    # document text crosses at most ONE Exchange (the final drop-set
+    # join-back when the drops side outgrows a broadcast) — every
+    # DETECTION stage shuffles integers only. The partitioning-key regex
+    # alone is vacuous (keys never list carried columns), so inspect
+    # each Exchange node's Output column list from the formatted plan.
     import re
 
-    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
-        assert "text" not in m.group(1), m.group(0)
+    from pdfextractor_spark.plans.audit import explain_str
+
+    fmt = explain_str(out, "formatted")
+    # node detail blocks: "(n) Exchange\nInput [k]: [col#1, ...]\n..."
+    blocks = re.findall(r"^\(\d+\) Exchange\n((?:(?!^\(\d+\)).*\n?)*)",
+                        fmt, re.M)
+    assert blocks, fmt  # the detection stages do shuffle (ints)
+    text_exchanges = sum(
+        1 for body in blocks
+        if re.search(r"\btext#", re.search(
+            r"Input \[\d+\]: \[([^\]]*)\]", body).group(1)))
+    assert text_exchanges <= 1, fmt
 
 
 def test_dedup_spans_randomized_twin(spark):
@@ -132,6 +146,70 @@ def test_dedup_spans_randomized_twin(spark):
                for r in dedup_spans(df, width=5, keep=keep).collect()}
         want = _twin(rows, width=5, keep=keep)
         assert got == want
+
+
+def test_dedup_spans_unicode_whitespace_token_parity(spark):
+    """The Arrow rebuild must tokenize exactly like the Spark-side Java
+    \\s split: Unicode-only whitespace (NBSP here) binds its neighbors
+    into ONE token, so drop indices stay aligned and exactly the
+    duplicated tokens are removed — Python str.split() would see an
+    extra token and delete a window shifted off by one."""
+    run = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"other opening then {run} closes one"),
+        # NBSP between x and y, BEFORE the duplicated run, in the doc
+        # that loses the span
+        (2, f"x\u00a0y lead-in {run} tail words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["dedup_span_tokens_dropped"])
+           for r in dedup_spans(df, width=6).collect()}
+    # doc 1 is first by (doc_id, start): intact
+    assert got[1] == (rows[0][1], 0)
+    # doc 2 loses exactly the 6 run tokens; the NBSP token survives whole
+    assert got[2] == ("x\u00a0y lead-in tail words", 6)
+
+
+def test_dedup_spans_distinct_docs_sharing_url_not_merged(spark):
+    """Pipeline wiring: two DISTINCT documents at the same url (ts_col
+    absent skips url_dedup) must not have their span drop sets merged —
+    the per-row dedup id keys the regroup, not the url."""
+    from pdfextractor_spark.pipeline.webclean import prepare_training_corpus
+
+    run = ("this exact duplicated span of nine whole tokens appears "
+           "twice more")
+    # two distinct docs share URL u; each also exists at a unique url,
+    # so the run occurs 4x. innocent has NO duplicate span at all.
+    rows = [
+        ("https://u.org/p", f"first variant begins distinctly here. {run} "
+         "first variant closing words here now. more unique filler one. "
+         "more unique filler two arrives. final filler three lands."),
+        ("https://u.org/p", "innocent second doc at the same url with "
+         "entirely unique content throughout. nothing here repeats at "
+         "all anywhere. every sentence is private to this one document. "
+         "extra padding sentence to pass length gates."),
+        ("https://a.org/p", f"third doc unique opening line first. {run} "
+         "third doc unique closing line. filler sentence alpha here. "
+         "filler sentence beta follows. filler sentence gamma ends."),
+        ("https://b.org/p", f"fourth doc other opening text. {run} fourth "
+         "doc other closing text. pad sentence one for quality. pad "
+         "sentence two for quality. pad sentence three finishes."),
+    ]
+    pages = spark.createDataFrame(
+        [(u, t, "en") for u, t in rows], "url string, text string, lang string")
+    flagged = prepare_training_corpus(
+        pages, extract=False, dup_line_min_count=None, dedup_span_width=5,
+        redact=False, filter_rows=False)
+    out = {(r["url"], r["text"][:14]): r for r in flagged.collect()}
+    innocent = out[("https://u.org/p", "innocent secon")]
+    # the innocent same-url doc keeps every byte
+    assert innocent["text"] == rows[1][1]
+    assert innocent["dedup_span_tokens_dropped"] == 0
+    # the run survives in exactly one of its three carriers
+    carriers = [r for k, r in out.items() if k != ("https://u.org/p",
+                                                   "innocent secon")]
+    assert sum(run in r["text"] for r in carriers) == 1
+    assert sum(r["dedup_span_tokens_dropped"] >= 11 for r in carriers) == 2
 
 
 def test_dedup_spans_in_webclean_pipeline(spark):
