@@ -1399,6 +1399,21 @@ def q_pagerank_top(spark, sf_dir):
                     r6.alias("rank")))
 
 
+def q_semdedup_stats(spark, sf_dir):
+    """Dormant: SemDeDup semantic dedup (ops/semdedup.py, Abbas et al.
+    2023) over the embeddings table — kmeans-cluster the vectors, greedy
+    cosine dedup inside each cluster keeping the least-centroid-similar
+    exemplar — returning the one-row removal accounting. Rows-only by
+    nature (the kmeans|| quantizer is not SQL-expressible); the greedy
+    semantics are pinned by an exact numpy twin in
+    tests/test_semdedup.py."""
+    from pdfextractor_spark.ops.semdedup import semdedup, semdedup_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup_stats(
+        semdedup(emb, num_centroids=16, threshold=0.95, seed=13, max_iter=5))
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dormant queries, promotion-ready (see REGISTRY.md). Not part of
     the driver contract; bench.py and tests/test_entry_contract.py use
@@ -1407,6 +1422,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webclean_corpus": q_webclean_corpus,
         "robots_gate": q_robots_gate,
         "pagerank_top": q_pagerank_top,
+        "semdedup_stats": q_semdedup_stats,
     }
 
 

@@ -89,6 +89,19 @@ def test_dormant_oracle_match(spark, sf_dir, duck, name):
     assert s_vals == d_vals
 
 
+def test_dormant_semdedup_stats_smoke(spark, sf_dir):
+    """Rows-only gate for the semantic-dedup query: one accounting row
+    whose counters tie out against the embeddings table."""
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    rows = entry_mod.extra_queries()["semdedup_stats"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    d = rows[0].asDict()
+    assert d["n_docs"] == n
+    assert d["n_kept"] + d["n_dropped"] == n
+    assert 0 < d["n_kept"] <= n
+    assert 1 <= d["n_clusters"] <= 16
+
+
 def test_dormant_webclean_corpus_smoke(spark, sf_dir):
     """Rows-only gate for the composed-pipeline query: exactly one
     accounting row with non-negative stage counters."""
