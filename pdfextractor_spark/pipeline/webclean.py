@@ -29,7 +29,8 @@ a 100 TB preparation run wants and the reasons for it:
 
 Optional selection/assembly stages (off by default) extend the tail:
 learned-BPE token budgets (``bpe_merges``), an NB quality-classifier
-gate (``nb_filter``), DSIR importance resampling against a trusted
+gate (``nb_filter``), SemDeDup semantic dedup over a document-embedding
+column (``semdedup``), DSIR importance resampling against a trusted
 target corpus (``dsir``), and greedy packing into fixed-token training
 shards (``shard_budget``) — see ``prepare_training_corpus``.
 
@@ -100,6 +101,7 @@ def prepare_training_corpus(
     filter_rows: bool = True,
     bpe_merges: list | None = None,
     nb_filter: dict | None = None,
+    semdedup: dict | None = None,
     dsir: dict | None = None,
     shard_budget: int | None = None,
 ) -> DataFrame:
@@ -128,6 +130,13 @@ def prepare_training_corpus(
       ``pred_label IN keep_labels`` into ``keep``. ``n``/``buckets``
       MUST match the values the model was trained with (bucket ids are
       hashes mod ``buckets``; a mismatch silently floors every lookup).
+    - ``semdedup``: ``{"vec_col": "embedding", "num_centroids": 16,
+      "threshold": 0.95, ...}`` (remaining keys pass through to
+      ``ops.semdedup.semdedup``) — SemDeDup semantic dedup over a
+      document-embedding column the pages table carries. Runs AFTER the
+      exact content dedup (byte-duplicates must not waste clustering
+      work) and folds ``semdedup_keep`` into ``keep``; rows with a null
+      embedding are never semantically dropped.
     - ``dsir``: ``{"target": DataFrame, "k": int, "n": 2, "buckets":
       10_000}`` — DSIR selection AFTER all cleaning: the source LM is
       trained on the surviving pool itself (the published setup), the
@@ -152,6 +161,7 @@ def prepare_training_corpus(
                       dedup_span_width=dedup_span_width,
                       quality_floor=quality_floor, redact=redact,
                       bpe_merges=bpe_merges, nb_filter=nb_filter,
+                      semdedup_cfg=semdedup,
                       want_wcid=(nb_filter is not None or dsir is not None))
     if filter_rows:
         return _select_stages(df, url_col=url_col, text_col=text_col,
@@ -173,7 +183,7 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
                  dup_line_min_count: int | None, dedup_span_width: int | None,
                  quality_floor: float | None,
                  redact: bool, bpe_merges: list | None, nb_filter: dict | None,
-                 want_wcid: bool) -> DataFrame:
+                 semdedup_cfg: dict | None, want_wcid: bool) -> DataFrame:
     """Stages 5-11: the CORPUS-GLOBAL cleaning stages (line dedup, quality
     stats, exact content dedup, decontamination, PII, NB gate) ending in
     the combined ``keep`` flag column — rows are NOT dropped here, so the
@@ -217,6 +227,29 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
         F.col("quality_score").desc(), F.col(url_col))
     df = df.withColumn("_rn", F.row_number().over(w)) \
         .where(F.col("_rn") == 1).drop("_rn")
+    if semdedup_cfg is not None:
+        # semantic dedup AFTER exact content dedup: byte-duplicates are
+        # already gone, so clustering work is spent only on distinct
+        # documents. The verdict id is (url # text-hash) — row-unique
+        # among the exact-dedup survivors and sortable inside the
+        # grouped numpy stage (a struct id would reach pandas as dicts).
+        from ..ops.semdedup import semdedup as _semdedup
+        cfg = dict(semdedup_cfg)
+        vec_col = cfg.pop("vec_col", "embedding")
+        sid = F.concat_ws(
+            "#", F.col(url_col),
+            F.xxhash64(F.coalesce(F.col(text_col), F.lit(""))).cast("string"))
+        emb_in = (df.withColumn("_sdid", sid)
+                  .where(F.col(vec_col).isNotNull())
+                  .select("_sdid", vec_col))
+        verdicts = _semdedup(emb_in, id_col="_sdid", vec_col=vec_col, **cfg) \
+            .select("_sdid", "semdedup_keep")
+        df = (df.withColumn("_sdid", sid)
+              .join(verdicts, "_sdid", "left")
+              # null embedding -> never semantically dropped
+              .withColumn("semdedup_keep",
+                          F.coalesce(F.col("semdedup_keep"), F.lit(True)))
+              .drop("_sdid"))
     if benchmark is not None:
         df = contamination_check(df, benchmark, doc_id=url_col, text_col=text_col)
     else:
@@ -245,6 +278,8 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
     keep = (F.col("c4_keep") & ~F.col("repetition_flag")
             & ~F.col("is_contaminated")
             & (F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0))
+    if semdedup_cfg is not None:
+        keep = keep & F.col("semdedup_keep")
     if robots_flagged:
         keep = keep & F.col("robots_allowed")
     if nb_filter is not None and nb_filter.get("keep_labels"):
@@ -312,12 +347,15 @@ def prep_report(flagged: DataFrame, text_col: str = "text") -> DataFrame:
                     else F.lit(0))
     pii_total = (F.col("pii_total") if "pii_total" in flagged.columns
                  else F.lit(0))
+    sem_dropped = (~F.col("semdedup_keep")
+                   if "semdedup_keep" in flagged.columns else F.lit(False))
     return flagged.agg(
         F.count(F.lit(1)).alias("docs_in"),
         _n(F.col("keep")).alias("docs_kept"),
         _n(~F.col("c4_keep")).alias("dropped_c4"),
         _n(F.col("repetition_flag")).alias("dropped_repetition"),
         _n(F.col("is_contaminated")).alias("dropped_contaminated"),
+        _n(sem_dropped).alias("dropped_semantic"),
         _n(F.length(F.coalesce(F.col(text_col), F.lit(""))) == 0)
             .alias("dropped_empty"),
         F.sum(F.when(F.col("keep"), F.col("ws_tokens")).otherwise(0))

@@ -80,6 +80,7 @@ def run_corpus_prep(
     redact: bool = True,
     bpe_merges: list | None = None,
     nb_filter: dict | None = None,
+    semdedup: dict | None = None,
     dsir: dict | None = None,
     shard_budget: int | None = None,
 ) -> dict:
@@ -135,6 +136,7 @@ def run_corpus_prep(
             dedup_span_width=dedup_span_width,
             quality_floor=quality_floor, redact=redact,
             bpe_merges=bpe_merges, nb_filter=nb_filter,
+            semdedup_cfg=semdedup,
             want_wcid=(nb_filter is not None or dsir is not None))
         write_stage(flagged_df, flagged_path, "flagged", bytes_col=text_col)
         _write_meta(spark, flagged_path + "_meta", n_cleaned)

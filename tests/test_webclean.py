@@ -258,3 +258,67 @@ def test_selection_stages_survive_duplicate_urls(spark):
     ).collect()
     assert len(out) == 3
     assert "_wcid" not in {c for c in out[0].asDict()}
+
+
+def test_semdedup_stage_flags_and_accounting(spark):
+    """The optional SemDeDup stage drops exactly one of a semantically
+    identical pair (distinct BYTES, near-identical embeddings — the case
+    no other dedup stage catches), never touches null-embedding rows,
+    and prep_report carries the dropped_semantic count."""
+    from pdfextractor_spark.pipeline.webclean import (prep_report,
+                                                      prepare_training_corpus)
+
+    texts = [
+        ("This article describes watershed planning in depth. " * 2
+         + "Every sentence here ends with punctuation. "
+         + "The writing is unique to this very page. "
+         + "A fourth sentence pads the C4 page gate. "
+         + "A fifth sentence closes it out."),
+        ("This piece covers watershed planning thoroughly. " * 2
+         + "All of its sentences terminate with periods. "
+         + "The phrasing is specific to this document alone. "
+         + "Another sentence pads the C4 page gate. "
+         + "One more sentence finishes the page."),
+        ("A completely different topic: bridge maintenance schedules. "
+         + "Inspections happen every spring without fail. "
+         + "Steel fatigue is measured by certified crews. "
+         + "Reports are filed with the county office. "
+         + "Budgets are approved in the autumn session."),
+        ("Entirely unrelated content about library catalogs. "
+         + "Card systems gave way to digital indexes. "
+         + "Patrons search by title, author, or subject. "
+         + "Holdings are synchronized across branches nightly. "
+         + "Late fees were abolished two years ago."),
+    ]
+    # docs 0 and 1 are semantic twins (cos ~ 0.99996), 2 and 3 far away;
+    # doc 3 carries NO embedding
+    vecs = [[1.0, 0.01, 0.0], [1.0, 0.0, 0.01], [0.0, 1.0, 0.0], None]
+    pages = spark.createDataFrame(
+        [(f"https://s{i}.org/p", t, "en", v)
+         for i, (t, v) in enumerate(zip(texts, vecs))],
+        "url string, text string, lang string, embedding array<double>")
+    flagged = prepare_training_corpus(
+        pages, extract=False, dup_line_min_count=None, redact=False,
+        filter_rows=False,
+        semdedup={"vec_col": "embedding", "num_centroids": 2,
+                  "threshold": 0.999, "seed": 13, "max_iter": 5})
+    rows = {r["url"]: r for r in flagged.collect()}
+    twins = [rows["https://s0.org/p"], rows["https://s1.org/p"]]
+    assert sorted(r["semdedup_keep"] for r in twins) == [False, True]
+    assert rows["https://s2.org/p"]["semdedup_keep"]
+    assert rows["https://s3.org/p"]["semdedup_keep"]  # null embedding: kept
+    dropped_twin = next(r for r in twins if not r["semdedup_keep"])
+    assert not dropped_twin["keep"]
+    report = prep_report(flagged).collect()[0]
+    assert report["dropped_semantic"] == 1
+    assert report["docs_in"] == 4
+
+    # filter_rows=True physically drops the semantic duplicate
+    kept = prepare_training_corpus(
+        pages, extract=False, dup_line_min_count=None, redact=False,
+        quality_floor=0.0,
+        semdedup={"vec_col": "embedding", "num_centroids": 2,
+                  "threshold": 0.999, "seed": 13, "max_iter": 5})
+    kept_urls = {r["url"] for r in kept.collect()}
+    assert len(kept_urls & {"https://s0.org/p", "https://s1.org/p"}) == 1
+    assert {"https://s2.org/p", "https://s3.org/p"} <= kept_urls
