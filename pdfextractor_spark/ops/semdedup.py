@@ -27,10 +27,12 @@ Spark shape (designed for 10^12 rows):
      trade LSH banding makes); split membership is surfaced in the
      ``cluster_split`` output column so the caller can measure it;
   3. greedy dedup per (cluster, salt) group via ``applyInPandas`` —
-     ONE shuffle of the embedding vectors, then a single numpy
-     gram-matrix + greedy scan per group, Arrow-batched. Group size is
-     capped by ``max_cluster``, so executor memory is bounded by
-     ``max_cluster * dim * 8`` bytes regardless of corpus size.
+     ONE shuffle of the embedding vectors, then a numpy greedy scan per
+     group, Arrow-batched. Groups up to 8192 rows use one BLAS gram
+     matrix (<= 512 MB); larger groups score candidates against the
+     kept rows only, so executor memory is bounded by
+     ``max_cluster * dim * 8`` bytes (the vectors themselves) — never
+     by a ``max_cluster^2`` similarity matrix.
 
 Verdict columns only come back (id, cluster, centroid_sim, keep,
 cluster_split) — the embeddings never leave the grouped stage, so the
@@ -69,13 +71,27 @@ def _greedy_keep(mat: np.ndarray, centroid: np.ndarray,
     # ascending centroid similarity = most atypical first (stable sort:
     # equal csim falls back to the caller's ascending-id row order)
     order = np.argsort(csim, kind="stable")
-    sims = unit @ unit.T
     keep = np.zeros(len(mat), dtype=bool)
     kept_idx: list[int] = []
-    for i in order:
-        if not kept_idx or sims[i, kept_idx].max() < threshold:
-            keep[i] = True
-            kept_idx.append(int(i))
+    if len(mat) <= 8192:
+        # small group: one BLAS gram matrix (<= 8192^2 * 8B = 512 MB)
+        sims = unit @ unit.T
+        for i in order:
+            if not kept_idx or sims[i, kept_idx].max() < threshold:
+                keep[i] = True
+                kept_idx.append(int(i))
+    else:
+        # large group: never materialize the c^2 gram matrix — score each
+        # candidate against the KEPT rows only (matvec per item: memory
+        # O(c*dim), time still O(c^2*dim) worst case but O(c*k*dim) when
+        # dedup bites, which is exactly when groups are large)
+        kept_rows = np.empty_like(unit)
+        for i in order:
+            if (not kept_idx
+                    or (kept_rows[:len(kept_idx)] @ unit[i]).max() < threshold):
+                keep[i] = True
+                kept_rows[len(kept_idx)] = unit[i]
+                kept_idx.append(int(i))
     return keep, csim
 
 

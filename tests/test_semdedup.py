@@ -151,3 +151,34 @@ def test_semdedup_end_to_end_on_embeddings_table(spark, sf_dir):
     assert again == {(r["vec_id"], r["semdedup_keep"]) for r in rows}
     kept = sum(r["semdedup_keep"] for r in rows)
     assert 0 < kept <= n
+
+
+def test_greedy_incremental_path_equals_gram_path():
+    """Groups above the 8192-row gram cutoff take the memory-bounded
+    incremental branch — it must produce bit-identical verdicts to the
+    full gram-matrix semantics."""
+    from pdfextractor_spark.ops.semdedup import _greedy_keep
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(900, 8))
+    mat = np.vstack([base[i % 900] + rng.normal(scale=1e-5, size=8)
+                     for i in range(9000)])
+    centroid = rng.normal(size=8)
+    keep_inc, csim_inc = _greedy_keep(mat, centroid, 0.999)
+
+    # reference: the gram-matrix greedy, reimplemented locally
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    csim = unit @ (centroid / np.linalg.norm(centroid))
+    order = np.argsort(csim, kind="stable")
+    sims = unit @ unit.T
+    keep_ref = np.zeros(len(mat), dtype=bool)
+    kept = []
+    for i in order:
+        if not kept or sims[i, kept].max() < 0.999:
+            keep_ref[i] = True
+            kept.append(int(i))
+
+    assert np.array_equal(keep_inc, keep_ref)
+    assert np.allclose(csim_inc, csim)
+    # ~10x duplication collapses to ~the base count
+    assert 850 <= keep_inc.sum() <= 1000
