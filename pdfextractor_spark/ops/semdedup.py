@@ -113,8 +113,14 @@ def semdedup(emb: DataFrame | None = None, *, id_col: str = "vec_id",
     if index is None:
         if emb is None:
             raise ValueError("either emb or index must be provided")
-        index = ivf_build(emb, num_centroids, id_col, vec_col, seed,
-                          max_iter, train_fraction)
+        assigned, centroids = ivf_build(emb, num_centroids, id_col, vec_col,
+                                        seed, max_iter, train_fraction)
+        # the assignment feeds BOTH the size census and the salted group
+        # below (two plan subtrees — no ReusedExchange between them);
+        # without this the upstream lineage executes once per branch.
+        # Callers passing a prebuilt index own its persistence.
+        assigned = assigned.persist()
+        index = (assigned, centroids)
     assigned, centroids = index  # (neighbor_id, cvec, _centroid)
     cent_mat = np.asarray(centroids, dtype=np.float64)
 

@@ -49,6 +49,20 @@ from pyspark.sql import functions as F
 __all__ = ["prepare_training_corpus", "prep_report"]
 
 
+def _row_id(url_col: str, text_col: str, as_string: bool = False):
+    """The pipeline's row identity: (url, xxhash64(text)). Row-unique
+    whenever no two rows share BOTH url and full text bytes (the stages
+    below collapse exact (url, text) copies first). One definition for
+    every stage that needs a doc key — the dedup regroup (``_ddid``),
+    the semantic-dedup verdict join (``_sdid``, string form: a struct id
+    reaches the grouped pandas stage as unsortable dicts), and the
+    selection scoring id (``_wcid``)."""
+    h = F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
+    if as_string:
+        return F.concat_ws("#", F.col(url_col), h.cast("string"))
+    return F.struct(F.col(url_col), h)
+
+
 def _perdoc_stages(pages: DataFrame, *, extract: bool | None, url_col: str,
                    ts_col: str, text_col: str, robots: tuple | None,
                    badwords: list[str] | None, filter_rows: bool) -> DataFrame:
@@ -196,13 +210,21 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
         # absent skips url_dedup), and keying the per-doc drop-set
         # regroup on a duplicated url would merge drop sets across
         # DISTINCT documents and delete the wrong lines/tokens from
-        # both. Exact (url, text) duplicates do share an id — they
-        # receive identical drops and collapse at the exact content
-        # dedup below either way. Computed once, BEFORE any rewrite,
-        # so both stages key on the same opaque id.
-        df = df.withColumn("_ddid", F.struct(
-            F.col(url_col),
-            F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))))
+        # both. Computed once, BEFORE any rewrite, so both stages key
+        # on the same opaque id.
+        df = df.withColumn("_ddid", _row_id(url_col, text_col))
+        # ... and the id must then actually BE row-distinct: two
+        # byte-identical (url, text) rows sharing one id would
+        # SELF-ANNIHILATE under keep='first' — each window of the doc
+        # counts twice, the rank-2 occurrence puts every start into the
+        # SHARED drop set, and the join-back empties BOTH copies where
+        # keep-first promises one survivor. Collapse exact copies here
+        # (one row survives with its text intact — the same row the
+        # exact content dedup below would keep anyway; dedup stages drop
+        # rows even in flag-only runs, duplication is not a judgment
+        # call). Costs one exchange of the doc rows, which the dedup
+        # stages' own drop-set join-back was already liable to pay.
+        df = df.dropDuplicates(["_ddid"])
     if dup_line_min_count:
         df = dedup_lines(df, doc_id="_ddid", text_col=text_col,
                          min_count=dup_line_min_count)
@@ -236,20 +258,29 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
         from ..ops.semdedup import semdedup as _semdedup
         cfg = dict(semdedup_cfg)
         vec_col = cfg.pop("vec_col", "embedding")
-        sid = F.concat_ws(
-            "#", F.col(url_col),
-            F.xxhash64(F.coalesce(F.col(text_col), F.lit(""))).cast("string"))
+        sid = _row_id(url_col, text_col, as_string=True)
+        # a null embedding — or one with a null COMPONENT (a partial
+        # upstream join) — is unclusterable: excluded here, kept below
         emb_in = (df.withColumn("_sdid", sid)
-                  .where(F.col(vec_col).isNotNull())
-                  .select("_sdid", vec_col))
-        verdicts = _semdedup(emb_in, id_col="_sdid", vec_col=vec_col, **cfg) \
-            .select("_sdid", "semdedup_keep")
-        df = (df.withColumn("_sdid", sid)
-              .join(verdicts, "_sdid", "left")
-              # null embedding -> never semantically dropped
-              .withColumn("semdedup_keep",
-                          F.coalesce(F.col("semdedup_keep"), F.lit(True)))
-              .drop("_sdid"))
+                  .where(F.col(vec_col).isNotNull()
+                         & ~F.exists(vec_col, lambda x: x.isNull()))
+                  .select("_sdid", vec_col)
+                  # id+vector only; reused by the quantizer fit, the
+                  # assignment pass, and the size census — without this
+                  # the whole cleaning lineage above re-executes per use
+                  .persist())
+        if emb_in.isEmpty():
+            # nothing clusterable (KMeans.fit rejects an empty dataset)
+            df = df.withColumn("semdedup_keep", F.lit(True))
+        else:
+            verdicts = _semdedup(emb_in, id_col="_sdid", vec_col=vec_col,
+                                 **cfg).select("_sdid", "semdedup_keep")
+            df = (df.withColumn("_sdid", sid)
+                  .join(verdicts, "_sdid", "left")
+                  # null embedding -> never semantically dropped
+                  .withColumn("semdedup_keep",
+                              F.coalesce(F.col("semdedup_keep"), F.lit(True)))
+                  .drop("_sdid"))
     if benchmark is not None:
         df = contamination_check(df, benchmark, doc_id=url_col, text_col=text_col)
     else:
@@ -265,8 +296,7 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
         # among survivors, so (url, text-hash) is row-unique; it is also
         # deterministic under any partitioning (monotonically_increasing_id
         # is not).
-        df = df.withColumn(
-            "_wcid", F.struct(F.col(url_col), F.xxhash64(F.col(text_col))))
+        df = df.withColumn("_wcid", _row_id(url_col, text_col))
     if nb_filter is not None:
         from ..ops.selection import score_nb
         scored = score_nb(

@@ -13,7 +13,10 @@ natural phases of the pipeline:
 1. ``cleaned``  — the PER-DOCUMENT prefix (url dedup, robots gate,
    extraction, C4, Gopher repetition). Keyed by url, so an interrupted
    or incremental run resumes via the J7 anti-join: only urls absent
-   from the checkpoint are recomputed, and their rows append.
+   from the checkpoint are recomputed, and their rows append. (Per-doc
+   config — robots policy, badwords, extract — is therefore NOT
+   retroactive on resume: already-checkpointed rows keep the verdicts
+   they were built under; changing it needs a fresh ``out_dir``.)
 2. ``flagged``  — the CORPUS-GLOBAL cleaning stages (line dedup, quality
    stats, exact content dedup, decontamination, PII, NB gate) ending in
    the ``keep`` flag. Global operators aggregate over the whole corpus,
@@ -26,10 +29,13 @@ natural phases of the pipeline:
    ``gold_prep_report``.
 
 The validity rule is deliberately the simplest sufficient one: a phase's
-output is current iff its input row count is unchanged. Row count is
-cheap at any scale (metadata-only on parquet/Iceberg), catches every
-append/truncation the runner itself can produce, and false-positives
-only toward recomputation — never toward serving stale output.
+output is current iff its input row count AND its config fingerprint are
+unchanged. Row count is cheap at any scale (metadata-only on
+parquet/Iceberg) and catches every append/truncation the runner itself
+can produce; the fingerprint catches a resumed run whose stage config
+changed (enabling semdedup, retuning quality_floor) — without it the
+runner would silently serve output built under the old config. Both
+false-positive only toward recomputation — never toward staleness.
 """
 
 from __future__ import annotations
@@ -48,21 +54,56 @@ from .webclean import _flag_stages, _perdoc_stages, _select_stages, prep_report
 __all__ = ["run_corpus_prep"]
 
 
-def _write_meta(spark: SparkSession, path: str, input_rows: int) -> None:
+def _config_fp(**params) -> str:
+    """Deterministic fingerprint of a phase's semantics-affecting config.
+    DataFrame/model values can't be fingerprinted cheaply — callers pass
+    a presence marker (bool) for those, so SWAPPING e.g. the benchmark
+    table without changing row counts is (documented) not detected, but
+    ENABLING/disabling/retuning any stage is."""
+    import hashlib
+
+    def _norm(v):
+        if isinstance(v, dict):
+            return {k: _norm(x) for k, x in sorted(v.items())}
+        if isinstance(v, (list, tuple)):
+            return [_norm(x) for x in v]
+        if isinstance(v, (set, frozenset)):
+            return sorted(map(repr, v))
+        return v if isinstance(v, (int, float, str, bool, type(None))) \
+            else f"<{type(v).__name__}>"
+
+    return hashlib.sha1(repr(_norm(params)).encode()).hexdigest()[:16]
+
+
+def _write_meta(spark: SparkSession, path: str, input_rows: int,
+                config_fp: str) -> None:
     import pandas as pd
 
     write_checkpoint(
-        spark.createDataFrame(pd.DataFrame({"input_rows": [input_rows]}),
-                              schema="input_rows long"),
+        spark.createDataFrame(
+            pd.DataFrame({"input_rows": [input_rows],
+                          "config_fp": [config_fp]}),
+            schema="input_rows long, config_fp string"),
         path, mode="overwrite")
 
 
-def _meta_rows(spark: SparkSession, path: str) -> int | None:
+def _meta_current(spark: SparkSession, path: str, input_rows: int,
+                  config_fp: str) -> bool:
+    """A phase output is current iff BOTH its recorded input row count
+    and its config fingerprint match — a resumed run with a changed
+    stage config (e.g. enabling semdedup) must recompute, not silently
+    serve output built under the old config. Metas written before the
+    fingerprint existed lack the column and read as stale (one-time
+    recompute, never a stale serve)."""
     ref = _stage_ref(spark, path)
     if not _exists(spark, ref):
-        return None
-    rows = read_checkpoint(spark, ref).collect()
-    return int(rows[0]["input_rows"]) if rows else None
+        return False
+    meta = read_checkpoint(spark, ref)
+    if "config_fp" not in meta.columns:
+        return False
+    rows = meta.collect()
+    return bool(rows) and int(rows[0]["input_rows"]) == input_rows \
+        and rows[0]["config_fp"] == config_fp
 
 
 def run_corpus_prep(
@@ -123,11 +164,17 @@ def run_corpus_prep(
     summary["cleaned_rows"] = n_cleaned
     summary["cleaned_sec"] = round(time.time() - t0, 3)
 
-    # --- phase 2: corpus-global flags, count-validated --------------------
+    # --- phase 2: corpus-global flags, count+config-validated -------------
     t1 = time.time()
-    flagged_current = (resume
-                       and _exists(spark, flagged_ref)
-                       and _meta_rows(spark, flagged_path + "_meta") == n_cleaned)
+    flag_fp = _config_fp(
+        benchmark=benchmark is not None,
+        dup_line_min_count=dup_line_min_count,
+        dedup_span_width=dedup_span_width, quality_floor=quality_floor,
+        redact=redact, bpe=bpe_merges is not None, nb_filter=nb_filter,
+        semdedup=semdedup, want_wcid=(nb_filter is not None
+                                      or dsir is not None))
+    flagged_current = (resume and _meta_current(
+        spark, flagged_path + "_meta", n_cleaned, flag_fp))
     if not flagged_current:
         flagged_df = _flag_stages(
             cleaned, url_col=url_col, text_col=text_col,
@@ -139,7 +186,7 @@ def run_corpus_prep(
             semdedup_cfg=semdedup,
             want_wcid=(nb_filter is not None or dsir is not None))
         write_stage(flagged_df, flagged_path, "flagged", bytes_col=text_col)
-        _write_meta(spark, flagged_path + "_meta", n_cleaned)
+        _write_meta(spark, flagged_path + "_meta", n_cleaned, flag_fp)
     summary["flagged_recomputed"] = not flagged_current
     flagged = read_checkpoint(spark, flagged_ref)
     n_flagged = flagged.count()
@@ -148,16 +195,18 @@ def run_corpus_prep(
 
     # --- phase 3: selection/assembly + accounting, count-validated --------
     t2 = time.time()
-    corpus_current = (resume
-                      and _exists(spark, corpus_ref)
-                      and _meta_rows(spark, corpus_path + "_meta") == n_flagged)
+    sel_fp = _config_fp(
+        max_docs_per_host=max_docs_per_host, bpe=bpe_merges is not None,
+        dsir=dsir, shard_budget=shard_budget)
+    corpus_current = (resume and _meta_current(
+        spark, corpus_path + "_meta", n_flagged, sel_fp))
     if not corpus_current:
         corpus_df = _select_stages(
             flagged, url_col=url_col, text_col=text_col,
             max_docs_per_host=max_docs_per_host, bpe_merges=bpe_merges,
             dsir=dsir, shard_budget=shard_budget)
         write_stage(corpus_df, corpus_path, "corpus", bytes_col=text_col)
-        _write_meta(spark, corpus_path + "_meta", n_flagged)
+        _write_meta(spark, corpus_path + "_meta", n_flagged, sel_fp)
         write_checkpoint(prep_report(flagged, text_col=text_col),
                          os.path.join(out_dir, "gold_prep_report"),
                          mode="overwrite")

@@ -117,10 +117,9 @@ def test_dedup_spans_plan_shape(spark):
     blocks = re.findall(r"^\(\d+\) Exchange\n((?:(?!^\(\d+\)).*\n?)*)",
                         fmt, re.M)
     assert blocks, fmt  # the detection stages do shuffle (ints)
-    text_exchanges = sum(
-        1 for body in blocks
-        if re.search(r"\btext#", re.search(
-            r"Input \[\d+\]: \[([^\]]*)\]", body).group(1)))
+    inputs = [re.search(r"Input \[\d+\]: \[([^\]]*)\]", body) for body in blocks]
+    assert all(inputs), fmt  # every Exchange block must list its inputs
+    text_exchanges = sum(1 for m in inputs if re.search(r"\btext#", m.group(1)))
     assert text_exchanges <= 1, fmt
 
 

@@ -322,3 +322,63 @@ def test_semdedup_stage_flags_and_accounting(spark):
     kept_urls = {r["url"] for r in kept.collect()}
     assert len(kept_urls & {"https://s0.org/p", "https://s1.org/p"}) == 1
     assert {"https://s2.org/p", "https://s3.org/p"} <= kept_urls
+
+
+def test_byte_identical_rows_do_not_self_annihilate(spark):
+    """Two byte-identical (url, text) rows must collapse to ONE surviving
+    copy with its text intact — not share a dedup id whose keep='first'
+    rank-2 occurrence drags every line/span of BOTH copies into the
+    shared drop set (the self-annihilation bug)."""
+    from pdfextractor_spark.pipeline.webclean import prepare_training_corpus
+
+    body = ("every sentence in this document is fully unique prose. "
+            "the second sentence continues with distinct words. "
+            "a third sentence keeps the page gate satisfied here. "
+            "the fourth sentence adds more original material. "
+            "a fifth sentence closes the page politely.")
+    rows = [("https://dup.org/p", body, "en"),
+            ("https://dup.org/p", body, "en"),     # exact byte copy
+            ("https://other.org/q",
+             "unrelated page content with its own five sentences. "
+             "none of these lines repeat anywhere in the corpus. "
+             "the third line is also completely original. "
+             "a fourth line maintains the length gates. "
+             "the fifth line ends the document.", "en")]
+    pages = spark.createDataFrame(rows, "url string, text string, lang string")
+    out = prepare_training_corpus(
+        pages, extract=False, dup_line_min_count=2, dedup_span_width=5,
+        redact=False, filter_rows=False)
+    got = [r for r in out.collect() if r["url"] == "https://dup.org/p"]
+    # exact copies collapsed to one row, text untouched
+    assert len(got) == 1
+    assert got[0]["text"] == body
+    assert got[0]["dedup_lines_dropped"] == 0
+    assert got[0]["dedup_span_tokens_dropped"] == 0
+
+
+def test_semdedup_stage_all_null_embeddings_noop(spark):
+    """An all-null (or null-component) embedding column must not crash the
+    quantizer — the stage no-ops with semdedup_keep=True everywhere."""
+    from pdfextractor_spark.pipeline.webclean import prepare_training_corpus
+
+    pages = spark.createDataFrame(
+        [("https://a.org/1",
+          "first document with enough fully punctuated sentences. "
+          "second sentence of original material right here. "
+          "third sentence for the length gate now. "
+          "fourth sentence keeps everything valid. "
+          "fifth sentence concludes the text.", "en", None),
+         ("https://b.org/2",
+          "second document also has five proper sentences. "
+          "its content does not repeat the first document. "
+          "a third original line sits here. "
+          "the fourth line is unique as well. "
+          "line five finishes this one.", "en", [0.1, None, 0.3])],
+        "url string, text string, lang string, embedding array<double>")
+    flagged = prepare_training_corpus(
+        pages, extract=False, dup_line_min_count=None, redact=False,
+        filter_rows=False,
+        semdedup={"vec_col": "embedding", "num_centroids": 2, "seed": 13})
+    rows = flagged.collect()
+    assert len(rows) == 2
+    assert all(r["semdedup_keep"] for r in rows)

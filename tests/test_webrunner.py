@@ -92,3 +92,26 @@ def test_run_corpus_prep_resume_is_noop_and_incremental(spark, tmp_path):
                                       filter_rows=True, **kw)
     got = spark.read.parquet(os.path.join(out, "corpus"))
     assert _collect(got) == _collect(scratch)
+
+
+def test_resume_recomputes_on_config_change(spark, tmp_path):
+    """A resumed run with an unchanged config skips the global phases; a
+    CHANGED stage config (here quality_floor) invalidates the fingerprint
+    and recomputes — the runner must never serve output built under a
+    different config as current."""
+    pages = _pages(spark, n=20)
+    out = str(tmp_path / "run")
+    kw = dict(extract=False, dup_line_min_count=None, quality_floor=0.0)
+    run_corpus_prep(spark, pages, out, **kw)
+
+    same = run_corpus_prep(spark, pages, out, **kw)
+    assert same["cleaned_appended"] == 0
+    assert not same["flagged_recomputed"]
+    assert not same["corpus_recomputed"]
+
+    changed = run_corpus_prep(spark, pages, out, extract=False,
+                              dup_line_min_count=None, quality_floor=0.9)
+    assert changed["flagged_recomputed"]
+    # selection config unchanged, but its input (flagged) may shrink under
+    # the new floor — either way the corpus phase revalidates honestly
+    assert spark.read.parquet(out + "/flagged").columns  # phase rewritten
