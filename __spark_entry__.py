@@ -1414,6 +1414,42 @@ def q_semdedup_stats(spark, sf_dir):
         semdedup(emb, num_centroids=16, threshold=0.95, seed=13, max_iter=5))
 
 
+def q_host_boilerplate(spark, sf_dir):
+    """Dormant: per-host template-line removal (ops/cleaning.py
+    strip_host_boilerplate, the CCNet/RefinedWeb intra-site boilerplate
+    pass) over a fully synthetic per-doc text built from doc_id alone, so
+    the oracle can recompute the outcome analytically: every doc on host
+    ``doc_id % 20`` carries that host's nav line (in 100% of the host's
+    docs -> dropped wherever the host has >= 2 docs), ~30% of docs
+    (``(doc_id // 20) % 10 < 3``) carry a promo line (below the 0.5
+    host-fraction threshold -> kept unless a small host's ceil crosses),
+    and one body line is doc-unique (never dropped)."""
+    from pdfextractor_spark.ops.cleaning import strip_host_boilerplate
+
+    docs = _t(spark, sf_dir, "documents")
+    host_id = (F.col("doc_id") % 20).cast("long")
+    has_promo = (F.expr("doc_id div 20") % 10) < 3
+    text = F.concat(
+        F.format_string("Site %d navigation menu and footer.", host_id),
+        F.when(has_promo, F.lit("\nSeasonal promotion banner line."))
+         .otherwise(F.lit("")),
+        F.format_string("\nBody content unique to document %d.", F.col("doc_id")))
+    pages = docs.select(
+        F.col("doc_id"),
+        F.format_string("https://site%d.example/d/%d", host_id,
+                        F.col("doc_id")).alias("url"),
+        text.alias("text"))
+    out = strip_host_boilerplate(pages, doc_id="doc_id", url_col="url",
+                                 text_col="text", min_docs=2, min_frac=0.5)
+    return (out.groupBy((F.col("doc_id") % 20).cast("long").alias("host_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("host_boilerplate_lines_dropped").cast("long")
+                  .alias("lines_dropped"),
+                 F.sum(F.when(F.col("text").contains("navigation menu"), 1)
+                       .otherwise(0)).cast("long").alias("docs_with_nav"))
+            .orderBy("host_id"))
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dormant queries, promotion-ready (see REGISTRY.md). Not part of
     the driver contract; bench.py and tests/test_entry_contract.py use
@@ -1423,6 +1459,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "pagerank_top": q_pagerank_top,
         "semdedup_stats": q_semdedup_stats,
+        "host_boilerplate": q_host_boilerplate,
     }
 
 
@@ -1430,6 +1467,30 @@ def extra_oracle_sql() -> dict[str, str]:
     """DuckDB twins for the dormant queries (webclean_corpus is rows-only
     by nature — composed pandas/HOF semantics)."""
     return {
+        "host_boilerplate": """
+            -- analytic recomputation: the nav line is in 100% of each
+            -- host's docs (dropped where the host has >= 2 docs); the
+            -- promo line is in the (doc_id // 20) % 10 < 3 subset
+            -- (dropped only where promo_cnt >= 2 AND promo_cnt >=
+            -- ceil(0.5 * host_docs)); body lines are doc-unique
+            WITH hosts AS (
+                SELECT doc_id % 20 AS host_id,
+                       COUNT(*) AS n_docs,
+                       SUM(CASE WHEN (doc_id // 20) % 10 < 3
+                                THEN 1 ELSE 0 END) AS promo_cnt
+                FROM documents GROUP BY 1)
+            SELECT CAST(host_id AS BIGINT) AS host_id,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(CASE WHEN n_docs >= 2 THEN n_docs ELSE 0 END
+                        + CASE WHEN promo_cnt >= 2
+                                AND promo_cnt >= CAST(CEIL(0.5 * n_docs) AS BIGINT)
+                               THEN promo_cnt ELSE 0 END AS BIGINT)
+                       AS lines_dropped,
+                   CAST(CASE WHEN n_docs >= 2 THEN 0 ELSE n_docs END AS BIGINT)
+                       AS docs_with_nav
+            FROM hosts
+            ORDER BY host_id
+        """,
         "robots_gate": """
             -- independent recomputation of the RFC 9309 outcomes for the
             -- synthesized policies (see q_robots_gate docstring)

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["ngram_hashes", "contamination_check", "redact_pii", "PII_PATTERNS",
-           "c4_clean", "dedup_lines", "dedup_spans"]
+           "c4_clean", "dedup_lines", "dedup_spans", "strip_host_boilerplate"]
 
 
 def ngram_hashes(col, n: int = 13) -> Column:
@@ -346,3 +346,77 @@ def dedup_spans(docs: DataFrame, doc_id: str = "doc_id",
             .withColumn(text_col, F.col("_ds_out.text"))
             .withColumn("dedup_span_tokens_dropped", F.col("_ds_out.dropped"))
             .drop("_drop_starts", "_ds_out"))
+
+
+def strip_host_boilerplate(docs: DataFrame, doc_id: str = "doc_id",
+                           url_col: str = "url", text_col: str = "text",
+                           min_docs: int = 2, min_frac: float = 0.5) -> DataFrame:
+    """Per-HOST template-line removal (the CCNet/RefinedWeb intra-site
+    boilerplate pass): a non-blank line that appears in at least
+    ``min_docs`` documents AND at least ``min_frac`` of a host's
+    documents is site template chrome (nav menus, footers, cookie
+    banners that survived extraction) and is removed from EVERY document
+    of that host. Unlike corpus-global ``dedup_lines`` there is no
+    keep-first: a template has no first owner, and the global pass at
+    realistic thresholds misses per-site chrome entirely (a 40-page
+    site's footer is invisible against a 10^12-line corpus count but is
+    100% of that site's pages).
+
+    Each input row is one document; ``doc_id`` must be row-unique (the
+    caller's contract, same as ``dedup_lines``) and ``url_col`` supplies
+    the host via native ``try_parse_url``.
+
+    Scale shape — every detection stage shuffles integers only; document
+    text moves in exactly one place (the final per-doc drop-set
+    join-back):
+      1. explode to ``(host, doc, pos, key)`` where key is a 128-bit
+         pair of xxhash64 values (collisions at 10^12-line scale would
+         silently delete text);
+      2. per-host per-line DISTINCT-document counts: dropDuplicates on
+         ``(host, key, doc)`` then count per ``(host, key)`` — two
+         int-only exchanges, both partial-aggregated map-side; the
+         host-size census is one more int agg over the docs side;
+      3. boilerplate keys = counts clearing both thresholds, joined to
+         the host census host-wise (census is host-sized — AQE
+         broadcasts it at any realistic corpus);
+      4. join the exploded lines against the boilerplate keys (hash
+         join on ``(host, key)``; the boilerplate side is census-scale,
+         so AQE broadcasts it in the common case), regroup drop
+         positions per document (one int shuffle) and rebuild the text
+         with the same indexed array filter as ``dedup_lines``.
+    """
+    from .urls import url_host
+
+    if not (0.0 <= min_frac <= 1.0):
+        raise ValueError(f"min_frac must be in [0, 1], got {min_frac}")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    host = F.coalesce(url_host(url_col), F.lit(""))
+    lines = (docs
+             .select(F.col(doc_id), host.alias("_host"),
+                     F.posexplode(F.split(text, "\n")).alias("_pos", "_line"))
+             .withColumn("_line", F.trim("_line"))
+             .where(F.length("_line") > 0)
+             .select(doc_id, "_host", "_pos",
+                     F.xxhash64("_line").alias("_h1"),
+                     F.xxhash64(F.lit(42), F.col("_line")).alias("_h2")))
+    # distinct-DOC frequency: a line repeated inside one page is spam
+    # (Gopher territory), not template evidence
+    presence = lines.dropDuplicates(["_host", "_h1", "_h2", doc_id])
+    line_docs = presence.groupBy("_host", "_h1", "_h2") \
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+    host_docs = docs.select(host.alias("_host")).groupBy("_host") \
+        .agg(F.count(F.lit(1)).alias("_hdocs"))
+    boiler = (line_docs.join(host_docs, "_host")
+              .where((F.col("_ndocs") >= min_docs)
+                     & (F.col("_ndocs") >= F.ceil(F.lit(min_frac) * F.col("_hdocs"))))
+              .select("_host", "_h1", "_h2"))
+    drops = (lines.join(boiler, ["_host", "_h1", "_h2"])
+             .groupBy(doc_id).agg(F.collect_set("_pos").alias("_drop_pos")))
+    dropset = F.coalesce(F.col("_drop_pos"), F.array().cast("array<int>"))
+    rebuilt = F.array_join(
+        F.filter(F.split(text, "\n"), lambda l, i: ~F.array_contains(dropset, i)),
+        "\n")
+    return (docs.join(drops, doc_id, "left")
+            .withColumn(text_col, rebuilt)
+            .withColumn("host_boilerplate_lines_dropped", F.size(dropset))
+            .drop("_drop_pos"))

@@ -107,6 +107,7 @@ def prepare_training_corpus(
     benchmark: DataFrame | None = None,
     robots: tuple | None = None,
     badwords: list[str] | None = None,
+    host_boilerplate: dict | None = None,
     dup_line_min_count: int | None = 2,
     dedup_span_width: int | None = None,
     quality_floor: float | None = None,
@@ -130,6 +131,13 @@ def prepare_training_corpus(
 
     Optional selection/assembly stages (all default off):
 
+    - ``host_boilerplate``: ``{"min_docs": 2, "min_frac": 0.5}`` —
+      per-HOST template-line removal (``ops.cleaning.
+      strip_host_boilerplate``, the CCNet/RefinedWeb intra-site pass)
+      runs right BEFORE the corpus-global line dedup: site chrome a
+      global min_count can't see (a 40-page site's footer) is removed
+      host-scoped, and the global pass then covers genuine cross-site
+      duplication. Adds ``host_boilerplate_lines_dropped``.
     - ``dedup_span_width``: corpus-level EXACT-SUBSTRING dedup
       (``ops.cleaning.dedup_spans``, Lee et al. 2021) at this token
       width, applied right after line dedup so boilerplate lines are
@@ -171,6 +179,7 @@ def prepare_training_corpus(
     df = _flag_stages(df, url_col=url_col, text_col=text_col,
                       benchmark=benchmark, robots_flagged=(
                           robots is not None and not filter_rows),
+                      host_boilerplate=host_boilerplate,
                       dup_line_min_count=dup_line_min_count,
                       dedup_span_width=dedup_span_width,
                       quality_floor=quality_floor, redact=redact,
@@ -194,6 +203,7 @@ def prepare_training_corpus(
 
 def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
                  benchmark: DataFrame | None, robots_flagged: bool,
+                 host_boilerplate: dict | None,
                  dup_line_min_count: int | None, dedup_span_width: int | None,
                  quality_floor: float | None,
                  redact: bool, bpe_merges: list | None, nb_filter: dict | None,
@@ -205,7 +215,7 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
     from ..ops.cleaning import contamination_check, dedup_lines, redact_pii
     from ..ops.textstats import with_quality, with_token_count
 
-    if dup_line_min_count or dedup_span_width:
+    if dup_line_min_count or dedup_span_width or host_boilerplate is not None:
         # ROW-distinct dedup id: urls need not be unique here (ts_col
         # absent skips url_dedup), and keying the per-doc drop-set
         # regroup on a duplicated url would merge drop sets across
@@ -225,6 +235,14 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
         # call). Costs one exchange of the doc rows, which the dedup
         # stages' own drop-set join-back was already liable to pay.
         df = df.dropDuplicates(["_ddid"])
+    if host_boilerplate is not None:
+        # per-HOST template chrome first: removing a site's nav/footer
+        # host-scoped keeps the corpus-global pass below about genuine
+        # cross-site duplication (a small site's footer never clears a
+        # realistic global min_count, but is 100% of that site's pages)
+        from ..ops.cleaning import strip_host_boilerplate
+        df = strip_host_boilerplate(df, doc_id="_ddid", url_col=url_col,
+                                    text_col=text_col, **host_boilerplate)
     if dup_line_min_count:
         df = dedup_lines(df, doc_id="_ddid", text_col=text_col,
                          min_count=dup_line_min_count)
@@ -375,6 +393,9 @@ def prep_report(flagged: DataFrame, text_col: str = "text") -> DataFrame:
     span_dropped = (F.col("dedup_span_tokens_dropped")
                     if "dedup_span_tokens_dropped" in flagged.columns
                     else F.lit(0))
+    host_tpl_dropped = (F.col("host_boilerplate_lines_dropped")
+                        if "host_boilerplate_lines_dropped" in flagged.columns
+                        else F.lit(0))
     pii_total = (F.col("pii_total") if "pii_total" in flagged.columns
                  else F.lit(0))
     sem_dropped = (~F.col("semdedup_keep")
@@ -391,6 +412,7 @@ def prep_report(flagged: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum(F.when(F.col("keep"), F.col("ws_tokens")).otherwise(0))
             .cast("long").alias("tokens_kept"),
         F.sum(dedup_dropped).cast("long").alias("boilerplate_lines_dropped"),
+        F.sum(host_tpl_dropped).cast("long").alias("host_template_lines_dropped"),
         F.sum(span_dropped).cast("long").alias("dup_span_tokens_dropped"),
         F.sum(F.when(F.col("keep"), pii_total).otherwise(0))
             .cast("long").alias("pii_redactions_kept_docs"),

@@ -114,6 +114,7 @@ def run_corpus_prep(
     robots: tuple | None = None,
     benchmark: DataFrame | None = None,
     badwords: list[str] | None = None,
+    host_boilerplate: dict | None = None,
     dup_line_min_count: int | None = 2,
     dedup_span_width: int | None = None,
     quality_floor: float | None = None,
@@ -168,6 +169,7 @@ def run_corpus_prep(
     t1 = time.time()
     flag_fp = _config_fp(
         benchmark=benchmark is not None,
+        host_boilerplate=host_boilerplate,
         dup_line_min_count=dup_line_min_count,
         dedup_span_width=dedup_span_width, quality_floor=quality_floor,
         redact=redact, bpe=bpe_merges is not None, nb_filter=nb_filter,
@@ -179,6 +181,7 @@ def run_corpus_prep(
         flagged_df = _flag_stages(
             cleaned, url_col=url_col, text_col=text_col,
             benchmark=benchmark, robots_flagged=False,
+            host_boilerplate=host_boilerplate,
             dup_line_min_count=dup_line_min_count,
             dedup_span_width=dedup_span_width,
             quality_floor=quality_floor, redact=redact,

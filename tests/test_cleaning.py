@@ -204,3 +204,82 @@ def test_gopher_repetition_signals(spark):
     assert opt.count("array_sort") == 1
     assert opt.count("aggregate(") == 1
     assert opt.count("split(") == 3  # one per source split (lines/paras/toks)
+
+
+def test_strip_host_boilerplate_scoped_per_host(spark):
+    """Per-host template removal: a line clearing (min_docs, min_frac)
+    within ITS host vanishes from every doc of that host, while the
+    byte-identical line on another host below threshold survives there;
+    there is no keep-first survivor for templates."""
+    from pdfextractor_spark.ops.cleaning import strip_host_boilerplate
+
+    footer = "Copyright Example Portal. All rights reserved."
+    docs = spark.createDataFrame([
+        # host a: footer in 3/4 docs (0.75 >= 0.5, >= 2 docs) -> template
+        ("a1", "https://a.example.com/p1", f"Alpha one body.\n{footer}"),
+        ("a2", "https://a.example.com/p2", f"{footer}\nAlpha two body."),
+        ("a3", "https://a.example.com/p3", f"Alpha three body.\n  {footer}  "),
+        ("a4", "https://a.example.com/p4", "Alpha four body only."),
+        # host b: same footer text but in 1/3 docs (0.33 < 0.5) -> content
+        ("b1", "https://b.example.com/p1", f"Beta one body.\n{footer}"),
+        ("b2", "https://b.example.com/p2", "Beta two body."),
+        ("b3", "https://b.example.com/p3", "Beta three body."),
+        ("n",  None, f"{footer}\nNull-url doc stands alone."),
+    ], "doc_id string, url string, text string")
+
+    out = {r["doc_id"]: r for r in strip_host_boilerplate(
+        docs, min_docs=2, min_frac=0.5).collect()}
+    # every host-a copy gone, including the whitespace-padded one
+    assert out["a1"]["text"] == "Alpha one body."
+    assert out["a2"]["text"] == "Alpha two body."
+    assert out["a3"]["text"] == "Alpha three body."
+    for d in ("a1", "a2", "a3"):
+        assert out[d]["host_boilerplate_lines_dropped"] == 1
+    assert out["a4"]["host_boilerplate_lines_dropped"] == 0
+    # host b keeps the same bytes: template judgment is host-scoped
+    assert footer in out["b1"]["text"]
+    # a null/unparseable url is its own single-doc group: nothing clears
+    # min_docs there
+    assert footer in out["n"]["text"]
+
+    # min_frac gate alone: footer is in 2 docs of host b's 3 only if we
+    # lower the bar to 0 docs -- instead check min_docs gate: with
+    # min_docs=4 host a (3 copies) keeps its footer too
+    strict = {r["doc_id"]: r["text"] for r in strip_host_boilerplate(
+        docs, min_docs=4, min_frac=0.5).collect()}
+    assert footer in strict["a1"]
+
+    # blank lines and paragraph structure survive removal
+    para = spark.createDataFrame([
+        ("p1", "https://c.example.com/1", "Nav menu here\n\nReal body one."),
+        ("p2", "https://c.example.com/2", "Nav menu here\n\nReal body two."),
+    ], "doc_id string, url string, text string")
+    pout = {r["doc_id"]: r["text"] for r in strip_host_boilerplate(
+        para, min_docs=2, min_frac=0.5).collect()}
+    assert pout["p1"] == "\nReal body one."
+
+    # all native: hash keys shuffle, never document text; no Python
+    plan = strip_host_boilerplate(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_strip_host_boilerplate_frac_threshold(spark):
+    """ceil(min_frac * host_docs) arithmetic: 2 of 5 docs at min_frac=0.5
+    (2 < ceil(2.5)=3) keeps the line; 3 of 5 drops it."""
+    from pdfextractor_spark.ops.cleaning import strip_host_boilerplate
+
+    nav = "Home | About | Contact"
+    rows = [(f"d{i}", f"https://site.test/{i}",
+             (nav + "\n" if i < 2 else "") + f"Body {i}.") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id string, url string, text string")
+    out = {r["doc_id"]: r["text"] for r in strip_host_boilerplate(
+        docs, min_docs=2, min_frac=0.5).collect()}
+    assert nav in out["d0"] and nav in out["d1"]
+
+    rows3 = [(f"d{i}", f"https://site.test/{i}",
+              (nav + "\n" if i < 3 else "") + f"Body {i}.") for i in range(5)]
+    docs3 = spark.createDataFrame(rows3, "doc_id string, url string, text string")
+    out3 = {r["doc_id"]: r["text"] for r in strip_host_boilerplate(
+        docs3, min_docs=2, min_frac=0.5).collect()}
+    for i in range(3):
+        assert nav not in out3[f"d{i}"]

@@ -382,3 +382,38 @@ def test_semdedup_stage_all_null_embeddings_noop(spark):
     rows = flagged.collect()
     assert len(rows) == 2
     assert all(r["semdedup_keep"] for r in rows)
+
+
+def test_host_boilerplate_stage_in_corpus_prep(spark):
+    """host_boilerplate={...}: per-host template chrome is stripped before
+    the corpus-global line dedup, the accounting column flows into
+    prep_report, and the same line on an under-threshold host survives."""
+    from pdfextractor_spark.pipeline.webclean import (prep_report,
+                                                      prepare_training_corpus)
+
+    nav = "Home menu and footer chrome line for this site."
+    rows = [
+        ("https://sitea.com/1", _TS, None, f"{nav}\n{_GOOD} Variant one.", "en"),
+        ("https://sitea.com/2", _TS, None, f"{nav}\n{_GOOD} Variant two.", "en"),
+        ("https://sitea.com/3", _TS, None, f"{nav}\n{_GOOD} Variant three.", "en"),
+        # siteb carries the same bytes once: host-scoped judgment keeps it
+        ("https://siteb.org/1", _TS, None, f"{nav}\n{_GOOD} Beta body one.", "en"),
+        ("https://siteb.org/2", _TS, None, f"{_GOOD} Beta body two.", "en"),
+    ]
+    pages = _pages(spark, rows)
+    out = prepare_training_corpus(
+        pages, host_boilerplate={"min_docs": 2, "min_frac": 0.5},
+        dup_line_min_count=None)
+    by_url = {r["url"]: r for r in out.collect()}
+    for u in ("https://sitea.com/1", "https://sitea.com/2", "https://sitea.com/3"):
+        assert nav not in by_url[u]["text"]
+        assert by_url[u]["host_boilerplate_lines_dropped"] == 1
+    assert nav in by_url["https://siteb.org/1"]["text"]
+
+    flagged = prepare_training_corpus(
+        pages, host_boilerplate={"min_docs": 2, "min_frac": 0.5},
+        dup_line_min_count=None, filter_rows=False)
+    rep = prep_report(flagged).collect()[0]
+    assert rep["host_template_lines_dropped"] == 3
+    # the skipped global line dedup reports 0, not an error
+    assert rep["boilerplate_lines_dropped"] == 0
