@@ -1450,6 +1450,58 @@ def q_host_boilerplate(spark, sf_dir):
             .orderBy("host_id"))
 
 
+def q_page_meta(spark, sf_dir):
+    """Dormant: HTML head-metadata extraction (ops/pagemeta.py) over pages
+    synthesized deterministically from doc_id — title always present (with
+    an &amp; entity and an attribute on <title> to exercise the unescape
+    and tag-attr paths), meta description iff doc_id%3==0, canonical link
+    (reversed attribute order, &amp; in the query string) iff doc_id%2==0,
+    og:title iff doc_id%4==0, article:published_time iff doc_id%5==0, and
+    html lang from the lang column. The oracle recomputes every count from
+    doc_id arithmetic; ``n_title_ok`` compares the EXTRACTED title against
+    the expected unescaped string per-row, so a broken extractor (missed
+    entity, greedy regex, squash error) shows up as a count drop, not just
+    a null."""
+    from pdfextractor_spark.ops.pagemeta import with_page_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html lang=\""), F.upper("lang"), F.lit("\"><head>"),
+        F.format_string("<title id=\"t\">Doc %d &amp; more</title>", did),
+        F.when(did % 3 == 0, F.format_string(
+            "<meta name=\"description\" content=\"Summary  of %d.\">", did))
+         .otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.format_string(
+            "<link href=\"https://ex.org/d/%d?a=1&amp;b=2\" rel=\"canonical\">",
+            did)).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.format_string(
+            "<meta property='og:title' content='OG %d'>", did))
+         .otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(
+            "<meta property=\"article:published_time\" "
+            "content=\"2021-06-01T00:00:00Z\">")).otherwise(F.lit("")),
+        F.lit("</head><body><title>decoy</title></body></html>"))
+    out = with_page_meta(docs.select("doc_id", "lang", html.alias("html")))
+    title_ok = F.col("title") == F.format_string("Doc %d & more", did)
+    desc_ok = F.col("meta_description") == F.format_string("Summary of %d.", did)
+    canon_ok = (F.col("canonical_url") ==
+                F.format_string("https://ex.org/d/%d?a=1&b=2", did))
+    return (out.groupBy(F.col("html_lang").alias("lang"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),
+                 F.sum(F.when(title_ok, 1).otherwise(0)).cast("long")
+                  .alias("n_title_ok"),
+                 F.sum(F.when(desc_ok, 1).otherwise(0)).cast("long")
+                  .alias("n_desc_ok"),
+                 F.sum(F.when(canon_ok, 1).otherwise(0)).cast("long")
+                  .alias("n_canon_ok"),
+                 F.sum(F.when(F.col("og_title").isNotNull(), 1).otherwise(0))
+                  .cast("long").alias("n_og"),
+                 F.sum(F.when(F.col("published_time").isNotNull(), 1)
+                       .otherwise(0)).cast("long").alias("n_pub"))
+            .orderBy("lang"))
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dormant queries, promotion-ready (see REGISTRY.md). Not part of
     the driver contract; bench.py and tests/test_entry_contract.py use
@@ -1460,6 +1512,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_top": q_pagerank_top,
         "semdedup_stats": q_semdedup_stats,
         "host_boilerplate": q_host_boilerplate,
+        "page_meta": q_page_meta,
     }
 
 
@@ -1561,6 +1614,27 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM r5
             ORDER BY ROUND(rank, 6) DESC, node
             LIMIT 10
+        """,
+        "page_meta": """
+            -- analytic recomputation: every synthesized field's presence
+            -- is a doc_id residue; the *_ok columns additionally assert
+            -- the extractor round-tripped the exact expected string, so
+            -- they too equal the residue count only when extraction is
+            -- byte-correct
+            SELECT LOWER(lang) AS lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(COUNT(*) AS BIGINT) AS n_title_ok,
+                   CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_desc_ok,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_canon_ok,
+                   CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_og,
+                   CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pub
+            FROM documents
+            GROUP BY 1
+            ORDER BY 1
         """,
     }
 
