@@ -33,8 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["canonicalize_url", "url_dedup", "url_dup_stats",
-           "url_host", "host_stats", "cap_per_host",
+__all__ = ["canonicalize_url", "resolve_canonical_hint", "url_dedup",
+           "url_dup_stats", "url_host", "host_stats", "cap_per_host",
            "psl_rules", "registrable_domain"]
 
 _TRACKING_RE = "^(utm_[a-z0-9]+|gclid|fbclid|msclkid)="
@@ -70,17 +70,67 @@ def canonicalize_url(url, strip_www: bool = True) -> Column:
     ))
 
 
+def resolve_canonical_hint(url, hint, strip_www: bool = True) -> Column:
+    """The page-declared ``<link rel=canonical>`` href resolved to an
+    absolute canonical URL, or NULL when the hint is absent, unusable,
+    or points at a DIFFERENT host.
+
+    The spelling-level canonicalizer above can only fold variants of the
+    same address (case, ports, tracking params); the rel=canonical hint
+    is the site's OWN statement that distinct addresses serve one
+    document (``/post?page=2`` -> ``/post``, mobile mirrors, print
+    views), so folding on it removes duplication no syntactic rule can
+    see. Resolution follows RFC 3986 §5 for the forms that occur in head
+    links — absolute, protocol-relative, root-relative, query-only, and
+    path-relative against the page's directory, with ``.``/``..``
+    dot-segment removal (``..`` chains deeper than 4 pass through; they
+    do not occur in real canonical links). Cross-host hints return NULL:
+    an unverified cross-site canonical is the classic SEO-spam vector,
+    and a crawl pipeline must not let one host claim another's pages.
+    All of it is native expressions — the hint fold adds zero Python and
+    zero shuffles to the dedup stage."""
+    u = F.trim(url if isinstance(url, Column) else F.col(url))
+    h = F.trim(hint if isinstance(hint, Column) else F.col(hint))
+    proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    base = F.concat(proto, F.lit("://"), F.try_parse_url(u, F.lit("AUTHORITY")))
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit("/"))
+    page_dir = F.regexp_replace(path, "[^/]*$", "")
+    absu = (
+        F.when(h.isNull() | (h == "") | h.startswith("#"), F.lit(None))
+        .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), h)
+        .when(h.startswith("//"), F.concat(proto, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(base, h))
+        .when(h.startswith("?"), F.concat(base, path, h))
+        .otherwise(F.concat(base, page_dir, h)))
+    absu = F.regexp_replace(absu, r"/\./", "/")
+    for _ in range(4):  # "seg/../" collapse; lookahead skips a ".." segment
+        absu = F.regexp_replace(absu, r"/(?!\.\./)[^/]+/\.\./", "/")
+    canon = canonicalize_url(absu, strip_www=strip_www)
+    return F.when(
+        url_host(canon, strip_www) == url_host(u, strip_www), canon)
+
+
 def url_dedup(pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts",
-              strip_www: bool = True) -> DataFrame:
+              strip_www: bool = True, hint_col: str | None = None) -> DataFrame:
     """Latest-wins dedup on the canonical URL: one row per canonical url
     (most recent ``ts_col``; ties broken by the raw url string for
     determinism). Map-only canonicalization + ONE shuffle on the
     canonical key — the same W4 latest-per-key shape as the NDJSON
-    dedupe, so it scales identically."""
+    dedupe, so it scales identically.
+
+    ``hint_col`` (optional) names a page-declared rel=canonical column
+    (``ops/pagemeta.py`` extracts one): rows whose hint resolves
+    same-host (``resolve_canonical_hint``) fold under the DECLARED
+    target instead of their own spelling — still map-only, same single
+    shuffle."""
     from pyspark.sql import Window
 
-    canon = pages.withColumn(
-        "canonical_url", canonicalize_url(url_col, strip_www=strip_www))
+    key = canonicalize_url(url_col, strip_www=strip_www)
+    if hint_col is not None:
+        key = F.coalesce(
+            resolve_canonical_hint(url_col, hint_col, strip_www=strip_www),
+            key)
+    canon = pages.withColumn("canonical_url", key)
     w = Window.partitionBy("canonical_url").orderBy(
         F.col(ts_col).desc(), F.col(url_col).desc())
     return (canon

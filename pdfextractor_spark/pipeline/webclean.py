@@ -65,7 +65,8 @@ def _row_id(url_col: str, text_col: str, as_string: bool = False):
 
 def _perdoc_stages(pages: DataFrame, *, extract: bool | None, url_col: str,
                    ts_col: str, text_col: str, robots: tuple | None,
-                   badwords: list[str] | None, filter_rows: bool) -> DataFrame:
+                   badwords: list[str] | None, filter_rows: bool,
+                   canonical_hint_col: str | None = None) -> DataFrame:
     """Stages 1-4: the PER-DOCUMENT prefix of the pipeline (url dedup,
     robots gate, extraction, C4 cleaning, Gopher repetition). Every
     transformation here is keyed by the document row, which is what makes
@@ -74,7 +75,10 @@ def _perdoc_stages(pages: DataFrame, *, extract: bool | None, url_col: str,
     df = pages
     if ts_col and ts_col in df.columns:
         from ..ops.urls import url_dedup
-        df = url_dedup(df, url_col=url_col, ts_col=ts_col)
+        df = url_dedup(df, url_col=url_col, ts_col=ts_col,
+                       hint_col=(canonical_hint_col
+                                 if canonical_hint_col in df.columns
+                                 else None))
     if robots is not None and filter_rows:
         # politeness gate runs FIRST after url dedup: a disallowed page
         # must not spend extraction/cleaning compute (hard removal here;
@@ -104,6 +108,7 @@ def prepare_training_corpus(
     pages: DataFrame, *,
     extract: bool | None = None,
     url_col: str = "url", ts_col: str = "warc_ts", text_col: str = "text",
+    canonical_hint_col: str | None = None,
     benchmark: DataFrame | None = None,
     robots: tuple | None = None,
     badwords: list[str] | None = None,
@@ -128,6 +133,13 @@ def prepare_training_corpus(
     ``robots`` is ``(robots_df, agent)`` — a (host, robots_txt) table +
     the crawler's user-agent; pages the agent may not fetch get
     ``robots_allowed = false`` and fold into ``keep``.
+
+    ``canonical_hint_col`` names a page-declared ``rel=canonical``
+    column (``ops.pagemeta.with_page_meta`` extracts one): the url-dedup
+    stage then folds same-host declared duplicates under their canonical
+    target (``ops.urls.resolve_canonical_hint``) — duplication no
+    spelling rule can see, at zero extra shuffles. Ignored when the
+    column is absent or ``ts_col`` is missing (no url-dedup stage).
 
     Optional selection/assembly stages (all default off):
 
@@ -175,7 +187,8 @@ def prepare_training_corpus(
     """
     df = _perdoc_stages(pages, extract=extract, url_col=url_col,
                         ts_col=ts_col, text_col=text_col, robots=robots,
-                        badwords=badwords, filter_rows=filter_rows)
+                        badwords=badwords, filter_rows=filter_rows,
+                        canonical_hint_col=canonical_hint_col)
     df = _flag_stages(df, url_col=url_col, text_col=text_col,
                       benchmark=benchmark, robots_flagged=(
                           robots is not None and not filter_rows),

@@ -186,3 +186,88 @@ def test_registrable_domain_psl_semantics(spark):
     plan = registrable_domain(df, rules) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def _hint(spark, url, hint):
+    from pdfextractor_spark.ops.urls import resolve_canonical_hint
+
+    df = spark.createDataFrame([(url, hint)], "url string, hint string")
+    return df.select(
+        resolve_canonical_hint("url", "hint").alias("c")).collect()[0]["c"]
+
+
+def test_resolve_canonical_hint_forms(spark):
+    page = "https://www.ex.org/blog/post?page=2"
+    # absolute / protocol-relative / root-relative / query-only / relative
+    assert _hint(spark, page, "https://ex.org/blog/post") == "https://ex.org/blog/post"
+    assert _hint(spark, page, "//ex.org/blog/post") == "https://ex.org/blog/post"
+    assert _hint(spark, page, "/blog/post") == "https://ex.org/blog/post"
+    assert _hint(spark, page, "?page=1") == "https://ex.org/blog/post?page=1"
+    assert _hint(spark, page, "post") == "https://ex.org/blog/post"
+    # dot segments resolve against the page directory
+    assert _hint(spark, page, "../blog/./post") == "https://ex.org/blog/post"
+    # the target itself is canonicalized (tracking params, www, port)
+    assert _hint(spark, page, "http://www.ex.org:80/a?utm_source=x") \
+        == "http://ex.org/a"
+
+
+def test_resolve_canonical_hint_rejects(spark):
+    page = "https://ex.org/a"
+    assert _hint(spark, page, None) is None
+    assert _hint(spark, page, "") is None
+    assert _hint(spark, page, "#frag") is None
+    # cross-host canonical = the SEO-spam vector; never folded
+    assert _hint(spark, page, "https://evil.example/a") is None
+    # subdomain is a different host too
+    assert _hint(spark, page, "https://m.ex.org/a") is None
+    # but www.<host> folds with strip_www (same registrable spelling)
+    assert _hint(spark, page, "https://www.ex.org/a") == "https://ex.org/a"
+
+
+def test_url_dedup_with_canonical_hint(spark):
+    from pdfextractor_spark.ops.urls import url_dedup
+
+    rows = [
+        # three spellings the site declares as one document
+        ("https://ex.org/post?page=1", "2024-01-01 00:00:00", "/post", "p1"),
+        ("https://ex.org/post?page=2", "2024-06-01 00:00:00", "/post", "p2"),
+        ("https://ex.org/post",        "2024-03-01 00:00:00", None,    "main"),
+        # a cross-host hint must NOT fold into another site
+        ("https://other.net/post",     "2024-01-01 00:00:00",
+         "https://ex.org/post", "other"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts string, canonical_hint string, text string") \
+        .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = url_dedup(pages, hint_col="canonical_hint").collect()
+    by = {r["canonical_url"]: r["text"] for r in out}
+    assert by == {"https://ex.org/post": "p2",       # latest of the folded 3
+                  "https://other.net/post": "other"}
+
+    # the hint fold stays map-only: still exactly one shuffle, no Python
+    plan = url_dedup(pages, hint_col="canonical_hint") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_prepare_corpus_folds_canonical_hint(spark):
+    from pdfextractor_spark.pipeline.webclean import prepare_training_corpus
+
+    body = ("First sentence of the body. Second sentence follows here. "
+            "Third sentence is also real. Fourth one keeps it going. "
+            "Fifth sentence closes it out.")
+    rows = [
+        ("https://ex.org/post?page=1", "2024-01-01 00:00:00", "/post", body),
+        ("https://ex.org/post",        "2024-03-01 00:00:00", None, body),
+        ("https://ex.org/other",       "2024-01-01 00:00:00", None,
+         body.replace("body", "other page")),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts string, canonical_hint string, text string") \
+        .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = prepare_training_corpus(
+        pages, extract=False, canonical_hint_col="canonical_hint",
+        dup_line_min_count=None).select("url").collect()
+    urls = sorted(r["url"] for r in out)
+    assert urls == ["https://ex.org/other", "https://ex.org/post"]
