@@ -25,7 +25,53 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["ngram_hashes", "contamination_check", "redact_pii", "PII_PATTERNS",
-           "c4_clean", "dedup_lines", "dedup_spans", "strip_host_boilerplate"]
+           "c4_clean", "dedup_lines", "dedup_spans", "strip_host_boilerplate",
+           "normalize_for_hash"]
+
+# Latin-1 Supplement + Latin Extended-A accent fold as (accented, base)
+# pairs — applied AFTER lower(), so only lowercase forms are listed. A
+# 1:1 ``translate`` handles these; the few 1:2 expansions (ß ae oe th ij)
+# go through ``replace`` below. Precomposed forms fold here; decomposed
+# forms (base + combining mark) fold via the \p{M} strip instead, so both
+# unicode spellings of "café" normalize identically.
+_ACCENT_PAIRS = (
+    ("àáâãäå", "a"), ("ç", "c"), ("èéêë", "e"), ("ìíîï", "i"), ("ð", "d"),
+    ("ñ", "n"), ("òóôõöø", "o"), ("ùúûü", "u"), ("ýÿ", "y"),
+    ("āăą", "a"), ("ćĉċč", "c"), ("ďđ", "d"), ("ēĕėęě", "e"),
+    ("ĝğġģ", "g"), ("ĥħ", "h"), ("ĩīĭįı", "i"), ("ĵ", "j"), ("ķ", "k"),
+    ("ĺļľŀł", "l"), ("ńņňŋ", "n"), ("ōŏő", "o"), ("ŕŗř", "r"),
+    ("śŝşšſ", "s"), ("ţťŧ", "t"), ("ũūŭůűų", "u"), ("ŵ", "w"), ("ŷ", "y"),
+    ("źżž", "z"),
+)
+_ACCENT_SRC = "".join(src for src, _ in _ACCENT_PAIRS)
+_ACCENT_DST = "".join(dst * len(src) for src, dst in _ACCENT_PAIRS)
+
+
+def normalize_for_hash(col) -> Column:
+    """CCNet-style aggressive normalization for DEDUP KEYS (Wenzek et al.
+    2020 use it before paragraph hashing): lowercase, fold Latin accents
+    (precomposed via one ``translate``, decomposed via a combining-mark
+    strip), expand the 1:2 ligatures (ß ss, æ ae, œ oe, þ th, ĳ ij), mask
+    every unicode digit as ``0``, drop punctuation/symbols/controls, and
+    collapse whitespace. Two crawls of the same article that differ only
+    in casing, accents-stripped titles, updated view counters, or
+    smart-quote styling then hash identically.
+
+    All native expressions — the normalization composes into the same
+    map stage as the hash, so using it as a dedup key costs zero extra
+    shuffles and no Python. It is a KEY transform, not a text transform:
+    the stored document keeps its original bytes."""
+    c = F.lower(col if isinstance(col, Column) else F.col(col))
+    for ent, rep in (("ß", "ss"), ("æ", "ae"), ("œ", "oe"), ("þ", "th"),
+                     ("ĳ", "ij")):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.translate(c, _ACCENT_SRC, _ACCENT_DST)
+    c = F.regexp_replace(c, r"\p{M}", "")          # decomposed accents
+    c = F.regexp_replace(c, r"\p{Nd}", "0")
+    c = F.regexp_replace(c, r"[\p{P}\p{S}]", "")
+    # controls (\t \n are Cc) fold into the whitespace collapse, not a
+    # bare delete — "spaced\tout" must stay two words
+    return F.trim(F.regexp_replace(c, r"[\s\p{C}]+", " "))
 
 
 def ngram_hashes(col, n: int = 13) -> Column:

@@ -31,20 +31,35 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def _content_key(text_col: str, normalize: bool):
+    if normalize:
+        from .cleaning import normalize_for_hash
+        return F.md5(normalize_for_hash(text_col))
+    return F.md5(F.col(text_col))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                normalize: bool = False) -> DataFrame:
     """Keep one row per exact text (md5 key, lowest id wins). Single shuffle
-    on the 128-bit content hash — uniform by construction."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    on the 128-bit content hash — uniform by construction.
+
+    ``normalize=True`` keys on the CCNet-style normalized form
+    (``ops.cleaning.normalize_for_hash``: case/accents/digits/punctuation
+    folded) instead of the raw bytes — same plan, the key transform fuses
+    into the hash's map stage. The kept row's text is unchanged."""
+    w = Window.partitionBy(_content_key(text_col, normalize)) \
+        .orderBy(F.col(id_col))
     return df.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
 
 
-def exact_dup_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang") -> DataFrame:
+def exact_dup_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang",
+                    normalize: bool = False) -> DataFrame:
     """Per-group exact-duplicate statistics (map-side partial agg friendly)."""
     return (
         df.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("total_docs"),
-            F.countDistinct(F.md5(F.col(text_col))).alias("distinct_docs"),
+            F.countDistinct(_content_key(text_col, normalize)).alias("distinct_docs"),
         )
         .withColumn("duplicate_docs", F.col("total_docs") - F.col("distinct_docs"))
         .orderBy(group_col)

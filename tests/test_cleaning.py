@@ -283,3 +283,72 @@ def test_strip_host_boilerplate_frac_threshold(spark):
         docs3, min_docs=2, min_frac=0.5).collect()}
     for i in range(3):
         assert nav not in out3[f"d{i}"]
+
+
+def test_normalize_for_hash_accent_table_matches_unicodedata():
+    """Every (accented, base) pair in the translate table must agree with
+    NFD decomposition + combining-mark strip; the handful of letters NFD
+    does not decompose carry their linguistic base form explicitly."""
+    import unicodedata
+
+    from pdfextractor_spark.ops.cleaning import _ACCENT_DST, _ACCENT_SRC
+
+    no_decomp = {"ð": "d", "đ": "d", "ħ": "h", "ı": "i", "ł": "l",
+                 "ŀ": "l",  # decomposes only under NFKD (l + middle dot)
+                 "ŋ": "n", "ø": "o", "ŧ": "t", "ſ": "s"}
+    assert len(_ACCENT_SRC) == len(_ACCENT_DST)
+    assert len(set(_ACCENT_SRC)) == len(_ACCENT_SRC)
+    for src, dst in zip(_ACCENT_SRC, _ACCENT_DST):
+        if src in no_decomp:
+            assert dst == no_decomp[src], src
+            continue
+        nfd = unicodedata.normalize("NFD", src)
+        base = "".join(ch for ch in nfd
+                       if not unicodedata.category(ch).startswith("M"))
+        assert dst == base, f"{src!r}: table says {dst!r}, NFD says {base!r}"
+
+
+def test_normalize_for_hash_semantics(spark):
+    from pdfextractor_spark.ops.cleaning import normalize_for_hash
+
+    cases = [
+        # case + accents + smart quotes + counter -> one key
+        ("Café “RÉSUMÉ” — 1,234 views!", "cafe resume 0000 views"),
+        # decomposed é (e + U+0301) folds identically to precomposed
+        ("Café", "cafe"),
+        ("Café", "cafe"),
+        # ligature expansions
+        ("Straße Œuvre Æon", "strasse oeuvre aeon"),
+        # unicode digits mask like ASCII ones
+        ("page ٣ of ３", "page 0 of 0"),
+        ("  spaced\t\nout  ", "spaced out"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "t string")
+    got = [r["n"] for r in
+           df.select(normalize_for_hash("t").alias("n")).collect()]
+    assert got == [want for _, want in cases]
+
+    # idempotent, native-only plan
+    twice = df.select(normalize_for_hash(normalize_for_hash("t")).alias("n"))
+    assert [r["n"] for r in twice.collect()] == got
+    plan = df.select(normalize_for_hash("t").alias("n")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_exact_dedup_normalized_key(spark):
+    from pdfextractor_spark.ops.dedup import exact_dedup, exact_dup_stats
+
+    rows = [(0, "en", "The Quick Brown Fox — 17 views."),
+            (1, "en", "the quick brown fox   42 views"),
+            (2, "en", "a different document entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    # raw bytes: all distinct
+    assert exact_dedup(df).count() == 3
+    # normalized key: the two crawl variants fold, lowest id kept,
+    # original bytes preserved
+    out = exact_dedup(df, normalize=True).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in out] == [0, 2]
+    assert out[0]["text"] == "The Quick Brown Fox — 17 views."
+    stats = exact_dup_stats(df, normalize=True).collect()[0]
+    assert stats["total_docs"] == 3 and stats["distinct_docs"] == 2
