@@ -21,14 +21,15 @@ __all__ = ["extract_bronze"]
 
 
 def _extract_one(html: bytes | None, text: str | None):
-    """Returns (raw_text, parser, n_pages, error)."""
+    """Returns (raw_text, parser, n_pages, error, encoding)."""
+    from ..sources.encoding import sniff_decode
     from ..sources.html import extract_html_text
     from ..sources.pdf import PdfParseError, extract_pdf_auto
 
     if html is None or len(html) == 0:
         if text is not None:
-            return text, "passthrough", None, None
-        return None, "error", None, "empty payload and no pre-extracted text"
+            return text, "passthrough", None, None, None
+        return None, "error", None, "empty payload and no pre-extracted text", None
     payload = bytes(html)
     if payload[:5] == b"%PDF-":
         try:
@@ -39,27 +40,32 @@ def _extract_one(html: bytes | None, text: str | None):
                 # reference's needs-OCR bucket (ref:
                 # chunked_mdeq_extraction.js:53 'empty-text', counted by
                 # summarize_extraction_coverage.js:16-17)
-                return extracted, parser, n_pages, "empty-text"
-            return extracted, parser, n_pages, None
+                return extracted, parser, n_pages, "empty-text", None
+            return extracted, parser, n_pages, None, None
         except PdfParseError as e:
-            return None, "error", None, f"pdf: {e}"
+            return None, "error", None, f"pdf: {e}", None
         except Exception as e:  # never fail the job on one document
-            return None, "error", None, f"pdf: unexpected {type(e).__name__}: {e}"
+            return None, "error", None, f"pdf: unexpected {type(e).__name__}: {e}", None
     try:
-        extracted = extract_html_text(payload.decode("utf-8", errors="replace"))
-        return extracted, "html", None, None
+        # WHATWG sniffing (BOM -> meta prescan -> utf-8 -> windows-1252):
+        # a crawl is not all UTF-8, and a wrong decode poisons dedup keys
+        # and lang-ID downstream (sources/encoding.py)
+        decoded, enc = sniff_decode(payload)
+        extracted = extract_html_text(decoded)
+        return extracted, "html", None, None, enc
     except Exception as e:
-        return None, "error", None, f"html: unexpected {type(e).__name__}: {e}"
+        return None, "error", None, f"html: unexpected {type(e).__name__}: {e}", None
 
 
 def _bronze_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {"url": [], "warc_ts": [], "lang": [], "raw_text": [], "parser": [],
-               "n_pages": [], "n_chars": [], "text_match": [], "error": []}
+               "n_pages": [], "n_chars": [], "text_match": [], "error": [],
+               "encoding": []}
         for url, warc_ts, html, text, lang in zip(
             pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]
         ):
-            raw_text, parser, n_pages, error = _extract_one(html, text if isinstance(text, str) else None)
+            raw_text, parser, n_pages, error, enc = _extract_one(html, text if isinstance(text, str) else None)
             out["url"].append(url)
             out["warc_ts"].append(warc_ts)
             out["lang"].append(lang)
@@ -71,6 +77,7 @@ def _bronze_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 (raw_text == text) if (isinstance(text, str) and raw_text is not None) else None
             )
             out["error"].append(error)
+            out["encoding"].append(enc)
         yield pd.DataFrame(out)
 
 

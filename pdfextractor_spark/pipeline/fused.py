@@ -49,7 +49,7 @@ def _fused_batches_factory(mode: str, bmp_filter: bool):
         for pdf in batches:
             rows = []
             for url, html, text, lang in zip(pdf["url"], pdf["html"], pdf["text"], pdf["lang"]):
-                raw_text, parser, _n_pages, error = _extract_one(
+                raw_text, parser, _n_pages, error, _enc = _extract_one(
                     html, text if isinstance(text, str) else None
                 )
                 row = build_report_row(url, lang, raw_text, mode=mode, bmp_filter=bmp_filter)

@@ -34,6 +34,7 @@ BRONZE_SCHEMA = StructType([
     StructField("n_chars", LongType()),
     StructField("text_match", BooleanType()),  # byte-identical vs parity column (null if absent)
     StructField("error", StringType()),
+    StructField("encoding", StringType()),     # WHATWG-sniffed charset (html rows only)
 ])
 
 _GOAL = StructType([

@@ -24,7 +24,7 @@ def build_golden() -> dict:
     rows = generate_pages(N_DOCS)
     out = {}
     for r in rows:
-        raw, parser, n_pages, err = _extract_one(r["html"], r["text"])
+        raw, parser, n_pages, err, _enc = _extract_one(r["html"], r["text"])
         entry = {
             "parser": parser,
             "error": err,

@@ -1,0 +1,153 @@
+"""WHATWG encoding sniffing (sources/encoding.py).
+
+Cases track the published algorithm: BOM precedence, the 1024-byte meta
+prescan (charset attr, http-equiv content, quoting forms, UTF-16-in-meta
+-> UTF-8, x-user-defined -> windows-1252), the label table folds
+(latin1 -> windows-1252, gb2312 -> GBK, tis-620 -> windows-874), the
+strict-UTF-8-then-windows-1252 fallback, the whatwg1252 error handler for
+the five cp1252 holes, and the replacement/x-user-defined encodings.
+"""
+
+from __future__ import annotations
+
+from pdfextractor_spark.sources.encoding import (
+    label_to_codec,
+    sniff_decode,
+    sniff_encoding,
+)
+
+
+def _page(head_html: str, body: str = "", codec: str = "utf-8") -> bytes:
+    return f"<html><head>{head_html}</head><body><p>{body}</p></body>".encode(codec)
+
+
+def test_bom_trumps_meta():
+    payload = b"\xef\xbb\xbf" + _page('<meta charset="shift_jis">')
+    py, canon, how = sniff_encoding(payload)
+    assert (canon, how) == ("utf-8", "bom")
+    text, enc = sniff_decode(b"\xef\xbb\xbfcaf\xc3\xa9")
+    assert text == "café" and enc == "utf-8"  # BOM stripped
+
+
+def test_utf16_boms():
+    assert sniff_encoding(b"\xfe\xff\x00a")[1] == "utf-16be"
+    assert sniff_encoding(b"\xff\xfea\x00")[1] == "utf-16le"
+    assert sniff_decode(b"\xff\xfea\x00b\x00")[0] == "﻿ab"[1:] or \
+        sniff_decode(b"\xff\xfea\x00b\x00")[0] in ("ab", "﻿ab")
+
+
+def test_meta_charset_quoting_forms():
+    for html in (
+        '<meta charset="windows-1251">',
+        "<meta charset='windows-1251'>",
+        "<meta charset=windows-1251>",
+        "<meta CHARSET=WINDOWS-1251 >",
+        '<meta foo="bar" charset="windows-1251" x=y>',
+    ):
+        py, canon, how = sniff_encoding(_page(html))
+        assert (canon, how) == ("windows-1251", "meta"), html
+
+
+def test_meta_http_equiv_content():
+    html = ('<meta http-equiv="Content-Type" '
+            'content="text/html; charset=shift_jis">')
+    py, canon, how = sniff_encoding(_page(html))
+    assert (py, canon, how) == ("shift_jis", "shift_jis", "meta")
+    # http-equiv with a different value must NOT trigger
+    other = '<meta http-equiv="refresh" content="1; url=x?charset=koi8-r">'
+    assert sniff_encoding(_page(other))[2] == "utf-8"
+
+
+def test_first_recognized_meta_wins():
+    html = '<meta charset="bogus-enc"><meta charset="koi8-r">'
+    assert sniff_encoding(_page(html))[1] == "koi8-r"
+
+
+def test_prescan_limited_to_1024_bytes():
+    pad = "<!-- " + "x" * 1100 + " -->"
+    payload = _page(pad + '<meta charset="koi8-r">')
+    assert sniff_encoding(payload)[2] == "utf-8"  # meta is past the window
+
+
+def test_utf16_label_in_meta_means_utf8():
+    assert sniff_encoding(_page('<meta charset="utf-16">'))[1] == "utf-8"
+    assert sniff_encoding(_page('<meta charset="UTF-16BE">'))[1] == "utf-8"
+
+
+def test_x_user_defined_in_meta_means_1252():
+    assert sniff_encoding(_page('<meta charset="x-user-defined">'))[1] == \
+        "windows-1252"
+
+
+def test_label_table_folds():
+    assert label_to_codec("latin1") == ("cp1252", "windows-1252")
+    assert label_to_codec("ISO-8859-1") == ("cp1252", "windows-1252")
+    assert label_to_codec("ascii") == ("cp1252", "windows-1252")
+    assert label_to_codec("gb2312") == ("gbk", "gbk")
+    assert label_to_codec("tis-620") == ("cp874", "windows-874")
+    assert label_to_codec("iso-8859-9") == ("cp1254", "windows-1254")
+    assert label_to_codec("iso-8859-8-i") == ("iso8859-8", "iso-8859-8-i")
+    assert label_to_codec("  Shift-JIS \t") == ("shift_jis", "shift_jis")
+    assert label_to_codec("no-such-enc") is None
+    assert label_to_codec(None) is None
+    assert label_to_codec(b"\xff\xfe") is None
+
+
+def test_sjis_page_decodes_correctly():
+    body = "日本語"  # 日本語
+    payload = _page('<meta charset="shift_jis">', body, codec="shift_jis")
+    text, enc = sniff_decode(payload)
+    assert enc == "shift_jis" and body in text
+
+
+def test_fallback_utf8_strict_then_1252():
+    # pure ASCII and valid UTF-8 stay utf-8 (byte-identical legacy behavior)
+    assert sniff_decode(b"<p>hello caf\xc3\xa9</p>") == \
+        ("<p>hello café</p>", "utf-8")
+    # invalid UTF-8 (0xE9 alone) -> windows-1252, NOT U+FFFD
+    text, enc = sniff_decode(b"<p>caf\xe9 \x93quoted\x94</p>")
+    assert enc == "windows-1252"
+    assert "café" in text and "“quoted”" in text
+    assert "�" not in text
+
+
+def test_whatwg1252_holes_decode_as_c1():
+    # 0x81 0x8D 0x8F 0x90 0x9D: python cp1252 raises, WHATWG passes through
+    text, enc = sniff_decode(b"a\x81b\x9dc\xe9")
+    assert enc == "windows-1252"
+    assert text == "a\x81b\x9dcé"
+
+
+def test_replacement_encoding():
+    text, enc = sniff_decode(_page('<meta charset="hz-gb-2312">', "secret"))
+    assert enc == "replacement" and text == "�"
+
+
+def test_gbk_meta_page():
+    body = "中文"  # 中文
+    payload = _page('<meta charset="gb2312">', body, codec="gbk")
+    text, enc = sniff_decode(payload)
+    assert enc == "gbk" and body in text
+
+
+def test_bronze_extract_one_uses_sniffing():
+    from pdfextractor_spark.pipeline.bronze import _extract_one
+
+    body = "café résumé and twenty more characters of prose."
+    payload = ("<html><head><meta charset=windows-1252></head><body><p>"
+               + body + "</p></body></html>").encode("cp1252")
+    raw, parser, _n, err, enc = _extract_one(payload, None)
+    assert parser == "html" and err is None and enc == "windows-1252"
+    assert "café résumé" in raw
+    # PDFs and passthrough rows carry no encoding
+    assert _extract_one(None, "pre-extracted")[4] is None
+
+
+def test_sniff_decode_never_raises_on_garbage():
+    import random
+
+    rng = random.Random(7)
+    for _ in range(200):
+        payload = bytes(rng.randrange(256) for _ in range(rng.randrange(80)))
+        text, enc = sniff_decode(payload)
+        assert isinstance(text, str) and isinstance(enc, str)

@@ -50,7 +50,7 @@ def test_fast_tokenizer_event_equivalent_to_stdlib(markup):
 @given(st.binary(max_size=400),
        st.sampled_from([b"", b"%PDF-", b"%PDF-1.4\n", b"<html>", b"\x89PNG"]))
 def test_extract_one_never_raises(payload, prefix):
-    raw, parser, n_pages, err = _extract_one(prefix + payload, None)
+    raw, parser, n_pages, err, _enc = _extract_one(prefix + payload, None)
     assert parser in ("pdf-parse", "pdfjs", "html", "passthrough", "error")
     assert raw is not None or err is not None
 
@@ -82,7 +82,7 @@ def test_extract_one_survives_structured_pdf_mutations():
             mutated = bytearray(payload)
             for _ in range(rng.randint(1, 8)):
                 mutated[rng.randrange(len(mutated))] = rng.randrange(256)
-            raw, parser, n_pages, err = _extract_one(bytes(mutated), None)
+            raw, parser, n_pages, err, _enc = _extract_one(bytes(mutated), None)
             assert raw is not None or err is not None
             assert isinstance(err, (str, type(None)))
             checked += 1

@@ -77,7 +77,7 @@ def test_needs_ocr_detection_matches_reference_bucket():
         if not pdf.lower().endswith(".pdf"):
             continue
         data = open(os.path.join(RAW_DIR, pdf), "rb").read()
-        _, _, _, err = _extract_one(data, None)
+        _, _, _, err, _enc = _extract_one(data, None)
         flagged[pdf] = err
     assert flagged["Turkey_Creek_Watershed_Plan_2010.pdf"] == "empty-text"
     others = {p: e for p, e in flagged.items()

@@ -43,7 +43,7 @@ def sample_report():
     from pdfextractor_spark.pipeline.silver import build_report_row
 
     for r in generate_pages(80, seed=42):
-        raw, _parser, _n, _err = _extract_one(r["html"], r["text"])
+        raw, _parser, _n, _err, _enc = _extract_one(r["html"], r["text"])
         rep = json.loads(build_report_row(r["url"], r["lang"], raw)["report_json"])
         if rep.get("goals") and rep.get("bmps"):
             return rep
