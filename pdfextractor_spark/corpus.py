@@ -342,6 +342,41 @@ def _wrap_html(body_lines: list[str], i: int) -> str:
 </body></html>"""
 
 
+# Charset-mix slice (``generate_pages(charset_mix=True)``): legacy-encoded
+# HTML pages with a correct <meta charset> — the WHATWG sniffing path
+# (sources/encoding.py) must recover the exact original string for the
+# byte-parity column to hold. Sample lines are chosen to be encodable in
+# each codec and to DIFFER under a wrong decode (accented/CJK bytes).
+_CHARSET_MIX: list[tuple[str, str, str]] = [
+    ("cp1252", "windows-1252", "Café résumé — naïve façade für die Prüfung."),
+    ("shift_jis", "shift_jis", "流域管理計画の概要と目標について記述する。"),
+    ("gbk", "gb2312", "流域管理计划的目标与措施说明。"),
+    ("euc_kr", "euc-kr", "유역 관리 계획의 목표와 조치 설명."),
+    ("iso8859-7", "iso-8859-7", "Σχέδιο διαχείρισης λεκάνης απορροής."),
+    ("cp1251", "windows-1251", "План управления водосборным бассейном."),
+]
+
+
+def _wrap_html_charset(body_lines: list[str], i: int, codec: str,
+                       label: str, sample: str) -> tuple[bytes, str]:
+    """A legacy-encoded page: same boilerplate shell as _wrap_html plus a
+    declared meta charset and one codec-native prose line. Returns
+    ``(payload_bytes, html_str)`` where payload decodes back to html_str
+    under the WHATWG algorithm (meta prescan hits the label)."""
+    paras = "\n".join(f"<p>{l}</p>" if l else "<br/>" for l in body_lines)
+    html = f"""<!DOCTYPE html>
+<html><head><meta charset="{label}"><title>Doc {i}</title></head>
+<body>
+<nav><a href="/s/0">Site Link 0</a> <a href="/s/1">Site Link 1</a></nav>
+<article>
+{paras}
+<p>{sample} This localized notice is long enough to pass the content gate.</p>
+</article>
+<footer><p>Copyright 2024 Example Portal. All rights reserved. Terms. Privacy.</p></footer>
+</body></html>"""
+    return html.encode(codec), html
+
+
 def _render_pdf(body_lines: list[str], i: int, two_column: bool) -> bytes:
     pages: list[list[tuple[float, float, str]]] = []
     if two_column:
@@ -370,11 +405,19 @@ def _render_pdf(body_lines: list[str], i: int, two_column: bool) -> bytes:
     return make_pdf(pages, compress=(i % 2 == 0))
 
 
-def generate_pages(n_docs: int, seed: int = 42, start: int = 0) -> list[dict]:
+def generate_pages(n_docs: int, seed: int = 42, start: int = 0,
+                   charset_mix: bool = False) -> list[dict]:
     """Generate deterministic page rows for doc ids [start, start+n_docs)
     (list of dicts matching PAGES_COLUMNS). Per-doc seeding makes any id
     range reproducible independently, so generation can be sharded across
-    processes."""
+    processes.
+
+    ``charset_mix=True`` additionally encodes every third HTML page in a
+    rotating legacy charset with a declared ``<meta charset>`` (see
+    _CHARSET_MIX) — the WHATWG sniffing path must recover the exact
+    original string for the parity column to hold. Off by default so the
+    long-pinned corpus invariants (golden yields, bench comparability
+    across rounds) are untouched."""
     rows: list[dict] = []
     for i in range(start, start + n_docs):
         rng = random.Random(seed * 1_000_003 + i)
@@ -409,8 +452,19 @@ def generate_pages(n_docs: int, seed: int = 42, start: int = 0) -> list[dict]:
             # primary) so the bronze byte-parity column stays meaningful
             expected = extract_pdf_auto(payload)[0]
         else:
-            html = _wrap_html(body, i)
-            payload = html.encode("utf-8")
+            if charset_mix and i % 3 == 1:
+                # i // 3 rotation: i % len would alias with the i % 3 gate
+                # and only ever pick two of the six codecs
+                codec, label, sample = _CHARSET_MIX[(i // 3) % len(_CHARSET_MIX)]
+                try:
+                    payload, html = _wrap_html_charset(body, i, codec, label, sample)
+                except UnicodeEncodeError:
+                    # a body line the codec can't carry: plain utf-8 page
+                    html = _wrap_html(body, i)
+                    payload = html.encode("utf-8")
+            else:
+                html = _wrap_html(body, i)
+                payload = html.encode("utf-8")
             expected = extract_html_text(html)
         # text parity column present for ~60% of rows
         text = expected if (i % 5) < 3 else None

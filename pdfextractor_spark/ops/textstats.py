@@ -6,11 +6,13 @@ correctness oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["with_token_count", "with_quality", "with_lang_guess", "with_fingerprint",
-           "with_repetition", "quality_rollup", "langid_confusion"]
+           "with_repetition", "with_compression_ratio", "quality_rollup",
+           "langid_confusion"]
 
 # Tiny deterministic stopword votes per language (heuristic n-gram/lexicon ID)
 _LANG_MARKERS = {
@@ -188,3 +190,40 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
                         (dl > 0.30) | (dp > 0.30) | (top > 0.20))
             .drop("_rep_toks", "_rep_segs_l", "_rep_segs_p", "_rep_best",
                   "_rep_dl", "_rep_dp", "_rep_top"))
+
+
+def with_compression_ratio(df: DataFrame, text_col: str = "text",
+                           low: float = 0.30, high: float = 0.95) -> DataFrame:
+    """Per-document zlib compression ratio — the RedPajama-v2/Dolma-style
+    quality signal the Gopher rules don't cover: machine-generated or
+    heavily templated text compresses far below prose (ratio < ~0.3),
+    while random/encrypted junk barely compresses at all (ratio > ~0.95).
+
+    ``compression_ratio`` = deflate(utf-8 bytes) length / raw length
+    (level 6, the zlib default, pinned for determinism; empty text -> 1.0).
+    ``compression_flag`` marks docs outside [low, high].
+
+    zlib is not expressible as a Spark SQL function, so this is an
+    Arrow-batched pandas UDF by necessity — one C call per document on
+    bytes that already live in the worker, no joins, no shuffle, map-only:
+    at 100 TB it pipelines into whatever scan stage calls it. (Plan shape
+    pinned in tests/test_cleaning.py.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if not t:
+                return 1.0
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one, na_action=None).fillna(1.0)
+
+    ratio = F.round(_ratio(F.coalesce(F.col(text_col), F.lit(""))), 6)
+    out = df.withColumn("compression_ratio", ratio)
+    return out.withColumn(
+        "compression_flag",
+        (F.col("compression_ratio") < low) | (F.col("compression_ratio") > high))

@@ -20,6 +20,7 @@ __all__ = [
     "reextract_candidates",
     "discover_missing_cost_clusters",
     "uncaptured_cost_lines",
+    "encoding_mix",
     "bronze_content_audit",
     "bronze_content_audit_summary",
     "silver_anomaly_audit",
@@ -209,6 +210,26 @@ _BMP_HINT_RE = (r"(?i)(streambank|stabilization|fencing|ponds?"
 _ACTIVITY_HINT_RE = (r"(?i)(education|outreach|monitoring"
                      r"|technical assistance|project management"
                      r"|implementation|coordination)")
+
+
+def encoding_mix(bronze: DataFrame) -> DataFrame:
+    """Charset mix of the HTML slice of a bronze table: per sniffed
+    encoding (sources/encoding.py provenance column), doc count and share
+    of html rows, largest first. One partial-agg shuffle; the crawl-ops
+    dashboard number that says whether the corpus is drifting away from
+    UTF-8 (and how much text a utf-8-only decode would have mangled)."""
+    html = bronze.where(F.col("parser") == "html")
+    counts = html.groupBy(
+        F.coalesce(F.col("encoding"), F.lit("unknown")).alias("encoding"),
+    ).agg(F.count(F.lit(1)).alias("docs"))
+    # share via a broadcast 1-row total (NOT a global window: the counts
+    # frame is bounded by the WHATWG label space, but the plan shape
+    # should still never say "move everything to one partition")
+    total = counts.agg(F.sum("docs").alias("_total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .withColumn("share", F.round(F.col("docs") / F.col("_total"), 6))
+            .drop("_total")
+            .orderBy(F.col("docs").desc(), "encoding"))
 
 
 def bronze_content_audit(bronze: DataFrame) -> DataFrame:

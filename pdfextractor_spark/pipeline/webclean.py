@@ -116,6 +116,7 @@ def prepare_training_corpus(
     dup_line_min_count: int | None = 2,
     dedup_span_width: int | None = None,
     quality_floor: float | None = None,
+    compression_band: tuple[float, float] | None = None,
     max_docs_per_host: int | None = None,
     redact: bool = True,
     filter_rows: bool = True,
@@ -154,6 +155,12 @@ def prepare_training_corpus(
       (``ops.cleaning.dedup_spans``, Lee et al. 2021) at this token
       width, applied right after line dedup so boilerplate lines are
       already gone and window hashes cover genuine long-form reuse.
+    - ``compression_band``: ``(low, high)`` — per-document zlib
+      compression-ratio gate (``ops.textstats.with_compression_ratio``,
+      the RedPajama-v2/Dolma signal): docs compressing below ``low``
+      (templated/machine text) or above ``high`` (high-entropy junk)
+      lose their ``keep``. Judged on the text that ships (after line
+      dedup), map-only.
     - ``bpe_merges``: a merge list from ``ops.bpe.train_bpe`` — adds a
       real learned ``bpe_tokens`` count next to the ``ws_tokens`` proxy
       (map-only broadcast encode).
@@ -195,7 +202,8 @@ def prepare_training_corpus(
                       host_boilerplate=host_boilerplate,
                       dup_line_min_count=dup_line_min_count,
                       dedup_span_width=dedup_span_width,
-                      quality_floor=quality_floor, redact=redact,
+                      quality_floor=quality_floor,
+                      compression_band=compression_band, redact=redact,
                       bpe_merges=bpe_merges, nb_filter=nb_filter,
                       semdedup_cfg=semdedup,
                       want_wcid=(nb_filter is not None or dsir is not None))
@@ -219,6 +227,7 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
                  host_boilerplate: dict | None,
                  dup_line_min_count: int | None, dedup_span_width: int | None,
                  quality_floor: float | None,
+                 compression_band: tuple[float, float] | None,
                  redact: bool, bpe_merges: list | None, nb_filter: dict | None,
                  semdedup_cfg: dict | None, want_wcid: bool) -> DataFrame:
     """Stages 5-11: the CORPUS-GLOBAL cleaning stages (line dedup, quality
@@ -269,6 +278,11 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
         df = df.drop("_ddid")
     # token/quality signals describe the text that would actually ship
     df = with_quality(with_token_count(df, text_col), text_col)
+    if compression_band is not None:
+        from ..ops.textstats import with_compression_ratio
+        df = with_compression_ratio(df, text_col,
+                                    low=compression_band[0],
+                                    high=compression_band[1])
     if bpe_merges is not None:
         from ..ops.bpe import apply_bpe
         df = apply_bpe(df, bpe_merges, text_col=text_col)
@@ -353,6 +367,8 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
         keep = keep & F.col("error").isNull()
     if quality_floor is not None:
         keep = keep & (F.col("quality_score") >= quality_floor)
+    if compression_band is not None:
+        keep = keep & ~F.col("compression_flag")
     return df.withColumn("keep", keep)
 
 
@@ -413,6 +429,8 @@ def prep_report(flagged: DataFrame, text_col: str = "text") -> DataFrame:
                  else F.lit(0))
     sem_dropped = (~F.col("semdedup_keep")
                    if "semdedup_keep" in flagged.columns else F.lit(False))
+    comp_dropped = (F.col("compression_flag")
+                    if "compression_flag" in flagged.columns else F.lit(False))
     return flagged.agg(
         F.count(F.lit(1)).alias("docs_in"),
         _n(F.col("keep")).alias("docs_kept"),
@@ -420,6 +438,7 @@ def prep_report(flagged: DataFrame, text_col: str = "text") -> DataFrame:
         _n(F.col("repetition_flag")).alias("dropped_repetition"),
         _n(F.col("is_contaminated")).alias("dropped_contaminated"),
         _n(sem_dropped).alias("dropped_semantic"),
+        _n(comp_dropped).alias("dropped_compression"),
         _n(F.length(F.coalesce(F.col(text_col), F.lit(""))) == 0)
             .alias("dropped_empty"),
         F.sum(F.when(F.col("keep"), F.col("ws_tokens")).otherwise(0))

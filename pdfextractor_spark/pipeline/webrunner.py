@@ -118,6 +118,7 @@ def run_corpus_prep(
     dup_line_min_count: int | None = 2,
     dedup_span_width: int | None = None,
     quality_floor: float | None = None,
+    compression_band: tuple[float, float] | None = None,
     max_docs_per_host: int | None = None,
     redact: bool = True,
     bpe_merges: list | None = None,
@@ -172,6 +173,7 @@ def run_corpus_prep(
         host_boilerplate=host_boilerplate,
         dup_line_min_count=dup_line_min_count,
         dedup_span_width=dedup_span_width, quality_floor=quality_floor,
+        compression_band=compression_band,
         redact=redact, bpe=bpe_merges is not None, nb_filter=nb_filter,
         semdedup=semdedup, want_wcid=(nb_filter is not None
                                       or dsir is not None))
@@ -184,7 +186,8 @@ def run_corpus_prep(
             host_boilerplate=host_boilerplate,
             dup_line_min_count=dup_line_min_count,
             dedup_span_width=dedup_span_width,
-            quality_floor=quality_floor, redact=redact,
+            quality_floor=quality_floor,
+            compression_band=compression_band, redact=redact,
             bpe_merges=bpe_merges, nb_filter=nb_filter,
             semdedup_cfg=semdedup,
             want_wcid=(nb_filter is not None or dsir is not None))

@@ -352,3 +352,46 @@ def test_exact_dedup_normalized_key(spark):
     assert out[0]["text"] == "The Quick Brown Fox — 17 views."
     stats = exact_dup_stats(df, normalize=True).collect()[0]
     assert stats["total_docs"] == 3 and stats["distinct_docs"] == 2
+
+
+def test_compression_ratio_signal(spark):
+    """zlib ratio matches an exact per-doc recompute; flags fire outside
+    [low, high]; plan is map-only (one Arrow eval, no shuffle)."""
+    import zlib
+
+    from pdfextractor_spark.ops.textstats import with_compression_ratio
+
+    prose = ("The watershed plan describes practices, costs and schedules "
+             "for the coming cycle, with monitoring at fixed stations. "
+             "Landowners agreed to install riparian buffers along eroded "
+             "reaches, while quarterly sampling tracks sediment and "
+             "phosphorus trends. Funding combines federal grants with "
+             "local match, and an advisory group reviews progress twice "
+             "a year before publishing results for the community.")
+    templated = "buy now click here " * 200
+    junk = "kq9#Zv!p@3Lm^Xw&7Ft*1Yh%" * 40  # high-entropy-ish, low repeat
+    docs = spark.createDataFrame(
+        [("a", prose), ("b", templated), ("c", junk), ("d", ""), ("e", None)],
+        "id string, text string")
+    out = {r["id"]: r for r in with_compression_ratio(docs).collect()}
+
+    def exact(t):
+        raw = t.encode("utf-8")
+        return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+    assert out["a"]["compression_ratio"] == exact(prose)
+    assert out["b"]["compression_ratio"] == exact(templated)
+    assert out["c"]["compression_ratio"] == exact(junk)
+    assert out["d"]["compression_ratio"] == 1.0
+    assert out["e"]["compression_ratio"] == 1.0
+    # templated text compresses extremely well -> flagged low
+    assert out["b"]["compression_ratio"] < 0.30 and out["b"]["compression_flag"]
+    # ordinary prose sits inside the band
+    assert 0.30 <= out["a"]["compression_ratio"] <= 0.95
+    assert not out["a"]["compression_flag"]
+    # empty/null -> ratio 1.0 -> flagged high (junk bucket)
+    assert out["d"]["compression_flag"] and out["e"]["compression_flag"]
+    plan = (with_compression_ratio(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1

@@ -143,6 +143,51 @@ def test_bronze_extract_one_uses_sniffing():
     assert _extract_one(None, "pre-extracted")[4] is None
 
 
+def test_charset_mix_corpus_byte_parity(spark):
+    """End-to-end: legacy-encoded pages (cp1252/Shift_JIS/GBK/EUC-KR/
+    ISO-8859-7/windows-1251 with declared meta charsets) flow through the
+    Spark bronze stage and the parity column stays byte-identical — the
+    sniffed decode recovers the exact original string."""
+    from pdfextractor_spark.corpus import PAGES_COLUMNS, generate_pages
+    from pdfextractor_spark.pipeline.bronze import extract_bronze
+    from pdfextractor_spark.pipeline.schema import PAGES_SCHEMA
+
+    rows = generate_pages(120, charset_mix=True)
+    df = spark.createDataFrame(
+        [[r[c] for c in PAGES_COLUMNS] for r in rows], schema=PAGES_SCHEMA)
+    bronze = extract_bronze(df, num_partitions=4).cache()
+    try:
+        got = {r["url"]: r for r in bronze.collect()}
+        legacy = 0
+        for r in rows:
+            b = got[r["url"]]
+            if r["text"] is not None:
+                assert b["text_match"] is True, (r["url"], b["error"])
+            if b["parser"] == "html" and b["encoding"] not in (None, "utf-8"):
+                legacy += 1
+        # the mix actually exercised non-UTF-8 decodes
+        assert legacy >= 10
+        encs = {b["encoding"] for b in got.values() if b["encoding"]}
+        assert {"windows-1252", "shift_jis", "gbk"} <= encs
+    finally:
+        bronze.unpersist()
+
+
+def test_encoding_mix_rollup(spark):
+    from pdfextractor_spark.pipeline.gold import encoding_mix
+
+    bronze = spark.createDataFrame(
+        [("u1", "html", "utf-8"), ("u2", "html", "utf-8"),
+         ("u3", "html", "windows-1252"), ("u4", "html", None),
+         ("u5", "pdf-parse", None)],
+        "url string, parser string, encoding string")
+    rows = encoding_mix(bronze).collect()
+    assert [(r["encoding"], r["docs"], r["share"]) for r in rows] == [
+        ("utf-8", 2, 0.5), ("unknown", 1, 0.25), ("windows-1252", 1, 0.25)]
+    plan = encoding_mix(bronze)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowExec" not in plan  # share comes from a broadcast total
+
+
 def test_sniff_decode_never_raises_on_garbage():
     import random
 

@@ -417,3 +417,31 @@ def test_host_boilerplate_stage_in_corpus_prep(spark):
     assert rep["host_template_lines_dropped"] == 3
     # the skipped global line dedup reports 0, not an error
     assert rep["boilerplate_lines_dropped"] == 0
+
+
+def test_compression_band_stage_in_corpus_prep(spark):
+    """compression_band=(low, high) gates templated/junk docs out of keep
+    and prep_report carries the dropped_compression count."""
+    from pdfextractor_spark.pipeline.webclean import (prep_report,
+                                                      prepare_training_corpus)
+
+    templated = ("Buy now and click here for the best deal today. " * 60)
+    rows = [
+        ("https://a.example/good", _TS, None, _GOOD, "en"),
+        ("https://a.example/templated", _TS, None, templated, "en"),
+    ]
+    flagged = prepare_training_corpus(
+        _pages(spark, rows), compression_band=(0.30, 0.95),
+        dup_line_min_count=None, filter_rows=False)
+    got = {r["url"]: r for r in flagged.collect()}
+    assert 0.30 <= got["https://a.example/good"]["compression_ratio"] <= 0.95
+    assert got["https://a.example/good"]["keep"]
+    assert got["https://a.example/templated"]["compression_ratio"] < 0.30
+    assert not got["https://a.example/templated"]["keep"]
+    rep = prep_report(flagged).first()
+    assert rep["dropped_compression"] == 1 and rep["docs_kept"] == 1
+    # default run has no compression column and reports 0
+    plain = prepare_training_corpus(
+        _pages(spark, rows), dup_line_min_count=None, filter_rows=False)
+    assert "compression_ratio" not in plain.columns
+    assert prep_report(plain).first()["dropped_compression"] == 0
