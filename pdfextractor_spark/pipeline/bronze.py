@@ -20,8 +20,13 @@ from .schema import BRONZE_SCHEMA
 __all__ = ["extract_bronze"]
 
 
-def _extract_one(html: bytes | None, text: str | None):
-    """Returns (raw_text, parser, n_pages, error, encoding)."""
+def _extract_one(html: bytes | None, text: str | None,
+                 content_type: str | None = None):
+    """Returns (raw_text, parser, n_pages, error, encoding).
+
+    ``content_type`` is the optional transport-layer charset hint (the
+    HTTP Content-Type of a WARC response record) — ranked between BOM
+    and meta prescan by the WHATWG sniffing."""
     from ..sources.encoding import sniff_decode
     from ..sources.html import extract_html_text
     from ..sources.pdf import PdfParseError, extract_pdf_auto
@@ -50,7 +55,7 @@ def _extract_one(html: bytes | None, text: str | None):
         # WHATWG sniffing (BOM -> meta prescan -> utf-8 -> windows-1252):
         # a crawl is not all UTF-8, and a wrong decode poisons dedup keys
         # and lang-ID downstream (sources/encoding.py)
-        decoded, enc = sniff_decode(payload)
+        decoded, enc = sniff_decode(payload, content_type)
         extracted = extract_html_text(decoded)
         return extracted, "html", None, None, enc
     except Exception as e:
@@ -62,10 +67,15 @@ def _bronze_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out = {"url": [], "warc_ts": [], "lang": [], "raw_text": [], "parser": [],
                "n_pages": [], "n_chars": [], "text_match": [], "error": [],
                "encoding": []}
-        for url, warc_ts, html, text, lang in zip(
-            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]
+        ctypes = (pdf["content_type"] if "content_type" in pdf.columns
+                  else [None] * len(pdf))
+        for url, warc_ts, html, text, lang, ctype in zip(
+            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"],
+            ctypes
         ):
-            raw_text, parser, n_pages, error, enc = _extract_one(html, text if isinstance(text, str) else None)
+            raw_text, parser, n_pages, error, enc = _extract_one(
+                html, text if isinstance(text, str) else None,
+                ctype if isinstance(ctype, str) else None)
             out["url"].append(url)
             out["warc_ts"].append(warc_ts)
             out["lang"].append(lang)

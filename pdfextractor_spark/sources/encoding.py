@@ -35,7 +35,8 @@ from __future__ import annotations
 import codecs
 import re
 
-__all__ = ["sniff_decode", "sniff_encoding", "label_to_codec"]
+__all__ = ["sniff_decode", "sniff_encoding", "label_to_codec",
+           "charset_from_content_type"]
 
 
 def _whatwg1252_errors(err: UnicodeDecodeError):
@@ -199,15 +200,37 @@ def _prescan_meta(head: bytes) -> tuple[str, str] | None:
     return None
 
 
-def sniff_encoding(payload: bytes) -> tuple[str, str, str]:
+_CT_CHARSET_RE = re.compile(r"""charset\s*=\s*("[^"]*"|'[^']*'|[^\s;"']+)""",
+                            re.IGNORECASE)
+
+
+def charset_from_content_type(content_type: str | None) -> str | None:
+    """The charset parameter of an HTTP ``Content-Type`` header value
+    (``text/html; charset=Shift_JIS`` -> ``Shift_JIS``), or None."""
+    if not content_type:
+        return None
+    m = _CT_CHARSET_RE.search(content_type)
+    return m.group(1).strip("\"'") if m else None
+
+
+def sniff_encoding(payload: bytes,
+                   content_type: str | None = None) -> tuple[str, str, str]:
     """``(python_codec, canonical_name, how)`` for an HTML byte payload;
-    ``how`` is one of ``bom | meta | utf-8 | fallback``."""
+    ``how`` is one of ``bom | transport | meta | utf-8 | fallback``.
+
+    ``content_type`` is the transport-layer hint (the HTTP Content-Type
+    a WARC response record carries): per the spec's precedence it sits
+    between the BOM (which overrides everything) and the meta prescan.
+    Unknown labels are ignored, not errors."""
     if payload[:3] == b"\xef\xbb\xbf":
         return "utf-8-sig", "utf-8", "bom"
     if payload[:2] == b"\xfe\xff":
         return "utf-16-be", "utf-16be", "bom"
     if payload[:2] == b"\xff\xfe":
         return "utf-16-le", "utf-16le", "bom"
+    got = label_to_codec(charset_from_content_type(content_type))
+    if got is not None:
+        return got[0], got[1], "transport"
     got = _prescan_meta(payload[:1024])
     if got is not None:
         return got[0], got[1], "meta"
@@ -224,13 +247,15 @@ def _decode_x_user_defined(payload: bytes) -> str:
                    for b in payload)
 
 
-def sniff_decode(payload: bytes) -> tuple[str, str]:
+def sniff_decode(payload: bytes,
+                 content_type: str | None = None) -> tuple[str, str]:
     """Decode HTML bytes per the WHATWG sniffing algorithm.
 
     Returns ``(text, canonical_encoding_name)``. Never raises: decoding
     runs in the spec's replacement mode (malformed sequences -> U+FFFD).
+    ``content_type`` is the optional transport-layer charset hint.
     """
-    py, canon, _how = sniff_encoding(payload)
+    py, canon, _how = sniff_encoding(payload, content_type)
     if py == "_replacement":
         return "�", canon
     if py == "_x-user-defined":

@@ -135,34 +135,47 @@ def _pages_rows(name: str, data: bytes) -> list[dict]:
                 except ValueError:
                     ts = None
             rows.append({"url": rec["url"], "warc_ts": ts,
-                         "html": rec["body"], "text": None, "lang": None})
+                         "html": rec["body"], "text": None, "lang": None,
+                         "content_type": rec["http_content_type"]})
     except Exception as e:  # corrupt archive: one error row, not a job failure
         rows.append({"url": f"warc_error:{name}", "warc_ts": None,
                      "html": None, "text": f"{type(e).__name__}: {e}",
-                     "lang": None})
+                     "lang": None, "content_type": None})
     return rows
 
 
-def read_warc(spark, path: str, num_partitions: int | None = None):
+def read_warc(spark, path: str, num_partitions: int | None = None,
+              keep_content_type: bool = False):
     """WARC files under ``path`` (glob ok, .warc or .warc.gz) -> a pages
     DataFrame in PAGES_SCHEMA. One binaryFile row per archive; parsing
-    happens executor-side in mapInPandas."""
+    happens executor-side in mapInPandas.
+
+    ``keep_content_type=True`` appends the HTTP ``Content-Type`` header
+    as a sixth column: the transport-layer charset hint, which the
+    extraction stage's WHATWG sniffing ranks between BOM and meta
+    prescan (``pipeline/bronze`` consumes the column when present)."""
     import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
 
     from ..pipeline.schema import PAGES_SCHEMA
 
+    schema = (StructType(list(PAGES_SCHEMA.fields)
+                         + [StructField("content_type", StringType())])
+              if keep_content_type else PAGES_SCHEMA)
+
     def batches(it):
-        cols = [f.name for f in PAGES_SCHEMA.fields]
+        cols = [f.name for f in schema.fields]
         for pdf in it:
             rows = []
             for name, content in zip(pdf["path"], pdf["content"]):
                 rows.extend(_pages_rows(name, content))
-            yield pd.DataFrame(rows, columns=cols)
+            yield pd.DataFrame(
+                [{c: r[c] for c in cols} for r in rows], columns=cols)
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     if num_partitions:
         files = files.repartition(num_partitions)
-    return files.mapInPandas(batches, schema=PAGES_SCHEMA)
+    return files.mapInPandas(batches, schema=schema)
 
 
 def make_warc(records: list[dict], per_record_gzip: bool = False) -> bytes:

@@ -130,6 +130,56 @@ def test_gbk_meta_page():
     assert enc == "gbk" and body in text
 
 
+def test_transport_layer_precedence():
+    from pdfextractor_spark.sources.encoding import charset_from_content_type
+
+    # header parsing forms
+    assert charset_from_content_type("text/html; charset=Shift_JIS") == "Shift_JIS"
+    assert charset_from_content_type('text/html; charset="koi8-r"') == "koi8-r"
+    assert charset_from_content_type("text/html") is None
+    assert charset_from_content_type(None) is None
+    # BOM still beats transport
+    payload = b"\xef\xbb\xbfcaf\xc3\xa9"
+    assert sniff_encoding(payload, "text/html; charset=shift_jis")[2] == "bom"
+    # transport beats meta
+    page = _page('<meta charset="koi8-r">')
+    py, canon, how = sniff_encoding(page, "text/html; charset=windows-1251")
+    assert (canon, how) == ("windows-1251", "transport")
+    # unknown transport label falls through to meta
+    py, canon, how = sniff_encoding(page, "text/html; charset=bogus")
+    assert (canon, how) == ("koi8-r", "meta")
+    # transport label decodes the payload
+    body = "Предмет и цель"
+    raw = f"<p>{body} plus enough prose to matter</p>".encode("cp1251")
+    text, enc = sniff_decode(raw, "text/html; charset=windows-1251")
+    assert enc == "windows-1251" and body in text
+
+
+def test_warc_content_type_reaches_bronze(spark, tmp_path):
+    """read_warc(keep_content_type=True) carries the HTTP charset hint and
+    the bronze stage decodes a meta-less legacy page with it."""
+    from pdfextractor_spark.pipeline.bronze import extract_bronze
+    from pdfextractor_spark.sources.warc import make_warc, read_warc
+
+    body_text = "Résumé façade café prose long enough to pass the gate."
+    html = (f"<html><head><title>t</title></head><body><p>{body_text}"
+            "</p></body></html>").encode("cp1252")
+    warc = make_warc([{
+        "url": "https://example.org/legacy", "date": "2024-01-01T00:00:00Z",
+        "body": html, "http_content_type": "text/html; charset=windows-1252",
+    }])
+    p = tmp_path / "a.warc"
+    p.write_bytes(warc)
+    pages = read_warc(spark, str(p), keep_content_type=True)
+    assert "content_type" in pages.columns
+    rows = extract_bronze(pages, num_partitions=2).collect()
+    assert len(rows) == 1
+    assert rows[0]["encoding"] == "windows-1252"
+    assert body_text in rows[0]["raw_text"]
+    # without the flag the schema stays the 5-column pages contract
+    assert "content_type" not in read_warc(spark, str(p)).columns
+
+
 def test_bronze_extract_one_uses_sniffing():
     from pdfextractor_spark.pipeline.bronze import _extract_one
 
