@@ -255,11 +255,15 @@ def sniff_decode(payload: bytes,
     runs in the spec's replacement mode (malformed sequences -> U+FFFD).
     ``content_type`` is the optional transport-layer charset hint.
     """
-    py, canon, _how = sniff_encoding(payload, content_type)
+    py, canon, how = sniff_encoding(payload, content_type)
     if py == "_replacement":
         return "�", canon
     if py == "_x-user-defined":
         return _decode_x_user_defined(payload), canon
+    if how == "bom" and py in ("utf-16-le", "utf-16-be"):
+        # the BOM is consumed by detection, not emitted (utf-8-sig strips
+        # its own; the endian-explicit utf-16 codecs do not)
+        payload = payload[2:]
     errors = "whatwg1252" if py == "cp1252" else "replace"
     try:
         return payload.decode(py, errors=errors), canon

@@ -30,9 +30,17 @@ def main() -> int:
     pages = spark.createDataFrame(generate_pages(N), schema=PAGES_SCHEMA)
     silver = extract_fused(pages, num_partitions=16).cache()
 
+    # 'empty-text' is the needs-OCR COVERAGE bucket (image-only PDFs that
+    # parsed fine but have no text layer — the reference counts these in
+    # summarize_extraction_coverage.js, not as failures); the failure-rate
+    # gate is about parse FAILURES, i.e. the injected corrupt payloads
     row = silver.agg(
         F.count(F.lit(1)).alias("docs"),
-        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("failures"),
+        F.sum(F.when(F.col("error").isNotNull()
+                     & (F.col("error") != "empty-text"), 1)
+              .otherwise(0)).alias("failures"),
+        F.sum(F.when(F.col("error") == "empty-text", 1).otherwise(0))
+            .alias("needs_ocr"),
         F.sum(F.when(F.col("text_match"), 1).otherwise(0)).alias("matched"),
         F.sum(F.when(F.col("text_match").isNotNull(), 1).otherwise(0)).alias("parity_rows"),
         F.sum(F.when(F.size("cost_tables") > 0, 1).otherwise(0)).alias("with_cost"),
