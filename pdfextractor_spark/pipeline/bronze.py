@@ -21,14 +21,18 @@ __all__ = ["extract_bronze"]
 
 
 def _extract_one(html: bytes | None, text: str | None,
-                 content_type: str | None = None):
+                 content_type: str | None = None,
+                 html_mode: str = "default"):
     """Returns (raw_text, parser, n_pages, error, encoding).
 
     ``content_type`` is the optional transport-layer charset hint (the
     HTTP Content-Type of a WARC response record) — ranked between BOM
-    and meta prescan by the WHATWG sniffing."""
+    and meta prescan by the WHATWG sniffing. ``html_mode`` selects the
+    boilerplate classifier: ``default`` (link-density + length, the
+    byte-parity mode) or ``density`` (boilerpipe NumWordsRules — context
+    -aware, recall-leaning; sources/html.py)."""
     from ..sources.encoding import sniff_decode
-    from ..sources.html import extract_html_text
+    from ..sources.html import extract_html_text, extract_html_text_density
     from ..sources.pdf import PdfParseError, extract_pdf_auto
 
     if html is None or len(html) == 0:
@@ -56,13 +60,22 @@ def _extract_one(html: bytes | None, text: str | None,
         # a crawl is not all UTF-8, and a wrong decode poisons dedup keys
         # and lang-ID downstream (sources/encoding.py)
         decoded, enc = sniff_decode(payload, content_type)
-        extracted = extract_html_text(decoded)
+        extract = (extract_html_text_density if html_mode == "density"
+                   else extract_html_text)
+        extracted = extract(decoded)
         return extracted, "html", None, None, enc
     except Exception as e:
         return None, "error", None, f"html: unexpected {type(e).__name__}: {e}", None
 
 
-def _bronze_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _bronze_batches_factory(html_mode: str = "default"):
+    def _bronze_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _bronze_batches_impl(batches, html_mode)
+    return _bronze_batches
+
+
+def _bronze_batches_impl(batches: Iterator[pd.DataFrame],
+                         html_mode: str = "default") -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {"url": [], "warc_ts": [], "lang": [], "raw_text": [], "parser": [],
                "n_pages": [], "n_chars": [], "text_match": [], "error": [],
@@ -75,7 +88,7 @@ def _bronze_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ):
             raw_text, parser, n_pages, error, enc = _extract_one(
                 html, text if isinstance(text, str) else None,
-                ctype if isinstance(ctype, str) else None)
+                ctype if isinstance(ctype, str) else None, html_mode)
             out["url"].append(url)
             out["warc_ts"].append(warc_ts)
             out["lang"].append(lang)
@@ -91,11 +104,13 @@ def _bronze_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def extract_bronze(pages_df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def extract_bronze(pages_df: DataFrame, num_partitions: int | None = None,
+                   html_mode: str = "default") -> DataFrame:
     from .arrowtune import autosize_arrow_batch
 
     spark = pages_df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism * 2
     autosize_arrow_batch(pages_df, ["html", "text"])
     salted = pages_df.repartition(n, F.xxhash64("url"))
-    return salted.mapInPandas(_bronze_batches, schema=BRONZE_SCHEMA)
+    return salted.mapInPandas(_bronze_batches_factory(html_mode),
+                              schema=BRONZE_SCHEMA)

@@ -66,7 +66,8 @@ def _row_id(url_col: str, text_col: str, as_string: bool = False):
 def _perdoc_stages(pages: DataFrame, *, extract: bool | None, url_col: str,
                    ts_col: str, text_col: str, robots: tuple | None,
                    badwords: list[str] | None, filter_rows: bool,
-                   canonical_hint_col: str | None = None) -> DataFrame:
+                   canonical_hint_col: str | None = None,
+                   extract_mode: str = "default") -> DataFrame:
     """Stages 1-4: the PER-DOCUMENT prefix of the pipeline (url dedup,
     robots gate, extraction, C4 cleaning, Gopher repetition). Every
     transformation here is keyed by the document row, which is what makes
@@ -90,7 +91,8 @@ def _perdoc_stages(pages: DataFrame, *, extract: bool | None, url_col: str,
         extract = "html" in df.columns
     if extract:
         from .bronze import extract_bronze
-        df = extract_bronze(df).withColumnRenamed("raw_text", text_col)
+        df = extract_bronze(df, html_mode=extract_mode) \
+            .withColumnRenamed("raw_text", text_col)
     if robots is not None and not filter_rows:
         # flag-only run: compute AFTER extraction (the bronze UDF projects
         # its own schema and would drop the flag) so `keep` can report it
@@ -107,6 +109,7 @@ def _perdoc_stages(pages: DataFrame, *, extract: bool | None, url_col: str,
 def prepare_training_corpus(
     pages: DataFrame, *,
     extract: bool | None = None,
+    extract_mode: str = "default",
     url_col: str = "url", ts_col: str = "warc_ts", text_col: str = "text",
     canonical_hint_col: str | None = None,
     benchmark: DataFrame | None = None,
@@ -129,7 +132,9 @@ def prepare_training_corpus(
     """pages (url, warc_ts, html, text, lang) -> cleaned training docs.
 
     ``extract=None`` auto-detects: the bronze extraction UDF runs when an
-    ``html`` column is present. ``benchmark`` is a DataFrame with a text
+    ``html`` column is present. ``extract_mode`` picks the boilerplate
+    classifier: ``default`` (link-density + length) or ``density``
+    (boilerpipe NumWordsRules — context-aware, recall-leaning). ``benchmark`` is a DataFrame with a text
     column (eval suite) for decontamination; ``None`` skips that stage.
     ``robots`` is ``(robots_df, agent)`` — a (host, robots_txt) table +
     the crawler's user-agent; pages the agent may not fetch get
@@ -195,7 +200,8 @@ def prepare_training_corpus(
     df = _perdoc_stages(pages, extract=extract, url_col=url_col,
                         ts_col=ts_col, text_col=text_col, robots=robots,
                         badwords=badwords, filter_rows=filter_rows,
-                        canonical_hint_col=canonical_hint_col)
+                        canonical_hint_col=canonical_hint_col,
+                        extract_mode=extract_mode)
     df = _flag_stages(df, url_col=url_col, text_col=text_col,
                       benchmark=benchmark, robots_flagged=(
                           robots is not None and not filter_rows),

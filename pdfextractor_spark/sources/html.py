@@ -21,7 +21,7 @@ from __future__ import annotations
 import re
 from html.parser import HTMLParser
 
-__all__ = ["extract_html_text"]
+__all__ = ["extract_html_text", "extract_html_text_density"]
 
 _DROP_TAGS = {
     "script", "style", "noscript", "template", "svg", "iframe", "form",
@@ -255,8 +255,10 @@ def _fast_feed(parser: _ContentParser, html: str) -> None:
             i += 1
 
 
-def extract_html_text(html: str) -> str:
-    """Main-content text of an HTML document, one block per line."""
+def _parse_blocks(html: str) -> list[_Block]:
+    """Document-order text blocks (fast tokenizer with stdlib fallback,
+    unclosed blocks flushed) — the shared front half of both extraction
+    modes."""
     parser = _ContentParser()
     try:
         _fast_feed(parser, html)
@@ -274,18 +276,62 @@ def extract_html_text(html: str) -> str:
         parser._order += 1
         parser.finished.append((parser._order, blk))
     parser.finished.sort(key=lambda t: t[0])
+    return [blk for _, blk in parser.finished]
+
+
+def _dedup_join(blocks_text: list[str]) -> str:
     out: list[str] = []
     seen_texts: set[int] = set()
-    # NOTE: container tags (div/ul/body/...) only ever accumulate their
-    # *direct* text runs — nested block text goes to the inner block on the
-    # stack — so there is no double counting.
-    for _, blk in parser.finished:
-        if not _is_content(blk):
-            continue
-        text = blk.text()
+    for text in blocks_text:
         key = hash(text)
         if key in seen_texts:
             continue
         seen_texts.add(key)
         out.append(text)
     return "\n".join(out)
+
+
+def extract_html_text(html: str) -> str:
+    """Main-content text of an HTML document, one block per line."""
+    # NOTE: container tags (div/ul/body/...) only ever accumulate their
+    # *direct* text runs — nested block text goes to the inner block on the
+    # stack — so there is no double counting.
+    return _dedup_join(
+        blk.text() for blk in _parse_blocks(html) if _is_content(blk))
+
+
+def extract_html_text_density(html: str) -> str:
+    """Main-content text via the published boilerpipe NumWordsRules
+    decision tree (Kohlschuetter, Fankhauser & Nejdl, WSDM 2010 —
+    "Boilerplate Detection using Shallow Text Features", table 2 /
+    the reference implementation's NumWordsRulesClassifier): each block
+    is judged by its own word count + link density AND its neighbors'
+    — context the per-block threshold of the default mode cannot see.
+    Favors recall on short interstitial content blocks between long
+    paragraphs; the default mode favors precision. Both share the same
+    tokenizer/block builder, so plans and failure policy are identical.
+    """
+    blocks = [b for b in _parse_blocks(html) if b.text()]
+
+    def words(i: int) -> int:
+        if i < 0 or i >= len(blocks):
+            return 0
+        return len(blocks[i].text().split())
+
+    def link_density(i: int) -> float:
+        if i < 0 or i >= len(blocks):
+            return 0.0
+        return blocks[i].link_chars / max(1, len(blocks[i].text()))
+
+    kept: list[str] = []
+    for i in range(len(blocks)):
+        if link_density(i) > 0.333333:
+            continue
+        if link_density(i - 1) <= 0.555556:
+            is_content = (words(i) > 16 or words(i + 1) > 15
+                          or words(i - 1) > 4)
+        else:
+            is_content = words(i) > 40 or words(i + 1) > 17
+        if is_content:
+            kept.append(blocks[i].text())
+    return _dedup_join(kept)

@@ -91,3 +91,61 @@ def test_html_keeps_article_drops_boilerplate():
 
 def test_html_deterministic():
     assert extract_html_text(HTML) == extract_html_text(HTML)
+
+
+def test_html_density_mode_numwords_rules():
+    """Boilerpipe NumWordsRules (WSDM 2010): context-aware judgments the
+    per-block default mode cannot make."""
+    from pdfextractor_spark.sources.html import (
+        extract_html_text,
+        extract_html_text_density,
+    )
+
+    long_para = ("This paragraph carries more than sixteen words of real "
+                 "prose so the classifier marks it as content on its own "
+                 "word count alone, with room to spare.")
+    short = "Short but real note."  # 4 words, 20 chars
+    html = (f"<html><body><p>{long_para}</p><p>{short}</p>"
+            f"<p>{long_para} again and again.</p></body></html>")
+    dense = extract_html_text_density(html)
+    # prev block has >4 words -> the short block survives in density mode
+    assert short in dense and long_para in dense
+    # the default mode's 25-char floor drops it
+    assert short not in extract_html_text(html)
+
+    # a linky block is never content in either mode; a LONG paragraph
+    # (>40 words) survives even right after the nav context
+    nav = "".join(f'<a href="/{k}">link {k} here</a> ' for k in range(8))
+    very_long = " ".join(f"word{k} of a genuinely long paragraph"
+                         for k in range(9))  # 54 words
+    html2 = f"<html><body><div>{nav}</div><p>{very_long}</p></body></html>"
+    dense2 = extract_html_text_density(html2)
+    assert "link 3 here" not in dense2 and very_long in dense2
+
+    # after a high-link-density neighbor, a medium block (<=40 words) with
+    # no long follower is boilerplate; the same block standalone is content
+    medium = ("Twenty words of prose follow the navigation block here and "
+              "the tree requires more than forty to survive that context.")
+    assert len(medium.split()) <= 40
+    html3 = f"<html><body><p>{nav}</p><p>{medium}</p></body></html>"
+    assert medium not in extract_html_text_density(html3)
+    html4 = f"<html><body><p>{long_para}</p><p>{medium}</p></body></html>"
+    assert medium in extract_html_text_density(html4)
+
+
+def test_html_density_mode_through_bronze(spark):
+    from pdfextractor_spark.pipeline.bronze import extract_bronze
+    from pdfextractor_spark.pipeline.schema import PAGES_SCHEMA
+
+    long_para = ("This paragraph carries more than sixteen words of real "
+                 "prose so the classifier marks it as content on its own "
+                 "word count alone, with room to spare.")
+    html = (f"<html><body><p>{long_para}</p><p>Short but real note.</p>"
+            "</body></html>").encode()
+    df = spark.createDataFrame(
+        [["https://x.example/a", None, html, None, "en"]], schema=PAGES_SCHEMA)
+    dense = extract_bronze(df, num_partitions=2, html_mode="density").first()
+    plain = extract_bronze(df, num_partitions=2).first()
+    assert "Short but real note." in dense["raw_text"]
+    assert "Short but real note." not in plain["raw_text"]
+    assert dense["parser"] == "html" and dense["error"] is None
