@@ -193,7 +193,8 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_compression_ratio(df: DataFrame, text_col: str = "text",
-                           low: float = 0.30, high: float = 0.95) -> DataFrame:
+                           low: float = 0.30, high: float = 0.95,
+                           min_bytes: int = 200) -> DataFrame:
     """Per-document zlib compression ratio — the RedPajama-v2/Dolma-style
     quality signal the Gopher rules don't cover: machine-generated or
     heavily templated text compresses far below prose (ratio < ~0.3),
@@ -201,7 +202,12 @@ def with_compression_ratio(df: DataFrame, text_col: str = "text",
 
     ``compression_ratio`` = deflate(utf-8 bytes) length / raw length
     (level 6, the zlib default, pinned for determinism; empty text -> 1.0).
-    ``compression_flag`` marks docs outside [low, high].
+    ``compression_flag`` marks docs outside [low, high] — but only when
+    the document has at least ``min_bytes`` of text: zlib's ~20-byte
+    stream overhead pushes EVERY short input over 1.0 (a 56-byte sentence
+    measures 1.1), so judging tiny docs would silently purge all short
+    legitimate text as "junk". Below the floor the ratio is still
+    reported, the flag is false (other gates own short-doc policy).
 
     zlib is not expressible as a Spark SQL function, so this is an
     Arrow-batched pandas UDF by necessity — one C call per document on
@@ -222,8 +228,10 @@ def with_compression_ratio(df: DataFrame, text_col: str = "text",
 
         return texts.map(one, na_action=None).fillna(1.0)
 
-    ratio = F.round(_ratio(F.coalesce(F.col(text_col), F.lit(""))), 6)
-    out = df.withColumn("compression_ratio", ratio)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    out = df.withColumn("compression_ratio", F.round(_ratio(text), 6))
+    judged = F.octet_length(text) >= min_bytes
     return out.withColumn(
         "compression_flag",
-        (F.col("compression_ratio") < low) | (F.col("compression_ratio") > high))
+        judged & ((F.col("compression_ratio") < low)
+                  | (F.col("compression_ratio") > high)))

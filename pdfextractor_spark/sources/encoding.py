@@ -113,16 +113,23 @@ _add("koi8-u", "koi8-u", "koi8-u", "koi8-ru")
 _add("mac-roman", "macintosh", "macintosh", "csmacintosh", "mac",
      "x-mac-roman")
 _add("mac-cyrillic", "x-mac-cyrillic", "x-mac-cyrillic", "x-mac-ukrainian")
-# gb2312 labels fold into GBK; gb18030 stays itself
+# gb2312 labels fold into GBK; gb18030 stays itself. The CJK decoders are
+# the WHATWG-mandated WINDOWS supersets, not the narrow ISO codecs: the
+# spec's shift_jis index IS windows-31j (python cp932), its euc-kr IS
+# windows-949 (python cp949), and its big5 index includes the HKSCS
+# extensions (python big5hkscs) — the narrow codecs turn the vendor rows
+# ubiquitous on the real web (NEC (1), UHC hangul) into U+FFFD plus a
+# spurious trail byte.
 _add("gbk", "gbk", "gbk", "gb2312", "chinese", "csgb2312", "csiso58gb231280",
      "gb_2312", "gb_2312-80", "iso-ir-58", "x-gbk")
 _add("gb18030", "gb18030", "gb18030")
-_add("big5", "big5", "big5", "big5-hkscs", "cn-big5", "csbig5", "x-x-big5")
+_add("big5hkscs", "big5", "big5", "big5-hkscs", "cn-big5", "csbig5",
+     "x-x-big5")
 _add("euc_jp", "euc-jp", "euc-jp", "cseucpkdfmtjapanese", "x-euc-jp")
 _add("iso2022_jp", "iso-2022-jp", "iso-2022-jp", "csiso2022jp")
-_add("shift_jis", "shift_jis", "shift_jis", "shift-jis", "sjis", "x-sjis",
+_add("cp932", "shift_jis", "shift_jis", "shift-jis", "sjis", "x-sjis",
      "csshiftjis", "ms932", "ms_kanji", "windows-31j")
-_add("euc_kr", "euc-kr", "euc-kr", "cseuckr", "csksc56011987", "iso-ir-149",
+_add("cp949", "euc-kr", "euc-kr", "cseuckr", "csksc56011987", "iso-ir-149",
      "korean", "ks_c_5601-1987", "ks_c_5601-1989", "ksc5601", "ksc_5601",
      "windows-949")
 _add("utf-16-le", "utf-16le", "utf-16le", "utf-16", "unicodefeff",
@@ -158,10 +165,21 @@ def label_to_codec(label: str | bytes | None) -> tuple[str, str] | None:
     return _LABELS.get(label.strip(" \t\n\r\f").lower())
 
 
+_COMMENT_RE = re.compile(rb"<!--.*?-->", re.DOTALL)
+
+
 def _prescan_meta(head: bytes) -> tuple[str, str] | None:
     """The spec's meta prescan over the first 1024 bytes: the first
     ``<meta charset>`` or ``<meta http-equiv=content-type content=...>``
-    with a recognized label wins, in document order."""
+    with a recognized label wins, in document order. Comments are
+    skipped first (the spec's prescan consumes ``<!-- -->`` before
+    looking for metas — a commented-out legacy meta must not hijack
+    the decode), and an unterminated ``<!--`` swallows the rest of the
+    window."""
+    head = _COMMENT_RE.sub(b"", head)
+    open_comment = head.find(b"<!--")
+    if open_comment != -1:
+        head = head[:open_comment]
     for m in _META_RE.finditer(head):
         tag = m.group(0)
         charset = http_equiv = content = None
@@ -213,15 +231,10 @@ def charset_from_content_type(content_type: str | None) -> str | None:
     return m.group(1).strip("\"'") if m else None
 
 
-def sniff_encoding(payload: bytes,
-                   content_type: str | None = None) -> tuple[str, str, str]:
-    """``(python_codec, canonical_name, how)`` for an HTML byte payload;
-    ``how`` is one of ``bom | transport | meta | utf-8 | fallback``.
-
-    ``content_type`` is the transport-layer hint (the HTTP Content-Type
-    a WARC response record carries): per the spec's precedence it sits
-    between the BOM (which overrides everything) and the meta prescan.
-    Unknown labels are ignored, not errors."""
+def _sniff_declared(payload: bytes,
+                    content_type: str | None) -> tuple[str, str, str] | None:
+    """The DECLARED-encoding steps (BOM > transport > meta prescan), or
+    None when only the content-based fallback remains."""
     if payload[:3] == b"\xef\xbb\xbf":
         return "utf-8-sig", "utf-8", "bom"
     if payload[:2] == b"\xfe\xff":
@@ -234,6 +247,21 @@ def sniff_encoding(payload: bytes,
     got = _prescan_meta(payload[:1024])
     if got is not None:
         return got[0], got[1], "meta"
+    return None
+
+
+def sniff_encoding(payload: bytes,
+                   content_type: str | None = None) -> tuple[str, str, str]:
+    """``(python_codec, canonical_name, how)`` for an HTML byte payload;
+    ``how`` is one of ``bom | transport | meta | utf-8 | fallback``.
+
+    ``content_type`` is the transport-layer hint (the HTTP Content-Type
+    a WARC response record carries): per the spec's precedence it sits
+    between the BOM (which overrides everything) and the meta prescan.
+    Unknown labels are ignored, not errors."""
+    got = _sniff_declared(payload, content_type)
+    if got is not None:
+        return got
     try:
         payload.decode("utf-8")
         return "utf-8", "utf-8", "utf-8"
@@ -255,7 +283,17 @@ def sniff_decode(payload: bytes,
     runs in the spec's replacement mode (malformed sequences -> U+FFFD).
     ``content_type`` is the optional transport-layer charset hint.
     """
-    py, canon, how = sniff_encoding(payload, content_type)
+    declared = _sniff_declared(payload, content_type)
+    if declared is None:
+        # content-based fallback: attempt the strict UTF-8 decode ONCE and
+        # keep its result — UTF-8 is the dominant path and this runs
+        # per-document in the extraction UDF, so a discarded probe decode
+        # would double the decode CPU of ~90%+ of the corpus
+        try:
+            return payload.decode("utf-8"), "utf-8"
+        except UnicodeDecodeError:
+            return payload.decode("cp1252", errors="whatwg1252"), "windows-1252"
+    py, canon, how = declared
     if py == "_replacement":
         return "�", canon
     if py == "_x-user-defined":

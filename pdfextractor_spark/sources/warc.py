@@ -169,8 +169,8 @@ def read_warc(spark, path: str, num_partitions: int | None = None,
             rows = []
             for name, content in zip(pdf["path"], pdf["content"]):
                 rows.extend(_pages_rows(name, content))
-            yield pd.DataFrame(
-                [{c: r[c] for c in cols} for r in rows], columns=cols)
+            # DataFrame-from-records already selects exactly `columns`
+            yield pd.DataFrame(rows, columns=cols)
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     if num_partitions:

@@ -53,7 +53,7 @@ def test_meta_http_equiv_content():
     html = ('<meta http-equiv="Content-Type" '
             'content="text/html; charset=shift_jis">')
     py, canon, how = sniff_encoding(_page(html))
-    assert (py, canon, how) == ("shift_jis", "shift_jis", "meta")
+    assert (py, canon, how) == ("cp932", "shift_jis", "meta")
     # http-equiv with a different value must NOT trigger
     other = '<meta http-equiv="refresh" content="1; url=x?charset=koi8-r">'
     assert sniff_encoding(_page(other))[2] == "utf-8"
@@ -88,7 +88,7 @@ def test_label_table_folds():
     assert label_to_codec("tis-620") == ("cp874", "windows-874")
     assert label_to_codec("iso-8859-9") == ("cp1254", "windows-1254")
     assert label_to_codec("iso-8859-8-i") == ("iso8859-8", "iso-8859-8-i")
-    assert label_to_codec("  Shift-JIS \t") == ("shift_jis", "shift_jis")
+    assert label_to_codec("  Shift-JIS \t") == ("cp932", "shift_jis")
     assert label_to_codec("no-such-enc") is None
     assert label_to_codec(None) is None
     assert label_to_codec(b"\xff\xfe") is None
@@ -129,6 +129,35 @@ def test_gbk_meta_page():
     payload = _page('<meta charset="gb2312">', body, codec="gbk")
     text, enc = sniff_decode(payload)
     assert enc == "gbk" and body in text
+
+
+def test_prescan_skips_comments():
+    # a commented-out legacy meta must not hijack the decode
+    html = ('<!-- <meta charset="shift_jis"> -->'
+            '<meta charset="utf-8">')
+    assert sniff_encoding(_page(html))[1] == "utf-8"
+    # unterminated comment swallows the rest of the prescan window
+    html2 = '<!-- open comment <meta charset="koi8-r">'
+    assert sniff_encoding(_page(html2))[2] == "utf-8"
+    # comments BETWEEN metas don't break the scan
+    html3 = '<!-- x --><meta charset="koi8-r">'
+    assert sniff_encoding(_page(html3))[1] == "koi8-r"
+
+
+def test_cjk_windows_superset_codecs():
+    """WHATWG mandates the windows supersets: euc-kr IS windows-949,
+    shift_jis IS windows-31j, big5 includes HKSCS."""
+    # 똠 (U+B620) is a UHC extension outside narrow euc_kr
+    krow = "똠방각하".encode("cp949")
+    text, enc = sniff_decode(b"<p>" + krow + b"</p>",
+                             "text/html; charset=euc-kr")
+    assert enc == "euc-kr" and "똠방각하" in text and "�" not in text
+    # ① (U+2460) lives in cp932's NEC row, outside narrow shift_jis
+    jrow = "①項目".encode("cp932")
+    text, enc = sniff_decode(b"<p>" + jrow + b"</p>",
+                             "text/html; charset=shift_jis")
+    assert enc == "shift_jis" and "①項目" in text and "�" not in text
+    assert label_to_codec("big5-hkscs") == ("big5hkscs", "big5")
 
 
 def test_transport_layer_precedence():
