@@ -1703,12 +1703,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _EN_MARKERS = [" the ", " and ", " of ", " to "]
-_MARKER_SQL = {
-    "en": [" the ", " and ", " of ", " to "],
-    "es": [" el ", " la ", " de ", " que "],
-    "fr": [" le ", " la ", " et ", " les "],
-    "zh": ["的", "是", "在"],
-}
+
+# SINGLE SOURCE OF TRUTH: the oracle's votes CTE and tie-break CASE are
+# generated from the engine's own marker table, so extending language
+# coverage keeps Spark == DuckDB by construction (the Spark side iterates
+# the same dict in ops/textstats.with_lang_guess).
+from pdfextractor_spark.ops.textstats import _LANG_MARKERS as _MARKER_SQL
 
 
 def _votes_sql(lang: str) -> str:
@@ -1720,11 +1720,13 @@ def _votes_sql(lang: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     ws_tokens = "CAST(length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)"
-    lang_case = (
-        "CASE WHEN best <= 0 THEN 'und' "
-        "WHEN v_en = best THEN 'en' WHEN v_es = best THEN 'es' "
-        "WHEN v_fr = best THEN 'fr' WHEN v_zh = best THEN 'zh' END"
-    )
+    _langs = list(_MARKER_SQL)
+    lang_votes = ",\n                     ".join(
+        f"{_votes_sql(lg)} AS v_{lg}" for lg in _langs)
+    lang_best = "greatest(" + ", ".join(f"v_{lg}" for lg in _langs) + ")"
+    lang_case = ("CASE WHEN best <= 0 THEN 'und' "
+                 + " ".join(f"WHEN v_{lg} = best THEN '{lg}'" for lg in _langs)
+                 + " END")
     return {
         "exact_dedup_stats": """
             SELECT lang,
@@ -1796,11 +1798,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT lang, ' ' || lower(text) || ' ' AS p FROM documents),
             votes AS (
               SELECT lang,
-                     {_votes_sql("en")} AS v_en, {_votes_sql("es")} AS v_es,
-                     {_votes_sql("fr")} AS v_fr, {_votes_sql("zh")} AS v_zh
+                     {lang_votes}
               FROM v),
             best AS (
-              SELECT lang, v_en, v_es, v_fr, v_zh, greatest(v_en, v_es, v_fr, v_zh) AS best FROM votes)
+              SELECT *, {lang_best} AS best FROM votes)
             SELECT lang, {lang_case} AS lang_guess, CAST(count(*) AS BIGINT) AS docs
             FROM best GROUP BY 1, 2 ORDER BY lang, lang_guess
         """,

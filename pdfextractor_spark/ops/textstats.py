@@ -14,12 +14,30 @@ __all__ = ["with_token_count", "with_quality", "with_lang_guess", "with_fingerpr
            "with_repetition", "with_compression_ratio", "quality_rollup",
            "langid_confusion"]
 
-# Tiny deterministic stopword votes per language (heuristic n-gram/lexicon ID)
+# Tiny deterministic stopword votes per language (heuristic n-gram/lexicon
+# ID, the CCNet-style cheap gate before any learned model). Insertion order
+# IS the tie-break priority: the original four stay first so their
+# behavior on existing corpora is unchanged; the round-4 additions follow
+# alphabetically. The SQL oracle generates its votes/CASE from this exact
+# dict (single source of truth), so extending it keeps Spark == DuckDB by
+# construction. Markers are space-padded lowercase function words (CJK
+# particles unpadded — no word boundaries to pad against).
 _LANG_MARKERS = {
     "en": [" the ", " and ", " of ", " to "],
     "es": [" el ", " la ", " de ", " que "],
     "fr": [" le ", " la ", " et ", " les "],
     "zh": ["的", "是", "在"],
+    "ar": [" في ", " من ", " على ", " أن "],
+    "de": [" der ", " und ", " die ", " ist "],
+    "it": [" che ", " di ", " il ", " per "],
+    "ja": ["の", "に", "は", "を"],
+    "ko": ["의", "는", "을", "하"],
+    "nl": [" het ", " een ", " van ", " niet "],
+    "pl": [" nie ", " jest ", " się ", " do "],
+    "pt": [" que ", " uma ", " com ", " os "],
+    "ru": [" и ", " не ", " на ", " что "],
+    "sv": [" och ", " att ", " det ", " som "],
+    "tr": [" bir ", " ve ", " için ", " bu "],
 }
 
 
@@ -37,8 +55,9 @@ def _votes(col, lang):
 
 
 def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Majority stopword vote among {en,es,fr,zh}; ties resolve in that fixed
-    order; zero votes -> 'und'."""
+    """Majority stopword vote among the 15 _LANG_MARKERS languages; ties
+    resolve in dict-insertion order (en/es/fr/zh first); zero votes ->
+    'und'."""
     c = F.col(text_col)
     votes = {lang: _votes(c, lang) for lang in _LANG_MARKERS}
     best = F.greatest(*votes.values())

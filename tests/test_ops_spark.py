@@ -538,3 +538,34 @@ def test_char_lm_perplexity_discriminates_and_broadcasts(spark, sf_dir):
     # model side broadcast: scoring is map-side until the per-doc agg
     plan = join_strategies(score_perplexity(probe, model))
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" in plan
+
+
+def test_lang_guess_broad_coverage(spark):
+    """The 15-language marker table identifies one native sentence per
+    language; ties/unknowns resolve deterministically."""
+    from pdfextractor_spark.ops.textstats import with_lang_guess
+
+    samples = {
+        "en": "the plan and the schedule of work to follow",
+        "es": "el informe describe la cuenca de agua que vigilamos",
+        "fr": "le rapport décrit la rivière et les mesures prises",
+        "zh": "这份报告的内容是关于流域在今年的治理",
+        "ar": "ورد في التقرير أن العمل من المقرر على الانتهاء",
+        "de": "der Bericht ist fertig und die Arbeit ist gut",
+        "it": "il rapporto che descrive di tutto per il bacino",
+        "ja": "この報告書の内容は流域に関する対策を示す",
+        "ko": "이 보고서의 내용은 유역을 관리하는 방안이다",
+        "nl": "het rapport is een overzicht van de maatregelen niet meer",
+        "pl": "raport nie jest gotowy ale się zbliża do końca",
+        "pt": "o relatório que descreve uma bacia com os dados",
+        "ru": "отчет готов и работа не завершена на этой неделе что важно",
+        "sv": "rapporten är klar och att arbetet det går som planerat",
+        "tr": "bu rapor bir havza için ve yönetim planı hakkında",
+    }
+    df = spark.createDataFrame(list(samples.items()), "lang string, text string")
+    got = {r["lang"]: r["lang_guess"] for r in with_lang_guess(df).collect()}
+    assert got == {k: k for k in samples}
+    und = with_lang_guess(
+        spark.createDataFrame([("x", "zzz qqq 12345")], "lang string, text string")
+    ).first()["lang_guess"]
+    assert und == "und"
