@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from .urls import url_host
 
-__all__ = ["parse_robots", "robots_filter"]
+__all__ = ["parse_robots", "robots_filter", "robots_host_meta"]
 
 
 def _tag_groups(txt: Column) -> Column:
@@ -108,6 +108,18 @@ def _tag_groups(txt: Column) -> Column:
                                _directive(l, "disallow")).alias("pattern"),
                     F.lower(l).startswith("allow").alias("allow"),
                 )),
+            ).when(
+                # crawl-delay rides as a pseudo-rule: pattern = the value,
+                # allow = null distinguishes it from path rules (which
+                # always carry a boolean) — _winning_rules filters on
+                # allow IS NOT NULL so the verdict path never sees it
+                F.lower(l).rlike(r"^crawl-delay\s*:"),
+                F.array_append(acc["out"], F.struct(
+                    acc["gid"].alias("gid"),
+                    F.lit(None).cast("string").alias("ua"),
+                    _directive(l, "crawl-delay").alias("pattern"),
+                    F.lit(None).cast("boolean").alias("allow"),
+                )),
             ).otherwise(acc["out"]).alias("out"),
         ),
         lambda acc: acc["out"],
@@ -136,6 +148,7 @@ def _winning_rules(tagged: Column, chosen: Column) -> Column:
             tagged,
             lambda t: t["pattern"].isNotNull()
             & (t["pattern"] != "")
+            & t["allow"].isNotNull()  # excludes crawl-delay pseudo-rules
             & F.array_contains(chosen, t["gid"]),
         ),
         lambda t: F.struct(t["pattern"].alias("pattern"),
@@ -165,6 +178,51 @@ def parse_robots(robots: DataFrame, agent: str = "trainingbot",
                                              F.col("_chosen"))).alias("_r"))
             .select("host", F.col("_r.pattern").alias("pattern"),
                     F.col("_r.allow").alias("allow")))
+
+
+def robots_host_meta(robots: DataFrame, agent: str = "trainingbot",
+                     host_col: str = "host",
+                     txt_col: str = "robots_txt") -> DataFrame:
+    """Per-host politeness metadata beyond the path rules: the winning
+    group's ``Crawl-delay`` (the de-facto convention RFC 9309 leaves
+    unstandardized — exact agent group beats ``*``, first value in the
+    group wins, non-numeric values are null) and every ``Sitemap`` URL
+    (group-INDEPENDENT per the sitemaps.org protocol). One row per host:
+    ``(host, crawl_delay double, sitemaps array<string>)``.
+
+    Same plan shape as parse_robots: three narrow projections over the
+    shared line-tagging aggregate, map-only, nothing on the driver — a
+    crawl scheduler joins this against its frontier by host."""
+    txt = F.coalesce(F.col(txt_col), F.lit(""))
+    tagged = _tag_groups(txt)
+    sitemaps = F.filter(
+        F.transform(
+            F.split(txt, r"\r?\n"),
+            lambda l: F.when(
+                F.lower(F.trim(l)).rlike(r"^sitemap\s*:"),
+                F.trim(F.regexp_replace(F.trim(l), r"(?i)^sitemap\s*:", "")),
+            ),
+        ),
+        lambda v: v.isNotNull() & (v != ""),
+    )
+    delays = lambda chosen, t: F.filter(  # noqa: E731
+        t, lambda r: r["pattern"].isNotNull() & r["allow"].isNull()
+        & F.array_contains(chosen, r["gid"]))
+    return (robots
+            .select(F.lower(F.col(host_col)).alias("host"),
+                    tagged.alias("_tagged"), sitemaps.alias("sitemaps"))
+            .select("host", "_tagged", "sitemaps",
+                    _chosen_gids(F.col("_tagged"), agent).alias("_chosen"))
+            .select(
+                "host",
+                # F.get is null-safe out of bounds (element_at errors under
+                # ANSI); try_cast nulls non-numeric delay values
+                F.get(
+                    F.transform(delays(F.col("_chosen"), F.col("_tagged")),
+                                lambda r: r["pattern"]),
+                    0,
+                ).try_cast("double").alias("crawl_delay"),
+                "sitemaps"))
 
 
 def _pattern_regex(pattern: Column) -> Column:

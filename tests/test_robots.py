@@ -150,3 +150,37 @@ def test_robots_filter_never_shuffles_pages_on_url(spark):
     assert "hashpartitioning(_u" not in plan
     # allowed: the robots-side rule fold + (at most) a host-keyed join
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_robots_host_meta_crawl_delay_and_sitemaps(spark):
+    """Crawl-delay follows the winning UA group (exact beats *, first
+    value wins, junk -> null); Sitemap URLs are group-independent."""
+    from pdfextractor_spark.ops.robots import parse_robots, robots_host_meta
+
+    txt_a = ("User-agent: *\nCrawl-delay: 10\nDisallow: /tmp/\n\n"
+             "User-agent: trainingbot\nCrawl-delay: 2.5\nDisallow: /private/\n"
+             "Sitemap: https://a.example/sitemap.xml\n"
+             "Sitemap: https://a.example/news.xml\n")
+    txt_b = "User-agent: *\nCrawl-delay: soon\nDisallow: /x/\n"
+    txt_c = "User-agent: *\nDisallow: /y/\n"
+    robots = spark.createDataFrame(
+        [("a.example", txt_a), ("b.example", txt_b), ("c.example", txt_c)],
+        "host string, robots_txt string")
+
+    meta = {r["host"]: r for r in
+            robots_host_meta(robots, agent="trainingbot").collect()}
+    assert meta["a.example"]["crawl_delay"] == 2.5  # exact group beats *
+    assert meta["a.example"]["sitemaps"] == [
+        "https://a.example/sitemap.xml", "https://a.example/news.xml"]
+    assert meta["b.example"]["crawl_delay"] is None  # non-numeric
+    assert meta["c.example"]["crawl_delay"] is None  # absent
+    assert meta["b.example"]["sitemaps"] == []
+
+    # the crawl-delay pseudo-rules never leak into the verdict rules
+    rules = parse_robots(robots, agent="trainingbot").collect()
+    assert all(r["allow"] in (True, False) for r in rules)
+    assert all(not r["pattern"].replace(".", "").isdigit() for r in rules)
+    # map-only: no shuffle, no python
+    plan = robots_host_meta(robots)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
