@@ -1450,6 +1450,21 @@ def q_host_boilerplate(spark, sf_dir):
             .orderBy("host_id"))
 
 
+_BM25_QUERY = "vector hash join"
+
+
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 lexical ranking over the documents table (ops/search.py)
+    for a fixed 3-term query — the retrieval primitive next to the ANN
+    family. Map-side term frequencies, one broadcast stats row, the doc
+    table is never hash-partitioned; full SQL oracle recomputes the same
+    published formula (idf = ln((N-df+.5)/(df+.5)+1))."""
+    from pdfextractor_spark.ops.search import bm25_search
+
+    return bm25_search(_t(spark, sf_dir, "documents"), _BM25_QUERY,
+                       id_col="doc_id", text_col="text", topk=25)
+
+
 def q_page_meta(spark, sf_dir):
     """Dormant: HTML head-metadata extraction (ops/pagemeta.py) over pages
     synthesized deterministically from doc_id — title always present (with
@@ -1513,13 +1528,47 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_stats": q_semdedup_stats,
         "host_boilerplate": q_host_boilerplate,
         "page_meta": q_page_meta,
+        "bm25_search": q_bm25_search,
     }
 
 
 def extra_oracle_sql() -> dict[str, str]:
     """DuckDB twins for the dormant queries (webclean_corpus is rows-only
     by nature — composed pandas/HOF semantics)."""
+    terms = _BM25_QUERY.split()
+    tf_defs = ",\n                     ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_defs = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms)))
+    score_terms = " + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN ln((n - df_{i} + 0.5)/(df_{i} + 0.5) + 1.0)"
+        f" * tf_{i} * 2.2 / (tf_{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        f" ELSE 0.0 END" for i in range(len(terms)))
+    matched_terms = " + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms)))
+    bm25_sql = f"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id, len(toks) AS dl,
+                     {tf_defs}
+              FROM t),
+            s AS (SELECT COUNT(*) AS n, avg(dl) AS avgdl, {df_defs} FROM f),
+            scored AS (
+              SELECT doc_id,
+                     round({score_terms}, 4) AS score,
+                     CAST({matched_terms} AS INT) AS matched_terms
+              FROM f, s)
+            SELECT doc_id, score, matched_terms FROM scored
+            WHERE matched_terms > 0
+            ORDER BY score DESC, doc_id LIMIT 25
+        """
     return {
+        "bm25_search": bm25_sql,
         "host_boilerplate": """
             -- analytic recomputation: the nav line is in 100% of each
             -- host's docs (dropped where the host has >= 2 docs); the
