@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["ngram_hashes", "contamination_check", "redact_pii", "PII_PATTERNS",
            "c4_clean", "dedup_lines", "dedup_spans", "strip_host_boilerplate",
-           "normalize_for_hash"]
+           "normalize_for_hash", "normalize_unicode"]
 
 # Latin-1 Supplement + Latin Extended-A accent fold as (accented, base)
 # pairs — applied AFTER lower(), so only lowercase forms are listed. A
@@ -466,3 +466,45 @@ def strip_host_boilerplate(docs: DataFrame, doc_id: str = "doc_id",
             .withColumn(text_col, rebuilt)
             .withColumn("host_boilerplate_lines_dropped", F.size(dropset))
             .drop("_drop_pos"))
+
+
+def normalize_unicode(docs: DataFrame, text_col: str = "text",
+                      form: str = "NFC") -> DataFrame:
+    """Rewrite ``text_col`` to a canonical Unicode normal form (default
+    NFC, the CCNet preprocessing convention; NFKC folds compatibility
+    forms — full-width ASCII, ligatures — and is what most tokenizer
+    pipelines feed). A crawl mixes precomposed and decomposed text for
+    the SAME rendered string (e.g. 'café' as U+00E9 vs e+U+0301), which
+    silently splits exact-dedup groups and changes n-gram hashes.
+
+    Spark has no native normalizer, so this is an Arrow-batched UDF by
+    necessity — map-only, C-speed ``unicodedata.normalize`` per row,
+    with an ``is_normalized`` quick check so already-NFC text (the vast
+    majority) costs one scan, zero allocations. Adds
+    ``unicode_changed`` marking rows the rewrite actually touched."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normal form {form!r}")
+
+    @pandas_udf("struct<text string, changed boolean>")
+    def _norm(texts: pd.Series) -> pd.DataFrame:
+        is_norm = unicodedata.is_normalized
+        norm = unicodedata.normalize
+        out_t, out_c = [], []
+        for t in texts:
+            if t is None or is_norm(form, t):
+                out_t.append(t)
+                out_c.append(False)
+            else:
+                out_t.append(norm(form, t))
+                out_c.append(True)
+        return pd.DataFrame({"text": out_t, "changed": out_c})
+
+    res = _norm(F.col(text_col))
+    return (docs.withColumn("_un", res)
+            .withColumn(text_col, F.col("_un.text"))
+            .withColumn("unicode_changed", F.col("_un.changed"))
+            .drop("_un"))

@@ -402,3 +402,40 @@ def test_compression_ratio_signal(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_normalize_unicode_nfc_and_nfkc(spark):
+    import unicodedata
+
+    decomposed = "café and more prose"        # e + combining acute
+    precomposed = "café and more prose"             # U+00E9
+    fullwidth = "ＦＵＬＬｗｉｄｔｈ ５１２ ﬁle"      # NFKC folds these
+    from pdfextractor_spark.ops.cleaning import normalize_unicode
+
+    docs = spark.createDataFrame(
+        [("a", decomposed), ("b", precomposed), ("c", fullwidth), ("d", None)],
+        "id string, text string")
+    nfc = {r["id"]: r for r in normalize_unicode(docs).collect()}
+    assert nfc["a"]["text"] == precomposed and nfc["a"]["unicode_changed"]
+    assert nfc["b"]["text"] == precomposed and not nfc["b"]["unicode_changed"]
+    # NFC leaves compatibility forms alone
+    assert nfc["c"]["text"] == fullwidth and not nfc["c"]["unicode_changed"]
+    assert nfc["d"]["text"] is None and not nfc["d"]["unicode_changed"]
+
+    nfkc = {r["id"]: r for r in normalize_unicode(docs, form="NFKC").collect()}
+    assert nfkc["c"]["text"] == unicodedata.normalize("NFKC", fullwidth)
+    assert "FULLwidth 512 file" == nfkc["c"]["text"]
+    assert nfkc["c"]["unicode_changed"]
+
+    # exact-dedup motivation: the two spellings hash together post-NFC
+    texts = {r["text"] for r in normalize_unicode(docs).collect()
+             if r["id"] in ("a", "b")}
+    assert len(texts) == 1
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        normalize_unicode(docs, form="NFX")
+    plan = normalize_unicode(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and plan.count("ArrowEvalPython") == 1
