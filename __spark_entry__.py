@@ -1535,7 +1535,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def extra_oracle_sql() -> dict[str, str]:
     """DuckDB twins for the dormant queries (webclean_corpus is rows-only
     by nature — composed pandas/HOF semantics)."""
-    terms = _BM25_QUERY.split()
+    # the ENGINE's analyzer, not a whitespace split: lowercase + regex
+    # tokenize + dedup — a divergent oracle-side analysis would silently
+    # fake red/green parity if the query constant ever changes
+    from pdfextractor_spark.ops.search import tokenize_query as _tq
+    terms = _tq(_BM25_QUERY)
     tf_defs = ",\n                     ".join(
         f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
         for i, t in enumerate(terms))

@@ -198,9 +198,13 @@ def robots_host_meta(robots: DataFrame, agent: str = "trainingbot",
     sitemaps = F.filter(
         F.transform(
             F.split(txt, r"\r?\n"),
+            # same '#'-comment strip every other directive gets
             lambda l: F.when(
-                F.lower(F.trim(l)).rlike(r"^sitemap\s*:"),
-                F.trim(F.regexp_replace(F.trim(l), r"(?i)^sitemap\s*:", "")),
+                F.lower(F.trim(F.regexp_replace(l, "#.*$", "")))
+                .rlike(r"^sitemap\s*:"),
+                F.trim(F.regexp_replace(
+                    F.trim(F.regexp_replace(l, "#.*$", "")),
+                    r"(?i)^sitemap\s*:", "")),
             ),
         ),
         lambda v: v.isNotNull() & (v != ""),

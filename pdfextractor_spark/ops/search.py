@@ -52,8 +52,21 @@ def bm25_search(docs: DataFrame, query: str, *, id_col: str = "doc_id",
     id asc; ``topk=None`` returns every matching doc (score > 0)."""
     terms = tokenize_query(query)
     if not terms:
+        # empty TYPED frame with the id column's REAL type (a string
+        # hardcode would make the empty-query schema diverge from the
+        # scored schema and break unions/appends on only that path)
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        id_field = docs.schema[id_col]
         return docs.sparkSession.createDataFrame(
-            [], f"{id_col} string, score double, matched_terms int")
+            [], StructType([StructField(id_col, id_field.dataType),
+                            StructField("score", DoubleType()),
+                            StructField("matched_terms", IntegerType())]))
     # null text = empty doc: it still counts toward N and avgdl (matching
     # any offline twin that sees the row), it just cannot match terms
     toks = F.expr(
@@ -89,4 +102,4 @@ def bm25_search(docs: DataFrame, query: str, *, id_col: str = "doc_id",
            .where(F.col("matched_terms") > 0)
            .select(id_col, "score", "matched_terms")
            .orderBy(F.col("score").desc(), F.col(id_col)))
-    return out.limit(topk) if topk else out
+    return out.limit(topk) if topk is not None else out

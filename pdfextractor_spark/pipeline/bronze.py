@@ -106,6 +106,10 @@ def _bronze_batches_impl(batches: Iterator[pd.DataFrame],
 
 def extract_bronze(pages_df: DataFrame, num_partitions: int | None = None,
                    html_mode: str = "default") -> DataFrame:
+    if html_mode not in ("default", "density"):
+        # fail fast: a typo silently running the wrong classifier over a
+        # 100 TB corpus is far worse than an error at plan time
+        raise ValueError(f"unknown html_mode {html_mode!r} (default|density)")
     from .arrowtune import autosize_arrow_batch
 
     spark = pages_df.sparkSession

@@ -165,7 +165,25 @@ def label_to_codec(label: str | bytes | None) -> tuple[str, str] | None:
     return _LABELS.get(label.strip(" \t\n\r\f").lower())
 
 
-_COMMENT_RE = re.compile(rb"<!--.*?-->", re.DOTALL)
+def _strip_comments(head: bytes) -> bytes:
+    """The spec's prescan comment consumption: from ``<!--``, everything
+    up to and including the first ``-->`` whose dashes may OVERLAP the
+    opener (so the degenerate ``<!-->`` and ``<!--->`` are complete
+    comments, as in browsers); an unterminated ``<!--`` swallows the
+    rest of the window."""
+    out = []
+    pos = 0
+    while True:
+        start = head.find(b"<!--", pos)
+        if start == -1:
+            out.append(head[pos:])
+            break
+        out.append(head[pos:start])
+        end = head.find(b"-->", start + 2)  # +2: opener dashes may overlap
+        if end == -1:
+            break  # unterminated: rest of the window is comment
+        pos = end + 3
+    return b"".join(out)
 
 
 def _prescan_meta(head: bytes) -> tuple[str, str] | None:
@@ -174,12 +192,8 @@ def _prescan_meta(head: bytes) -> tuple[str, str] | None:
     with a recognized label wins, in document order. Comments are
     skipped first (the spec's prescan consumes ``<!-- -->`` before
     looking for metas — a commented-out legacy meta must not hijack
-    the decode), and an unterminated ``<!--`` swallows the rest of the
-    window."""
-    head = _COMMENT_RE.sub(b"", head)
-    open_comment = head.find(b"<!--")
-    if open_comment != -1:
-        head = head[:open_comment]
+    the decode)."""
+    head = _strip_comments(head)
     for m in _META_RE.finditer(head):
         tag = m.group(0)
         charset = http_equiv = content = None

@@ -56,12 +56,16 @@ def _squash_ws(s: str) -> str:
 
 
 class _Block:
-    __slots__ = ("tag", "chars", "link_chars", "_text", "_text_nchunks")
+    __slots__ = ("tag", "chars", "link_chars", "opened", "_text",
+                 "_text_nchunks")
 
     def __init__(self, tag: str):
         self.tag = tag
         self.chars: list[str] = []
         self.link_chars = 0
+        self.opened = 0  # document OPEN order (set at push; close order
+        #                  differs for nested blocks — density mode sorts
+        #                  on this so neighbor context is document order)
         self._text: str | None = None
         self._text_nchunks = -1
 
@@ -97,7 +101,9 @@ class _ContentParser(HTMLParser):
             self.block_stack[-1].chars.append(" ")
         if tag in _BLOCK_TAGS:
             self._order += 1
-            self.block_stack.append(_Block(tag))
+            blk = _Block(tag)
+            blk.opened = self._order
+            self.block_stack.append(blk)
 
     def handle_startendtag(self, tag, attrs):
         if tag.lower() == "br" and self.block_stack and not self.drop_depth:
@@ -256,9 +262,11 @@ def _fast_feed(parser: _ContentParser, html: str) -> None:
 
 
 def _parse_blocks(html: str) -> list[_Block]:
-    """Document-order text blocks (fast tokenizer with stdlib fallback,
-    unclosed blocks flushed) — the shared front half of both extraction
-    modes."""
+    """Text blocks in CLOSE order (the default mode's emission order;
+    each block's ``opened`` carries document open order for consumers
+    that need true document sequence), fast tokenizer with stdlib
+    fallback, unclosed blocks flushed — the shared front half of both
+    extraction modes."""
     parser = _ContentParser()
     try:
         _fast_feed(parser, html)
@@ -311,7 +319,12 @@ def extract_html_text_density(html: str) -> str:
     paragraphs; the default mode favors precision. Both share the same
     tokenizer/block builder, so plans and failure policy are identical.
     """
-    blocks = [b for b in _parse_blocks(html) if b.text()]
+    # neighbor context must be DOCUMENT order: _parse_blocks returns
+    # close order, which inverts nested structures (a container with
+    # direct text closes after its children and would see the wrong
+    # prev/next)
+    blocks = sorted((b for b in _parse_blocks(html) if b.text()),
+                    key=lambda b: b.opened)
 
     def words(i: int) -> int:
         if i < 0 or i >= len(blocks):

@@ -142,6 +142,12 @@ def test_prescan_skips_comments():
     # comments BETWEEN metas don't break the scan
     html3 = '<!-- x --><meta charset="koi8-r">'
     assert sniff_encoding(_page(html3))[1] == "koi8-r"
+    # degenerate comments <!--> and <!---> are COMPLETE per the spec
+    # (closing dashes may overlap the opener) — they must not swallow
+    # the following meta
+    for degen in ("<!-->", "<!--->"):
+        assert sniff_encoding(_page(degen + '<meta charset="koi8-r">'))[1] \
+            == "koi8-r", degen
 
 
 def test_cjk_windows_superset_codecs():
@@ -276,3 +282,14 @@ def test_sniff_decode_never_raises_on_garbage():
         payload = bytes(rng.randrange(256) for _ in range(rng.randrange(80)))
         text, enc = sniff_decode(payload)
         assert isinstance(text, str) and isinstance(enc, str)
+
+
+def test_extract_bronze_rejects_unknown_html_mode(spark):
+    import pytest
+
+    from pdfextractor_spark.pipeline.bronze import extract_bronze
+    from pdfextractor_spark.pipeline.schema import PAGES_SCHEMA
+
+    df = spark.createDataFrame([], schema=PAGES_SCHEMA)
+    with pytest.raises(ValueError, match="html_mode"):
+        extract_bronze(df, html_mode="denisty")

@@ -175,6 +175,13 @@ def test_robots_host_meta_crawl_delay_and_sitemaps(spark):
     assert meta["b.example"]["crawl_delay"] is None  # non-numeric
     assert meta["c.example"]["crawl_delay"] is None  # absent
     assert meta["b.example"]["sitemaps"] == []
+    # trailing #-comments are stripped like every other directive
+    commented = ("User-agent: *\nDisallow: /x/\n"
+                 "Sitemap: https://d.example/s.xml # primary index\n")
+    dmeta = robots_host_meta(
+        spark.createDataFrame([("d.example", commented)],
+                              "host string, robots_txt string")).first()
+    assert dmeta["sitemaps"] == ["https://d.example/s.xml"]
 
     # the crawl-delay pseudo-rules never leak into the verdict rules
     rules = parse_robots(robots, agent="trainingbot").collect()

@@ -133,6 +133,21 @@ def test_html_density_mode_numwords_rules():
     assert medium in extract_html_text_density(html4)
 
 
+def test_html_density_mode_nested_container_document_order():
+    """Neighbor context is DOCUMENT order, not block-close order: a
+    container's direct text (caption) is followed by the long nav list
+    it introduces, so next.numWords rescues it — close order would have
+    made the linky list its PREV and dropped it."""
+    from pdfextractor_spark.sources.html import extract_html_text_density
+
+    caption = "caption of ten words describing the linked chart index below"
+    nav_words = " ".join(f"navitem{k}" for k in range(20))
+    html = (f"<html><body><div>{caption} <ul><li>{nav_words}</li></ul></div>"
+            "</body></html>")
+    dense = extract_html_text_density(html)
+    assert caption in dense
+
+
 def test_html_density_mode_through_bronze(spark):
     from pdfextractor_spark.pipeline.bronze import extract_bronze
     from pdfextractor_spark.pipeline.schema import PAGES_SCHEMA
