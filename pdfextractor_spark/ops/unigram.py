@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["train_unigram", "encode_unigram", "apply_unigram",
-           "unigram_from_histogram"]
+           "sample_unigram", "unigram_from_histogram"]
 
 _NEG_INF = float("-inf")
 
@@ -219,6 +219,65 @@ def encode_unigram(word: str, logp: dict, max_piece_len: int = 8,
     toks.reverse()
     if cache is not None:
         cache[word] = tuple(toks)
+    return toks
+
+
+def sample_unigram(word: str, logp: dict, max_piece_len: int = 8,
+                   alpha: float = 1.0, seed: int = 7) -> list:
+    """Sample ONE segmentation from the lattice posterior — subword
+    regularization (Kudo 2018 §3: training-time tokenization noise that
+    makes the downstream model robust to segmentation ambiguity).
+    Forward-filtering backward-sampling: forward alphas accumulate
+    ``(lp * alpha)``-tempered path mass, then pieces are drawn backward
+    from the exact conditional at each boundary. ``alpha`` is the
+    inverse temperature: 0 = uniform over segmentations, 1 = the
+    unigram posterior, large = approaches Viterbi.
+
+    Deterministic: the RNG is seeded from ``(word, seed)`` via blake2b,
+    so the same (word, seed) samples the same segmentation on every
+    executor — reproducible corpora, no partitioning dependence."""
+    import hashlib
+    import random
+
+    n = len(word)
+    oov_lp = (min(logp.values(), default=0.0) - 10.0)
+    spans = [[] for _ in range(n + 1)]  # end -> [(start, lp)]
+    for i in range(n):
+        for j in range(i + 1, min(n, i + max_piece_len) + 1):
+            lp = logp.get(word[i:j])
+            if lp is None and j - i == 1:
+                lp = oov_lp  # single-char fallback, as in encode_unigram
+            if lp is not None and lp != _NEG_INF:
+                spans[j].append((i, lp * alpha))
+    alpha_f = [_NEG_INF] * (n + 1)
+    alpha_f[0] = 0.0
+    for j in range(1, n + 1):
+        vals = [alpha_f[i] + lp for i, lp in spans[j] if alpha_f[i] != _NEG_INF]
+        if vals:
+            alpha_f[j] = _logsumexp(vals)
+    if alpha_f[n] == _NEG_INF:
+        return [word]  # unsegmentable only if n == 0 pathology
+    rng = random.Random(int.from_bytes(
+        hashlib.blake2b(word.encode("utf-8"), digest_size=8,
+                        key=seed.to_bytes(8, "little")).digest(), "little"))
+    toks = []
+    j = n
+    while j > 0:
+        cands = [(i, alpha_f[i] + lp) for i, lp in spans[j]
+                 if alpha_f[i] != _NEG_INF]
+        m = max(v for _i, v in cands)
+        weights = [math.exp(v - m) for _i, v in cands]
+        pick = rng.random() * sum(weights)
+        acc = 0.0
+        chosen = cands[-1][0]
+        for (i, _v), w in zip(cands, weights):
+            acc += w
+            if pick <= acc:
+                chosen = i
+                break
+        toks.append(word[chosen:j])
+        j = chosen
+    toks.reverse()
     return toks
 
 

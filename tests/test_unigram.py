@@ -8,6 +8,7 @@ import math
 from pdfextractor_spark.ops.unigram import (
     _e_step,
     encode_unigram,
+    sample_unigram,
     train_unigram,
     unigram_from_histogram,
 )
@@ -84,3 +85,34 @@ def test_apply_unigram_counts_and_plan(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_sample_unigram_subword_regularization():
+    """Forward-filtering backward-sampling: valid segmentations, the
+    right marginal at alpha=1 (P([ab]) = 3/4 on the uniform-vocab 'ab'
+    lattice), determinism per (word, seed), Viterbi limit at high alpha."""
+    import collections
+
+    lp = math.log(1.0 / 3.0)
+    logp = {"a": lp, "b": lp, "ab": lp}
+    counts: collections.Counter = collections.Counter()
+    for seed in range(4000):
+        toks = sample_unigram("ab", logp, alpha=1.0, seed=seed)
+        assert "".join(toks) == "ab"
+        counts[tuple(toks)] += 1
+    share_ab = counts[("ab",)] / 4000
+    assert abs(share_ab - 0.75) < 0.03  # exact posterior is 3/4
+    # determinism: same (word, seed) -> same sample, on any call
+    assert sample_unigram("ab", logp, seed=11) == \
+        sample_unigram("ab", logp, seed=11)
+    # high alpha concentrates on the Viterbi path
+    hi = [tuple(sample_unigram("ab", logp, alpha=50.0, seed=s))
+          for s in range(50)]
+    assert set(hi) == {("ab",)}
+    # alpha=0: uniform over the two segmentations
+    zero = collections.Counter(
+        tuple(sample_unigram("ab", logp, alpha=0.0, seed=s))
+        for s in range(4000))
+    assert abs(zero[("ab",)] / 4000 - 0.5) < 0.03
+    # OOV chars still segmentable
+    assert "".join(sample_unigram("axb", logp, seed=3)) == "axb"
