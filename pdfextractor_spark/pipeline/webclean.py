@@ -67,7 +67,8 @@ def _perdoc_stages(pages: DataFrame, *, extract: bool | None, url_col: str,
                    ts_col: str, text_col: str, robots: tuple | None,
                    badwords: list[str] | None, filter_rows: bool,
                    canonical_hint_col: str | None = None,
-                   extract_mode: str = "default") -> DataFrame:
+                   extract_mode: str = "default",
+                   unicode_form: str | None = None) -> DataFrame:
     """Stages 1-4: the PER-DOCUMENT prefix of the pipeline (url dedup,
     robots gate, extraction, C4 cleaning, Gopher repetition). Every
     transformation here is keyed by the document row, which is what makes
@@ -100,6 +101,12 @@ def _perdoc_stages(pages: DataFrame, *, extract: bool | None, url_col: str,
         df = robots_filter(df, robots[0], robots[1], url_col=url_col)
     from ..ops.cleaning import c4_clean
     from ..ops.textstats import with_repetition
+    if unicode_form is not None:
+        # FIRST among text rewrites: every downstream hash (exact dedup,
+        # line/span n-grams, decontamination) must see one spelling per
+        # rendered string
+        from ..ops.cleaning import normalize_unicode
+        df = normalize_unicode(df, text_col=text_col, form=unicode_form)
     df = c4_clean(df, text_col=text_col, badwords=badwords)
     # repetition is a judgment on the page AS CRAWLED — measure it before
     # line-dedup collapses a spam page's repeats into one innocuous line
@@ -110,6 +117,7 @@ def prepare_training_corpus(
     pages: DataFrame, *,
     extract: bool | None = None,
     extract_mode: str = "default",
+    unicode_form: str | None = None,
     url_col: str = "url", ts_col: str = "warc_ts", text_col: str = "text",
     canonical_hint_col: str | None = None,
     benchmark: DataFrame | None = None,
@@ -134,7 +142,12 @@ def prepare_training_corpus(
     ``extract=None`` auto-detects: the bronze extraction UDF runs when an
     ``html`` column is present. ``extract_mode`` picks the boilerplate
     classifier: ``default`` (link-density + length) or ``density``
-    (boilerpipe NumWordsRules — context-aware, recall-leaning). ``benchmark`` is a DataFrame with a text
+    (boilerpipe NumWordsRules — context-aware, recall-leaning).
+    ``unicode_form`` (e.g. ``"NFC"``) canonicalizes the extracted text
+    FIRST among the text rewrites (``ops.cleaning.normalize_unicode``),
+    so every downstream hash — exact dedup, line/span dedup n-grams,
+    decontamination — sees one spelling per rendered string; ``None``
+    (default) skips the stage. ``benchmark`` is a DataFrame with a text
     column (eval suite) for decontamination; ``None`` skips that stage.
     ``robots`` is ``(robots_df, agent)`` — a (host, robots_txt) table +
     the crawler's user-agent; pages the agent may not fetch get
@@ -201,7 +214,8 @@ def prepare_training_corpus(
                         ts_col=ts_col, text_col=text_col, robots=robots,
                         badwords=badwords, filter_rows=filter_rows,
                         canonical_hint_col=canonical_hint_col,
-                        extract_mode=extract_mode)
+                        extract_mode=extract_mode,
+                        unicode_form=unicode_form)
     df = _flag_stages(df, url_col=url_col, text_col=text_col,
                       benchmark=benchmark, robots_flagged=(
                           robots is not None and not filter_rows),

@@ -445,3 +445,22 @@ def test_compression_band_stage_in_corpus_prep(spark):
         _pages(spark, rows), dup_line_min_count=None, filter_rows=False)
     assert "compression_ratio" not in plain.columns
     assert prep_report(plain).first()["dropped_compression"] == 0
+
+
+def test_unicode_form_stage_unifies_dedup_groups(spark):
+    """unicode_form='NFC' runs before any hash: the decomposed and
+    precomposed spellings of one rendered string collapse into one
+    exact-dedup group (without the stage they both survive)."""
+    from pdfextractor_spark.pipeline.webclean import prepare_training_corpus
+
+    deco = ("café " + _GOOD)          # e + combining acute
+    prec = ("café " + _GOOD)           # U+00E9
+    rows = [("https://a.example/deco", _TS, None, deco, "en"),
+            ("https://a.example/prec", _TS, None, prec, "en")]
+    out = prepare_training_corpus(
+        _pages(spark, rows), dup_line_min_count=None, unicode_form="NFC")
+    assert out.count() == 1  # one spelling -> one exact-dedup survivor
+    assert "unicode_changed" in out.columns
+    plain = prepare_training_corpus(
+        _pages(spark, rows), dup_line_min_count=None)
+    assert plain.count() == 2  # both spellings survive without the stage
