@@ -293,3 +293,42 @@ def test_extract_bronze_rejects_unknown_html_mode(spark):
     df = spark.createDataFrame([], schema=PAGES_SCHEMA)
     with pytest.raises(ValueError, match="html_mode"):
         extract_bronze(df, html_mode="denisty")
+
+
+def test_every_label_in_table_decodes_garbage_safely():
+    """Property sweep: EVERY label in the WHATWG table yields a usable
+    decode path — random byte payloads with that meta decode to str
+    without raising, and sniffing reports the canonical name."""
+    import random
+
+    from pdfextractor_spark.sources.encoding import _LABELS
+
+    rng = random.Random(99)
+    seen_canon = set()
+    for label, (py, canon) in sorted(_LABELS.items()):
+        payload = (f'<html><head><meta charset="{label}"></head><body>'
+                   .encode("ascii")
+                   + bytes(rng.randrange(256) for _ in range(64)))
+        text, enc = sniff_decode(payload)
+        assert isinstance(text, str), label
+        # utf-16 labels in meta rewrite to utf-8; x-user-defined to 1252
+        expect = ("utf-8" if canon in ("utf-16le", "utf-16be")
+                  else "windows-1252" if canon == "x-user-defined"
+                  else canon)
+        assert enc == expect, (label, enc)
+        seen_canon.add(canon)
+    # the table actually spans the WHATWG encoding set
+    assert len(seen_canon) >= 35
+
+
+def test_strip_comments_fuzz_never_breaks_prescan():
+    import random
+
+    rng = random.Random(5)
+    pieces = ["<!--", "-->", "<!-->", "<!--->", "x", ">", "<", "-",
+              '<meta charset="koi8-r">', "<!-- c -->"]
+    for _ in range(300):
+        blob = "".join(rng.choice(pieces)
+                       for _ in range(rng.randrange(12))).encode()
+        got = sniff_encoding(blob)  # must never raise
+        assert got[1] in ("utf-8", "koi8-r", "windows-1252")
