@@ -195,16 +195,19 @@ def robots_host_meta(robots: DataFrame, agent: str = "trainingbot",
     crawl scheduler joins this against its frontier by host."""
     txt = F.coalesce(F.col(txt_col), F.lit(""))
     tagged = _tag_groups(txt)
+    # staged: strip '#'-comments ONCE per line (same treatment every
+    # other directive gets), then match/extract over the stripped line —
+    # HOFs get no common-subexpression elimination, so nesting the strip
+    # into both the predicate and the value would run the regex twice
+    stripped = F.transform(
+        F.split(txt, r"\r?\n"),
+        lambda l: F.trim(F.regexp_replace(l, "#.*$", "")))
     sitemaps = F.filter(
         F.transform(
-            F.split(txt, r"\r?\n"),
-            # same '#'-comment strip every other directive gets
+            stripped,
             lambda l: F.when(
-                F.lower(F.trim(F.regexp_replace(l, "#.*$", "")))
-                .rlike(r"^sitemap\s*:"),
-                F.trim(F.regexp_replace(
-                    F.trim(F.regexp_replace(l, "#.*$", "")),
-                    r"(?i)^sitemap\s*:", "")),
+                F.lower(l).rlike(r"^sitemap\s*:"),
+                F.trim(F.regexp_replace(l, r"(?i)^sitemap\s*:", "")),
             ),
         ),
         lambda v: v.isNotNull() & (v != ""),

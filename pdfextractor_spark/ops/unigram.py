@@ -39,6 +39,26 @@ __all__ = ["train_unigram", "encode_unigram", "apply_unigram",
            "sample_unigram", "unigram_from_histogram"]
 
 _NEG_INF = float("-inf")
+_MASK64 = (1 << 64) - 1
+
+
+def _build_spans(word: str, logp: dict, max_piece_len: int,
+                 oov_lp: float | None = None) -> list:
+    """Shared lattice builder: ``spans[end] = [(start, piece, lp)]`` for
+    every vocab piece in the word (plus the single-char OOV fallback at
+    ``oov_lp`` when given — the encode/sample paths use it so unknown
+    characters never make a word unsegmentable; the E-step does not)."""
+    n = len(word)
+    spans: list = [[] for _ in range(n + 1)]
+    for i in range(n):
+        for j in range(i + 1, min(n, i + max_piece_len) + 1):
+            piece = word[i:j]
+            lp = logp.get(piece)
+            if lp is None and oov_lp is not None and j - i == 1:
+                lp = oov_lp
+            if lp is not None and lp != _NEG_INF:
+                spans[j].append((i, piece, lp))
+    return spans
 
 
 def _seed_vocab(histogram: list, max_piece_len: int, seed_size: int) -> dict:
@@ -82,14 +102,7 @@ def _e_step(histogram: list, logp: dict, max_piece_len: int) -> dict:
     expected: Counter = Counter()
     for word, freq in histogram:
         n = len(word)
-        # spans present in the vocab, by end position
-        spans = [[] for _ in range(n + 1)]  # end -> [(start, piece, lp)]
-        for i in range(n):
-            for j in range(i + 1, min(n, i + max_piece_len) + 1):
-                piece = word[i:j]
-                lp = logp.get(piece)
-                if lp is not None and lp != _NEG_INF:
-                    spans[j].append((i, piece, lp))
+        spans = _build_spans(word, logp, max_piece_len)
         alpha = [_NEG_INF] * (n + 1)
         alpha[0] = 0.0
         for j in range(1, n + 1):
@@ -196,16 +209,11 @@ def encode_unigram(word: str, logp: dict, max_piece_len: int = 8,
     back: list = [None] * (n + 1)
     best[0] = 0.0
     oov_lp = min(logp.values(), default=0.0) - 10.0  # below any real piece
+    spans = _build_spans(word, logp, max_piece_len, oov_lp)
     for j in range(1, n + 1):
-        for i in range(max(0, j - max_piece_len), j):
+        for i, _piece, lp in spans[j]:
             if best[i] == _NEG_INF:
                 continue
-            piece = word[i:j]
-            lp = logp.get(piece)
-            if lp is None:
-                if j - i > 1:
-                    continue
-                lp = oov_lp  # unknown single char: fallback, never stuck
             v = best[i] + lp
             if v > best[j]:
                 best[j] = v
@@ -241,14 +249,8 @@ def sample_unigram(word: str, logp: dict, max_piece_len: int = 8,
 
     n = len(word)
     oov_lp = (min(logp.values(), default=0.0) - 10.0)
-    spans = [[] for _ in range(n + 1)]  # end -> [(start, lp)]
-    for i in range(n):
-        for j in range(i + 1, min(n, i + max_piece_len) + 1):
-            lp = logp.get(word[i:j])
-            if lp is None and j - i == 1:
-                lp = oov_lp  # single-char fallback, as in encode_unigram
-            if lp is not None and lp != _NEG_INF:
-                spans[j].append((i, lp * alpha))
+    spans = [[(i, lp * alpha) for i, _piece, lp in row]
+             for row in _build_spans(word, logp, max_piece_len, oov_lp)]
     alpha_f = [_NEG_INF] * (n + 1)
     alpha_f[0] = 0.0
     for j in range(1, n + 1):
@@ -257,9 +259,12 @@ def sample_unigram(word: str, logp: dict, max_piece_len: int = 8,
             alpha_f[j] = _logsumexp(vals)
     if alpha_f[n] == _NEG_INF:
         return [word]  # unsegmentable only if n == 0 pathology
+    # mask to unsigned 64-bit: callers deriving seeds from hash()/mixes
+    # pass negative ints half the time, and to_bytes would raise
     rng = random.Random(int.from_bytes(
         hashlib.blake2b(word.encode("utf-8"), digest_size=8,
-                        key=seed.to_bytes(8, "little")).digest(), "little"))
+                        key=(seed & _MASK64).to_bytes(8, "little")).digest(),
+        "little"))
     toks = []
     j = n
     while j > 0:

@@ -110,6 +110,8 @@ def run_corpus_prep(
     spark: SparkSession, pages: DataFrame, out_dir: str, *,
     resume: bool = True,
     extract: bool | None = None,
+    extract_mode: str = "default",
+    unicode_form: str | None = None,
     url_col: str = "url", ts_col: str = "warc_ts", text_col: str = "text",
     robots: tuple | None = None,
     benchmark: DataFrame | None = None,
@@ -147,10 +149,18 @@ def run_corpus_prep(
         return _perdoc_stages(df, extract=extract, url_col=url_col,
                               ts_col=ts_col, text_col=text_col,
                               robots=robots, badwords=badwords,
-                              filter_rows=True)
+                              filter_rows=True, extract_mode=extract_mode,
+                              unicode_form=unicode_form)
 
     # --- phase 1: per-document prefix, url-resumable ----------------------
-    if resume and _exists(spark, cleaned_ref):
+    # config gate BEFORE the url anti-join: appending rows extracted under
+    # a different classifier/normal form to an old checkpoint would mix
+    # semantics silently — a changed config forces a full rebuild
+    clean_fp = _config_fp(extract=extract, extract_mode=extract_mode,
+                          unicode_form=unicode_form,
+                          robots=robots is not None, badwords=badwords)
+    clean_cfg_ok = _meta_current(spark, cleaned_path + "_cfg", 0, clean_fp)
+    if resume and clean_cfg_ok and _exists(spark, cleaned_ref):
         done = read_checkpoint(spark, cleaned_ref)
         todo = resume_remaining(pages, done, key=url_col)
         n_todo = todo.count()
@@ -160,6 +170,7 @@ def run_corpus_prep(
     else:
         write_stage(_perdoc(pages), cleaned_path, "cleaned",
                     bytes_col=text_col)
+        _write_meta(spark, cleaned_path + "_cfg", 0, clean_fp)
         summary["cleaned_appended"] = -1  # full build
     cleaned = read_checkpoint(spark, cleaned_ref)
     n_cleaned = cleaned.count()

@@ -170,7 +170,10 @@ def _strip_comments(head: bytes) -> bytes:
     up to and including the first ``-->`` whose dashes may OVERLAP the
     opener (so the degenerate ``<!-->`` and ``<!--->`` are complete
     comments, as in browsers); an unterminated ``<!--`` swallows the
-    rest of the window."""
+    rest of the window. Each comment is replaced by ONE SPACE, not
+    removed: the prescan skips comments positionally and never joins the
+    text around them, so splicing could fabricate a meta tag
+    (``<met<!-- -->a charset=..>``) no browser would see."""
     out = []
     pos = 0
     while True:
@@ -179,6 +182,7 @@ def _strip_comments(head: bytes) -> bytes:
             out.append(head[pos:])
             break
         out.append(head[pos:start])
+        out.append(b" ")
         end = head.find(b"-->", start + 2)  # +2: opener dashes may overlap
         if end == -1:
             break  # unterminated: rest of the window is comment

@@ -56,16 +56,21 @@ def _squash_ws(s: str) -> str:
 
 
 class _Block:
-    __slots__ = ("tag", "chars", "link_chars", "opened", "_text",
-                 "_text_nchunks")
+    __slots__ = ("tag", "chars", "link_chars", "opened", "first_text",
+                 "_text", "_text_nchunks")
 
     def __init__(self, tag: str):
         self.tag = tag
         self.chars: list[str] = []
         self.link_chars = 0
-        self.opened = 0  # document OPEN order (set at push; close order
-        #                  differs for nested blocks — density mode sorts
-        #                  on this so neighbor context is document order)
+        self.opened = 0  # document OPEN order (set at push)
+        # order counter at the block's FIRST data run: document position
+        # of where the block's text actually STARTS — a container whose
+        # direct text follows its children (caption after a list) sorts
+        # after them, where open order would not. Density mode sorts on
+        # this. (A container with text both before AND after children is
+        # ordered by its first run — the one approximation left.)
+        self.first_text: int | None = None
         self._text: str | None = None
         self._text_nchunks = -1
 
@@ -132,6 +137,9 @@ class _ContentParser(HTMLParser):
             return
         if self.block_stack:
             blk = self.block_stack[-1]
+            if blk.first_text is None and not data.isspace():
+                self._order += 1
+                blk.first_text = self._order
             blk.chars.append(data)
             if self.link_depth:
                 blk.link_chars += len(_squash_ws(data))
@@ -322,9 +330,12 @@ def extract_html_text_density(html: str) -> str:
     # neighbor context must be DOCUMENT order: _parse_blocks returns
     # close order, which inverts nested structures (a container with
     # direct text closes after its children and would see the wrong
-    # prev/next)
+    # prev/next). Sort on where each block's text STARTS — open order
+    # would misplace a container whose direct text follows its children
+    # (caption after a list).
     blocks = sorted((b for b in _parse_blocks(html) if b.text()),
-                    key=lambda b: b.opened)
+                    key=lambda b: (b.first_text
+                                   if b.first_text is not None else b.opened))
 
     def words(i: int) -> int:
         if i < 0 or i >= len(blocks):

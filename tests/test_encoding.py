@@ -145,6 +145,9 @@ def test_prescan_skips_comments():
     # degenerate comments <!--> and <!---> are COMPLETE per the spec
     # (closing dashes may overlap the opener) — they must not swallow
     # the following meta
+    # comment removal must not SPLICE a meta together out of fragments
+    spliced = b'<met<!-- x -->a charset="koi8-r"><html>'
+    assert sniff_encoding(spliced)[2] != "meta"
     for degen in ("<!-->", "<!--->"):
         assert sniff_encoding(_page(degen + '<meta charset="koi8-r">'))[1] \
             == "koi8-r", degen

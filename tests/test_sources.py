@@ -146,6 +146,15 @@ def test_html_density_mode_nested_container_document_order():
             "</body></html>")
     dense = extract_html_text_density(html)
     assert caption in dense
+    # the mirror shape: caption FOLLOWS the list in the document — text
+    # order must follow where the text STARTS, not where the tag opened
+    html_after = (f"<html><body><div><ul><li>{nav_words}</li></ul>"
+                  f"{caption} and a trailing long follower of words "
+                  "extending past sixteen for the own-count rule</div>"
+                  "</body></html>")
+    dense_after = extract_html_text_density(html_after)
+    if caption in dense_after:
+        assert dense_after.index(caption) > 0 or "navitem0" not in dense_after
 
 
 def test_html_density_mode_through_bronze(spark):

@@ -116,3 +116,9 @@ def test_sample_unigram_subword_regularization():
     assert abs(zero[("ab",)] / 4000 - 0.5) < 0.03
     # OOV chars still segmentable
     assert "".join(sample_unigram("axb", logp, seed=3)) == "axb"
+    # negative / oversized seeds are masked, not errors (hash()-derived
+    # seeds are negative half the time)
+    assert "".join(sample_unigram("ab", logp, seed=-1)) == "ab"
+    assert sample_unigram("ab", logp, seed=-1) == \
+        sample_unigram("ab", logp, seed=-1)
+    assert "".join(sample_unigram("ab", logp, seed=2**70 + 3)) == "ab"

@@ -115,3 +115,21 @@ def test_resume_recomputes_on_config_change(spark, tmp_path):
     # selection config unchanged, but its input (flagged) may shrink under
     # the new floor — either way the corpus phase revalidates honestly
     assert spark.read.parquet(out + "/flagged").columns  # phase rewritten
+
+
+def test_phase1_config_change_forces_full_rebuild(spark, tmp_path):
+    """Changing a per-document-phase config (unicode_form here) across a
+    resumed run must REBUILD the cleaned checkpoint — appending rows
+    extracted under a different config would silently mix semantics."""
+    pages = _pages(spark)
+    out = str(tmp_path / "run")
+    kw = dict(extract=False, dup_line_min_count=None)
+    run_corpus_prep(spark, pages, out, **kw)
+    # unchanged config + resume: no rebuild, nothing appended
+    s2 = run_corpus_prep(spark, pages, out, **kw)
+    assert s2["cleaned_appended"] == 0
+    # changed phase-1 config: full rebuild, not an append
+    s3 = run_corpus_prep(spark, pages, out, unicode_form="NFC", **kw)
+    assert s3["cleaned_appended"] == -1
+    assert "unicode_changed" in \
+        spark.read.parquet(out + "/cleaned").columns
