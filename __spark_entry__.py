@@ -1517,8 +1517,22 @@ def q_page_meta(spark, sf_dir):
             .orderBy("lang"))
 
 
-def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Dormant queries, promotion-ready (see REGISTRY.md). Not part of
+# Round-5 registry swap (VERDICT r4 task #1): the five full-SQL-oracle
+# crawl-ops queries take driver slots from five TPC-H entries whose
+# operator families (conditional agg, set ops, semi-join, band join,
+# pivot) remain covered by other green registry entries — see REGISTRY.md.
+_PROMOTED_R5 = (
+    "robots_gate", "pagerank_top", "bm25_search", "host_boilerplate",
+    "page_meta",
+)
+_PARKED_R5 = (
+    "nation_setops", "order_status_unpivot", "pending_orders_by_priority",
+    "promo_revenue_share", "part_size_bands",
+)
+
+
+def _dormant_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dormant-pool queries, promotion-ready (see REGISTRY.md). Not part of
     the driver contract; bench.py and tests/test_entry_contract.py use
     them."""
     return {
@@ -1532,9 +1546,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def extra_oracle_sql() -> dict[str, str]:
-    """DuckDB twins for the dormant queries (webclean_corpus is rows-only
-    by nature — composed pandas/HOF semantics)."""
+def _dormant_oracle_sql() -> dict[str, str]:
+    """DuckDB twins for the dormant-pool queries (webclean_corpus is
+    rows-only by nature — composed pandas/HOF semantics)."""
     # the ENGINE's analyzer, not a whitespace split: lowercase + regex
     # tokenize + dedup — a divergent oracle-side analysis would silently
     # fake red/green parity if the query constant ever changes
@@ -1692,7 +1706,7 @@ def extra_oracle_sql() -> dict[str, str]:
     }
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _live_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # dedup family
         "exact_dedup_stats": q_exact_dedup_stats,
@@ -1771,7 +1785,7 @@ def _votes_sql(lang: str) -> str:
     return "CAST(" + " + ".join(parts) + " AS INT)"
 
 
-def oracle_sql() -> dict[str, str]:
+def _live_oracle_sql() -> dict[str, str]:
     ws_tokens = "CAST(length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)"
     _langs = list(_MARKER_SQL)
     lang_votes = ",\n                     ".join(
@@ -2342,3 +2356,39 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings GROUP BY label ORDER BY label
         """,
     }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver registry (<= 50 entries). Round 5 swaps the five
+    full-SQL-oracle crawl-ops queries (_PROMOTED_R5) into the registry in
+    place of five redundant TPC-H entries (_PARKED_R5) — REGISTRY.md."""
+    live = {k: v for k, v in _live_queries().items() if k not in _PARKED_R5}
+    dormant = _dormant_queries()
+    live.update({k: dormant[k] for k in _PROMOTED_R5})
+    return live
+
+
+def oracle_sql() -> dict[str, str]:
+    live = {k: v for k, v in _live_oracle_sql().items()
+            if k not in _PARKED_R5}
+    dormant = _dormant_oracle_sql()
+    live.update({k: dormant[k] for k in _PROMOTED_R5 if k in dormant})
+    return live
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dormant pool = everything not holding a driver slot; the parked
+    TPC-H queries stay wired and oracle-checked here (REGISTRY.md)."""
+    out = {k: v for k, v in _dormant_queries().items()
+           if k not in _PROMOTED_R5}
+    base = _live_queries()
+    out.update({k: base[k] for k in _PARKED_R5})
+    return out
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    out = {k: v for k, v in _dormant_oracle_sql().items()
+           if k not in _PROMOTED_R5}
+    base = _live_oracle_sql()
+    out.update({k: base[k] for k in _PARKED_R5 if k in base})
+    return out

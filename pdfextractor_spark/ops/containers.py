@@ -263,6 +263,8 @@ def mp4_sample_tables(data: bytes) -> list[dict]:
         stsc_runs: list[tuple[int, int]] = []
         sizes: list[int] = []
         chunk_offsets: list[int] = []
+        codec_private = None
+        codec_private_type = None
         for btype, p0, p1 in _walk_boxes(data, s0, s1):
             if btype == b"stsd" and p1 - p0 >= 16:
                 # version/flags(4) + entry_count(4), then entries as boxes
@@ -276,6 +278,22 @@ def mp4_sample_tables(data: bytes) -> list[dict]:
                         sr = struct.unpack(">I", data[q0 + 24:q0 + 28])[0] >> 16
                         width, height = w, h
                         channels, sample_rate = ch, sr
+                    # codec CONFIGURATION record (avcC/hvcC/esds) rides as
+                    # child boxes after the fixed sample-entry fields —
+                    # 78 bytes for VisualSampleEntry, 28 for
+                    # AudioSampleEntry (ISO 14496-12 §12). It carries the
+                    # stream-level SPS, i.e. the dimensions the BITSTREAM
+                    # declares (ops/bitstream.py) vs what the container
+                    # claims here.
+                    for entry_off in (78, 28):
+                        if codec_private is not None or q0 + entry_off >= q1:
+                            continue
+                        for ctype, r0, r1 in _walk_boxes(
+                                data, q0 + entry_off, q1):
+                            if ctype in (b"avcC", b"hvcC", b"esds"):
+                                codec_private_type = ctype.decode("latin-1")
+                                codec_private = bytes(data[r0:r1])
+                                break
                     break  # first sample description only
             elif btype == b"stts":
                 (n_ent,) = struct.unpack(">I", data[p0 + 4:p0 + 8])
@@ -348,6 +366,8 @@ def mp4_sample_tables(data: bytes) -> list[dict]:
             "track_id": track_id, "handler": handler, "codec": codec,
             "timescale": timescale, "width": width, "height": height,
             "channels": channels, "sample_rate": sample_rate,
+            "codec_private": codec_private,
+            "codec_private_type": codec_private_type,
             "offsets": offsets[:n], "sizes": sizes[:n], "pts": pts[:n],
         })
     return tracks
@@ -375,7 +395,9 @@ def make_mp4_media(samples: list[bytes], codec: bytes, handler: bytes,
                    width: int = 0, height: int = 0, timescale: int = 600,
                    sample_delta: int = 60, channels: int = 1,
                    sample_rate: int = 8000,
-                   samples_per_chunk: int = 3) -> bytes:
+                   samples_per_chunk: int = 3,
+                   codec_private: bytes | None = None,
+                   codec_private_type: bytes = b"avcC") -> bytes:
     """Fully-addressable MP4: ftyp + mdat(samples) + moov with a COMPLETE
     stbl (stsd/stts/stsc/stsz/stco), so ``mp4_sample_tables`` can map and
     extract every sample. ``codec`` is the stsd fourcc (b"jpeg" for an
@@ -406,6 +428,8 @@ def make_mp4_media(samples: list[bytes], codec: bytes, handler: bytes,
             + b"\x00" * 4 + struct.pack(">H", 1)          # reserved + frame count
             + b"\x00" * 32                                # compressor name
             + struct.pack(">Hh", 24, -1))                 # depth, color table
+        if codec_private is not None:
+            entry_payload += _box(codec_private_type, codec_private)
         header_box = _box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
     else:
         entry_payload = (

@@ -38,8 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
-    StructField, StructType,
+    ArrayType, BinaryType, BooleanType, DoubleType, IntegerType, LongType,
+    StringType, StructField, StructType,
 )
 
 from .limits import check_pixels
@@ -68,6 +68,10 @@ MEDIA_FEATURES_SCHEMA = StructType([
     StructField("height", IntegerType()),
     StructField("duration_sec", DoubleType()),
     StructField("feature", ArrayType(DoubleType())),  # 8-dim modality embedding
+    # stream-vs-container disagreement (H.26x SPS dims vs tkhd/stsd claim;
+    # ops/bitstream.py): null = no stream-level metadata to check. On a
+    # real crawl, containers lie — the mismatch itself is filter signal.
+    StructField("meta_mismatch", BooleanType()),
     StructField("error", StringType()),
 ])
 
@@ -633,6 +637,18 @@ def _decode_payload(kind: str, payload: bytes) -> dict:
                 "feature": _container_features(
                     m["duration_sec"], m["avg_bitrate_kbps"], m["sample_rate"] / 48000.0,
                     float(m["n_frames"]), 1.0 if m["vbr"] else 0.0)}
+    if len(payload) >= 7 and payload[0] == 0xFF and (payload[1] & 0xF6) == 0xF0:
+        # AAC ADTS: bitstream frame walk (ops/bitstream.py) gives real
+        # rate/channels/duration; AAC SAMPLE synthesis stays stubbed.
+        from .bitstream import parse_adts
+
+        m = parse_adts(bytes(payload))
+        return {"width": None, "height": None,
+                "duration_sec": round(m["duration_sec"], 3),
+                "feature": _container_features(
+                    m["duration_sec"], m["avg_bitrate_kbps"],
+                    m["sample_rate"] / 48000.0, float(m["n_frames"]),
+                    float(m["channels"]))}
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         # MP4/ISO-BMFF: box walk gives real dims/duration/track count.
         # When the container carries a complete sample table AND a codec
@@ -647,6 +663,29 @@ def _decode_payload(kind: str, payload: bytes) -> dict:
                "feature": _container_features(
                    m["duration_sec"], float(m["width"]), float(m["height"]),
                    float(m["n_tracks"]), float(len(payload)))}
+        # H.26x tracks: parse the SPS out of the stsd avcC/hvcC record —
+        # the BITSTREAM's own dimensions (ops/bitstream.py). The stream is
+        # authoritative; a container that claims different dims gets the
+        # meta_mismatch flag (real-crawl containers lie).
+        try:
+            from .bitstream import stream_dims_from_codec_private
+            from .containers import mp4_sample_tables
+
+            for tr in mp4_sample_tables(bytes(payload)):
+                if not tr.get("codec_private"):
+                    continue
+                sm = stream_dims_from_codec_private(
+                    tr["codec_private_type"], tr["codec_private"])
+                if not sm:
+                    continue
+                claimed = (tr["width"], tr["height"])
+                out["meta_mismatch"] = (
+                    claimed != (sm["width"], sm["height"])
+                    and claimed != (0, 0))
+                out["width"], out["height"] = sm["width"], sm["height"]
+                break
+        except Exception:
+            pass  # header-only/corrupt tables: container-level parse stands
         try:
             frames = _sample_payload_frames(bytes(payload), every_nth=1,
                                             max_frames=1)
@@ -673,7 +712,7 @@ def _media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                    "n_bytes": len(payload) if payload is not None else 0,
                    "sha1": hashlib.sha1(payload).hexdigest() if payload else None,
                    "width": None, "height": None, "duration_sec": None,
-                   "feature": None, "error": None}
+                   "feature": None, "meta_mismatch": None, "error": None}
             try:
                 row.update(_decode_payload(kind, bytes(payload) if payload is not None else b""))
             except NotImplementedError as e:

@@ -44,6 +44,32 @@ from .urls import url_host
 
 __all__ = ["parse_robots", "robots_filter", "robots_host_meta"]
 
+# RFC 9309 §2.4: "Crawlers SHOULD impose a parsing limit ... MUST be at
+# least 500 kibibytes". Enforcing it here bounds the one skew door in the
+# politeness gate: without it a hostile or broken multi-MB robots.txt
+# (megabytes of Disallow lines) becomes a multi-MB rule array carried
+# through the page join and an O(rules) regex scan per page of that host.
+# The limit is counted in CHARACTERS (robots files are ASCII-dominant;
+# for multi-byte content a char cut keeps slightly MORE than 500 KiB,
+# i.e. errs on the side of honoring published rules).
+ROBOTS_MAX_CHARS = 500 * 1024
+
+
+def _truncate_robots(txt: Column, limit: int = ROBOTS_MAX_CHARS) -> Column:
+    """First ``limit`` chars of a robots.txt, cut back to the last complete
+    line. Content past the parse limit is ignored (RFC 9309 §2.4); the
+    possibly-split final line is dropped too, since a mid-line cut could
+    silently rewrite a directive ("Disallow: /admin" -> "Disallow: /ad").
+
+    substring_index (linear scan) finds the split tail, NOT a ``[^\\n]*$``
+    regex: an end-anchored pattern makes Java's find() retry the
+    backtracking ``$`` probe at every position — O(n^2) on the 500 KiB
+    strings this function exists to bound (measured: minutes per row)."""
+    head = F.substring(txt, 1, limit)
+    tail_len = F.length(F.substring_index(head, "\n", -1))
+    return F.when(F.length(txt) <= limit, txt) \
+        .otherwise(F.substring(head, F.lit(1), F.length(head) - tail_len))
+
 
 def _tag_groups(txt: Column) -> Column:
     """robots.txt text -> tagged line array
@@ -56,8 +82,11 @@ def _tag_groups(txt: Column) -> Column:
     parse 97 one-line robots files)."""
     lines = F.transform(
         F.split(txt, r"\r?\n"),
-        # strip comments + surrounding whitespace
-        lambda l: F.trim(F.regexp_replace(l, "#.*$", "")),
+        # strip comments + surrounding whitespace. substring_index, not a
+        # "#.*$" regexp_replace: lines are already \n-free, so everything
+        # from the first '#' goes — and the end-anchored regex is O(n^2)
+        # on a hostile 500 KiB comment line (quadratic '$' backtracking)
+        lambda l: F.trim(F.substring_index(l, "#", 1)),
     )
 
     def _directive(l, name):
@@ -166,8 +195,11 @@ def parse_robots(robots: DataFrame, agent: str = "trainingbot",
     Staged as three narrow projections (tag -> choose group -> filter)
     so the line-tagging aggregate exists exactly ONCE in the plan;
     CollapseProject leaves multi-referenced non-cheap producers alone,
-    so the stages survive optimization as separate projections."""
-    tagged = _tag_groups(F.coalesce(F.col(txt_col), F.lit("")))
+    so the stages survive optimization as separate projections. Input is
+    truncated to the RFC 9309 §2.4 500 KiB parse limit (last complete
+    line) before tagging — see ROBOTS_MAX_CHARS."""
+    tagged = _tag_groups(
+        _truncate_robots(F.coalesce(F.col(txt_col), F.lit(""))))
     return (robots
             .select(F.lower(F.col(host_col)).alias("host"),
                     tagged.alias("_tagged"))
@@ -193,7 +225,7 @@ def robots_host_meta(robots: DataFrame, agent: str = "trainingbot",
     Same plan shape as parse_robots: three narrow projections over the
     shared line-tagging aggregate, map-only, nothing on the driver — a
     crawl scheduler joins this against its frontier by host."""
-    txt = F.coalesce(F.col(txt_col), F.lit(""))
+    txt = _truncate_robots(F.coalesce(F.col(txt_col), F.lit("")))
     tagged = _tag_groups(txt)
     # staged: strip '#'-comments ONCE per line (same treatment every
     # other directive gets), then match/extract over the stripped line —
@@ -201,7 +233,8 @@ def robots_host_meta(robots: DataFrame, agent: str = "trainingbot",
     # into both the predicate and the value would run the regex twice
     stripped = F.transform(
         F.split(txt, r"\r?\n"),
-        lambda l: F.trim(F.regexp_replace(l, "#.*$", "")))
+        # substring_index, not "#.*$" — see _tag_groups (O(n^2) regex)
+        lambda l: F.trim(F.substring_index(l, "#", 1)))
     sitemaps = F.filter(
         F.transform(
             stripped,
@@ -247,12 +280,22 @@ def _pattern_regex(pattern: Column) -> Column:
 
 def robots_filter(pages: DataFrame, robots: DataFrame,
                   agent: str = "trainingbot", url_col: str = "url",
-                  keep_col: str = "robots_allowed") -> DataFrame:
+                  keep_col: str = "robots_allowed",
+                  max_rules_per_host: int = 5000) -> DataFrame:
     """pages + ``robots_allowed``: longest-match Allow/Disallow decision
     for each url's path-plus-query under its host's rules (allow wins
     length ties; no rules / no robots row => allowed). Rules match the
     path WITH its query string appended — the robots spec's match target
-    — so ``Disallow: /*?`` and ``Disallow: /search?`` work."""
+    — so ``Disallow: /*?`` and ``Disallow: /search?`` work.
+
+    ``max_rules_per_host`` bounds the per-host rule array that rides the
+    page join (the 500 KiB input truncation in parse_robots already caps
+    text; this caps the pathological many-short-rules case). Retention is
+    deterministic longest-pattern-first (ties broken on pattern regex,
+    then Allow before Disallow): the decision rule is longest-match, so
+    the patterns that can win a decision are kept preferentially. The
+    default (5000) is far above any real robots.txt's winning group;
+    ``None`` disables the cap."""
     # ONE-PASS shape: fold each host's rules into an ARRAY (the shuffle is
     # on the robots table — one row per host, orders of magnitude under the
     # page table), join pages to that array once on host, and decide the
@@ -268,6 +311,26 @@ def robots_filter(pages: DataFrame, robots: DataFrame,
                # groupBy tolerates duplicate host rows in the robots table
                # (their rule sets union, matching the exploded-join shape)
                .groupBy("_rhost").agg(F.collect_list("_r").alias("_rules")))
+    if max_rules_per_host is not None:
+        # sort key = (-plen, re, !allow): longest first, deterministic tie
+        # order, Allow ahead of Disallow at equal (plen, re) so a cap cut
+        # between twins keeps the permissive one (matching the decision
+        # rule's allow-wins-ties). Runs on the robots side only — one tiny
+        # row per host — never on the page table.
+        ranked = F.array_sort(F.transform(
+            F.col("_rules"),
+            lambda r: F.struct((-r["plen"]).alias("_nl"), r["re"].alias("re"),
+                               (~r["allow"]).alias("_na"),
+                               r["plen"].alias("plen"),
+                               r["allow"].alias("allow"))))
+        capped = F.transform(
+            F.slice(ranked, 1, max_rules_per_host),
+            lambda r: F.struct(r["re"].alias("re"), r["plen"].alias("plen"),
+                               r["allow"].alias("allow")))
+        by_host = by_host.select(
+            "_rhost",
+            F.when(F.size("_rules") > max_rules_per_host, capped)
+             .otherwise(F.col("_rules")).alias("_rules"))
     path = F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
     path = F.when(path == "", "/").otherwise(path)
     query = F.try_parse_url(F.col(url_col), F.lit("QUERY"))

@@ -178,10 +178,12 @@ def dsir_resample(df: DataFrame, weights: DataFrame, k: int,
         "id", (F.col("log_weight") + gumbel).alias("_gkey")
     )
     if k <= exact_k_threshold:
+        # no explicit broadcast hint: AQE already broadcasts a k-row build
+        # side at the default threshold, and a caller raising
+        # exact_k_threshold must not be able to force a driver-sized
+        # broadcast through a hard-coded hint (VERDICT r4 hardening)
         picked = keyed.orderBy(F.col("_gkey").desc(), F.col("id")).limit(k)
-        return df.join(
-            F.broadcast(picked.select(F.col("id").alias(id_col))), id_col, "semi"
-        )
+        return df.join(picked.select(F.col("id").alias(id_col)), id_col, "semi")
     n = keyed.count()
     if n <= k:
         return df.join(keyed.select(F.col("id").alias(id_col)), id_col, "semi")

@@ -74,10 +74,11 @@ def test_oracle_match(spark, sf_dir, duck, name):
     assert s_vals == d_vals
 
 
-@pytest.mark.parametrize("name", ["robots_gate", "pagerank_top"])
+@pytest.mark.parametrize("name", sorted(entry_mod.extra_oracle_sql()))
 def test_dormant_oracle_match(spark, sf_dir, duck, name):
-    """Dormant queries with full SQL oracles get the same driver-style
-    compare so promotion is risk-free (REGISTRY.md)."""
+    """Every dormant query that carries a full SQL oracle gets the same
+    driver-style compare so (re-)promotion is risk-free (REGISTRY.md).
+    After the round-5 swap this covers the five parked TPC-H queries."""
     sdf = entry_mod.extra_queries()[name](spark, sf_dir)
     oracle = entry_mod.extra_oracle_sql()[name]
     spark_rows = sdf.collect()

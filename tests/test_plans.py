@@ -118,6 +118,8 @@ def test_no_cartesian_join_in_any_query(spark, sf_dir, qs):
         "winnow_overlap", "sketch_cardinality", "sketch_quantiles",
         "lm_perplexity",  # 1-row broadcast of the LM's (total, vocab) consts
         "part_size_bands",  # broadcast RANGE join: BNLJ against a 3-row band dim IS the operator
+        "pagerank_top",  # 1-row broadcast of (n_nodes, dangling mass) per iteration
+        "bm25_search",  # 1-row broadcast of the corpus (N, avgdl, df…) stats row
     }
     for name, fn in qs.items():
         if name in allowed:

@@ -191,3 +191,96 @@ def test_robots_host_meta_crawl_delay_and_sitemaps(spark):
     plan = robots_host_meta(robots)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_hostile_robots_input_is_bounded(spark):
+    """RFC 9309 §2.4 parse limit: a multi-MB hostile robots.txt must not
+    become a multi-MB per-host rule array. Rules parse only from the
+    first 500 KiB (cut at the last complete line), and verdicts on the
+    longest-match cases are unchanged when the hostile payload is
+    appended AFTER the real policy."""
+    from pdfextractor_spark.ops.robots import ROBOTS_MAX_CHARS
+
+    # ~3 MB of junk Disallow lines appended after the real policy, inside
+    # a second trainingbot group (RFC 9309 merges same-UA groups, so the
+    # junk lands in the WINNING group — the worst case for the bound)
+    junk = "".join(f"Disallow: /junk-{'x' * 90}-{i:07d}/\n"
+                   for i in range(28_000))
+    assert len(junk) > 5 * ROBOTS_MAX_CHARS
+    hostile = _ROBOTS_A + "\nUser-agent: trainingbot\n" + junk
+    robots = spark.createDataFrame(
+        [("a.com", hostile), ("b.org", _ROBOTS_STAR_ONLY), ("c.net", "")],
+        "host string, robots_txt string")
+
+    rules = parse_robots(robots, "trainingbot").collect()
+    # bounded: only rules from inside the limit survive (the real policy
+    # plus however much junk fits under 500 KiB — ~4.7k of the 28k sent,
+    # which also stays under robots_filter's 5000-rule cap so the real
+    # short rules below cannot be evicted by longest-first retention)
+    n_junk_kept = sum(1 for r in rules if r["pattern"].startswith("/junk-"))
+    assert 0 < n_junk_kept < 5_000
+    # every kept junk rule parsed from a COMPLETE line (the mid-line cut
+    # can't rewrite a directive): patterns all end with "/"
+    assert all(r["pattern"].endswith("/") for r in rules
+               if r["pattern"].startswith("/junk-"))
+
+    # the 11 RFC longest-match verdicts are unchanged under the attack
+    cases = [
+        ("https://a.com/public/page", True),
+        ("https://a.com/private/doc", False),
+        ("https://a.com/private/ok/doc", True),
+        ("https://a.com/files/paper.pdf", False),
+        ("https://a.com/files/paper.pdf.html", True),
+        ("https://a.com/tmpfile", False),
+        ("https://a.com/", True),
+        ("https://b.org/blocked/page", False),
+        ("https://b.org/blocked/but-fine/page", True),
+        ("https://c.net/anything", True),
+        ("https://nohost.io/x", True),
+    ]
+    pages = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r["robots_allowed"]
+           for r in robots_filter(pages, robots, "trainingbot").collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_robots_truncation_drops_split_final_line(spark):
+    """A directive split by the 500 KiB cut must vanish entirely, not
+    parse as a shorter (different) pattern."""
+    from pdfextractor_spark.ops.robots import ROBOTS_MAX_CHARS
+
+    head = "User-agent: *\n"
+    pad = "#" + "x" * (ROBOTS_MAX_CHARS - len(head) - 12) + "\n"
+    # the final directive starts inside the limit but ends beyond it
+    txt = head + pad + "Disallow: /admin-secret/\n"
+    assert len(head + pad) < ROBOTS_MAX_CHARS < len(txt)
+    robots = spark.createDataFrame([("t.com", txt)],
+                                   "host string, robots_txt string")
+    rules = parse_robots(robots, "anybot").collect()
+    pats = [r["pattern"] for r in rules]
+    assert pats == []  # neither "/admin-secret/" nor a mangled prefix
+
+
+def test_robots_filter_rule_cap_longest_first(spark):
+    """max_rules_per_host keeps the longest patterns (the ones that can
+    win a longest-match decision) deterministically."""
+    body = "User-agent: *\n" + "".join(
+        f"Disallow: /{'d' * (i + 1)}/\n" for i in range(20)) \
+        + "Allow: /" + "d" * 20 + "/ok/\n"
+    robots = spark.createDataFrame([("cap.com", body)],
+                                   "host string, robots_txt string")
+    urls = [
+        ("https://cap.com/" + "d" * 20 + "/x", False),   # longest Disallow kept
+        ("https://cap.com/" + "d" * 20 + "/ok/x", True),  # longest Allow kept
+        ("https://cap.com/d/x", True),  # short rule fell out of the cap
+    ]
+    pages = spark.createDataFrame([(u,) for u, _ in urls], "url string")
+    got = {r["url"]: r["robots_allowed"] for r in robots_filter(
+        pages, robots, "anybot", max_rules_per_host=5).collect()}
+    for u, want in urls:
+        assert got[u] == want, (u, got[u], want)
+    # uncapped: the short rule still applies
+    full = {r["url"]: r["robots_allowed"] for r in robots_filter(
+        pages, robots, "anybot", max_rules_per_host=None).collect()}
+    assert full["https://cap.com/d/x"] is False

@@ -209,3 +209,29 @@ def test_dsir_resample_large_k_tiny_n_and_k_near_n(spark):
     scaled = sorted(r["doc_id"] for r in
                     dsir_resample(docs, weights, 11, exact_k_threshold=0).collect())
     assert scaled == exact
+
+
+def test_dsir_resample_exact_path_has_no_forced_broadcast(spark):
+    """The exact (k <= exact_k_threshold) path carries NO F.broadcast hint:
+    AQE broadcasts a k-row build side on its own, and a caller raising
+    exact_k_threshold must not be able to force a driver-sized broadcast
+    through a hard-coded hint. Either join strategy is acceptable — the
+    pin is that the plan still builds and stays exact with auto-broadcast
+    disabled (a hint would force broadcast regardless)."""
+    docs = _df(spark, [(f"d{i:03d}", f"doc number {i}") for i in range(100)])
+    weights = spark.createDataFrame(
+        [(f"d{i:03d}", float((i * 37) % 101) / 10.0) for i in range(100)],
+        "id string, log_weight double",
+    )
+    want = sorted(r["doc_id"] for r in
+                  dsir_resample(docs, weights, 15, seed=7).collect())
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cold = dsir_resample(docs, weights, 15, seed=7)
+        got = sorted(r["doc_id"] for r in cold.collect())
+        assert got == want and len(got) == 15
+        plan = cold._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan  # the hint would force it
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -1,0 +1,107 @@
+"""Stream-vs-container metadata verification through the Spark media
+pipeline: H.26x SPS dims parsed from the MP4's avcC/hvcC records
+(ops/bitstream.py) override the container claim and flag disagreement;
+standalone AAC ADTS payloads decode real duration/rate metadata."""
+
+from pdfextractor_spark.ops.bitstream import (
+    make_adts,
+    make_avcc,
+    make_h264_sps,
+    make_h265_sps,
+    make_hvcc,
+)
+from pdfextractor_spark.ops.containers import make_mp4_media, mp4_sample_tables
+from pdfextractor_spark.ops.multimodal import decode_media
+
+
+def _avc_mp4(claim_w, claim_h, sps_w, sps_h, codec=b"avc1"):
+    if codec == b"avc1":
+        private = make_avcc(make_h264_sps(sps_w, sps_h))
+        ptype = b"avcC"
+    else:
+        private = make_hvcc(make_h265_sps(sps_w, sps_h))
+        ptype = b"hvcC"
+    samples = [b"\x00\x00\x00\x01" + bytes(40) for _ in range(4)]
+    return make_mp4_media(samples, codec, b"vide", width=claim_w,
+                          height=claim_h, codec_private=private,
+                          codec_private_type=ptype)
+
+
+def test_sample_tables_capture_codec_private():
+    mp4 = _avc_mp4(320, 240, 320, 240)
+    (tr,) = mp4_sample_tables(mp4)
+    assert tr["codec"] == "avc1" and tr["codec_private_type"] == "avcC"
+    assert tr["codec_private"][0] == 1  # configurationVersion
+    # MJPEG tracks carry no private record -> None (back-compat)
+    plain = make_mp4_media([b"\xff\xd8\xff\xdb" + bytes(20)], b"jpeg",
+                           b"vide", width=32, height=24)
+    (tp,) = mp4_sample_tables(plain)
+    assert tp["codec_private"] is None
+
+
+def test_stream_dims_agree_no_flag(spark):
+    """Container and SPS agree: stream dims stand, meta_mismatch False."""
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(_avc_mp4(320, 240, 320, 240)), "video/mp4"),
+         (2, "video", bytearray(_avc_mp4(854, 480, 854, 480, b"hvc1")),
+          "video/mp4")],
+        "media_id long, kind string, payload binary, mime string")
+    out = {r["media_id"]: r for r in
+           decode_media(media, num_partitions=2).collect()}
+    assert out[1]["error"] is None
+    assert (out[1]["width"], out[1]["height"]) == (320, 240)
+    assert out[1]["meta_mismatch"] is False
+    assert (out[2]["width"], out[2]["height"]) == (854, 480)
+    assert out[2]["meta_mismatch"] is False
+
+
+def test_lying_container_flagged_and_stream_wins(spark):
+    """The container claims 160x120 but the H.264 SPS says 320x240: the
+    bitstream is authoritative and the row is flagged."""
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(_avc_mp4(160, 120, 320, 240)), "video/mp4"),
+         (2, "video", bytearray(_avc_mp4(640, 360, 1280, 720, b"hvc1")),
+          "video/mp4")],
+        "media_id long, kind string, payload binary, mime string")
+    out = {r["media_id"]: r for r in
+           decode_media(media, num_partitions=2).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (320, 240)
+    assert out[1]["meta_mismatch"] is True and out[1]["error"] is None
+    assert (out[2]["width"], out[2]["height"]) == (1280, 720)
+    assert out[2]["meta_mismatch"] is True
+
+
+def test_non_h26x_rows_have_null_mismatch(spark):
+    """Rows with no stream-level record to check (images, plain MP4s)
+    keep meta_mismatch null — absence of evidence, not agreement."""
+    import numpy as np
+
+    from pdfextractor_spark.ops.containers import make_mp4
+    from pdfextractor_spark.ops.multimodal import make_bmp
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(make_bmp(px)), "image/bmp"),
+         (2, "video", bytearray(make_mp4(640, 480, 2.0)), "video/mp4")],
+        "media_id long, kind string, payload binary, mime string")
+    out = {r["media_id"]: r for r in
+           decode_media(media, num_partitions=2).collect()}
+    assert out[1]["meta_mismatch"] is None
+    assert out[2]["meta_mismatch"] is None
+    assert (out[2]["width"], out[2]["height"]) == (640, 480)
+
+
+def test_adts_payload_through_spark(spark):
+    """Standalone ADTS streams decode real duration/rate via the frame
+    walk; corrupt sync-less bytes stay per-row errors."""
+    adts = make_adts(86, rate_idx=4, channels=2)  # ~2s at 44.1 kHz
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(adts), "audio/aac"),
+         (2, "audio", bytearray(b"\x01\x02\x03\x04" * 10), "audio/aac")],
+        "media_id long, kind string, payload binary, mime string")
+    out = {r["media_id"]: r for r in
+           decode_media(media, num_partitions=2).collect()}
+    assert out[1]["error"] is None
+    assert abs(out[1]["duration_sec"] - 86 * 1024 / 44100.0) < 0.01
+    assert len(out[1]["feature"]) == 8
+    assert out[2]["error"] is not None
