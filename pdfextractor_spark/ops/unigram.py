@@ -54,7 +54,12 @@ def _build_spans(word: str, logp: dict, max_piece_len: int,
         for j in range(i + 1, min(n, i + max_piece_len) + 1):
             piece = word[i:j]
             lp = logp.get(piece)
-            if lp is None and oov_lp is not None and j - i == 1:
+            if oov_lp is not None and j - i == 1 \
+                    and (lp is None or lp == _NEG_INF):
+                # a single char that is missing OR explicitly -inf in a
+                # caller-supplied table takes the OOV fallback — otherwise
+                # the word becomes unsegmentable and the Viterbi backtrace
+                # would walk into a None boundary mid-UDF
                 lp = oov_lp
             if lp is not None and lp != _NEG_INF:
                 spans[j].append((i, piece, lp))
@@ -208,7 +213,10 @@ def encode_unigram(word: str, logp: dict, max_piece_len: int = 8,
     best = [_NEG_INF] * (n + 1)
     back: list = [None] * (n + 1)
     best[0] = 0.0
-    oov_lp = min(logp.values(), default=0.0) - 10.0  # below any real piece
+    # below any real piece; -inf entries excluded or the fallback itself
+    # would be -inf and the lattice unsegmentable
+    oov_lp = min((v for v in logp.values() if v != _NEG_INF),
+                 default=0.0) - 10.0
     spans = _build_spans(word, logp, max_piece_len, oov_lp)
     for j in range(1, n + 1):
         for i, _piece, lp in spans[j]:
@@ -222,6 +230,8 @@ def encode_unigram(word: str, logp: dict, max_piece_len: int = 8,
     j = n
     while j > 0:
         i = back[j]
+        if i is None:  # defense in depth: never walk off the lattice
+            return [word]
         toks.append(word[i:j])
         j = i
     toks.reverse()
@@ -248,7 +258,8 @@ def sample_unigram(word: str, logp: dict, max_piece_len: int = 8,
     import random
 
     n = len(word)
-    oov_lp = (min(logp.values(), default=0.0) - 10.0)
+    oov_lp = (min((v for v in logp.values() if v != _NEG_INF),
+                  default=0.0) - 10.0)
     spans = [[(i, lp * alpha) for i, _piece, lp in row]
              for row in _build_spans(word, logp, max_piece_len, oov_lp)]
     alpha_f = [_NEG_INF] * (n + 1)

@@ -142,9 +142,16 @@ _add("_x-user-defined", "x-user-defined", "x-user-defined")
 
 _UTF16_FAMILY = {"utf-16le", "utf-16be"}
 
-# ASCII whitespace per the spec's prescan tokenizer
+# ASCII whitespace per the spec's prescan tokenizer. The tag-end scan is
+# QUOTE-AWARE like the spec's attribute scanner: a '>' inside a quoted
+# attribute value does not close the tag, so
+# <meta content="a>b" http-equiv=content-type ...> is seen whole. (The
+# alternation is linear — branch first-chars are disjoint, no
+# backtracking blowup; an unterminated quote simply fails the tag, which
+# matches the prescan giving up at end-of-window.)
 _META_RE = re.compile(
-    rb"<meta\s[^>]*>|<meta\s*/?>", re.IGNORECASE | re.DOTALL)
+    rb"""<meta\s(?:"[^"]*"|'[^']*'|[^"'>])*>|<meta\s*/?>""",
+    re.IGNORECASE | re.DOTALL)
 _ATTR_RE = re.compile(
     rb"""([a-zA-Z0-9_:.-]+)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?""",
 )
@@ -276,7 +283,16 @@ def sniff_encoding(payload: bytes,
     ``content_type`` is the transport-layer hint (the HTTP Content-Type
     a WARC response record carries): per the spec's precedence it sits
     between the BOM (which overrides everything) and the meta prescan.
-    Unknown labels are ignored, not errors."""
+    Unknown labels are ignored, not errors.
+
+    CAVEAT — sentinel pseudo-codecs: when the winning label maps to the
+    spec's *replacement* or *x-user-defined* encodings, the returned
+    ``python_codec`` is the internal sentinel ``"_replacement"`` /
+    ``"_x-user-defined"``, which ``bytes.decode`` does NOT know
+    (LookupError). They exist so provenance rollups can count these
+    hostile/legacy labels distinctly; to actually decode, use
+    ``sniff_decode``, which special-cases both (one U+FFFD for
+    replacement; the spec's 0xF780 mapping for x-user-defined)."""
     got = _sniff_declared(payload, content_type)
     if got is not None:
         return got

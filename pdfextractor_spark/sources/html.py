@@ -56,13 +56,19 @@ def _squash_ws(s: str) -> str:
 
 
 class _Block:
-    __slots__ = ("tag", "chars", "link_chars", "opened", "first_text",
-                 "_text", "_text_nchunks")
+    __slots__ = ("tag", "chars", "link_chars", "link_text", "opened",
+                 "first_text", "_text", "_text_nchunks")
 
     def __init__(self, tag: str):
         self.tag = tag
         self.chars: list[str] = []
         self.link_chars = 0
+        # anchor text runs, kept verbatim so density mode can count link
+        # WORDS (the published NumWordsRules classifier defines link
+        # density over anchor words / total words; the char-based ratio
+        # skews high for long-word anchors). The default mode keeps its
+        # pinned char-based gate.
+        self.link_text: list[str] = []
         self.opened = 0  # document OPEN order (set at push)
         # order counter at the block's FIRST data run: document position
         # of where the block's text actually STARTS — a container whose
@@ -82,6 +88,9 @@ class _Block:
             self._text = _squash_ws("".join(self.chars)).strip()
             self._text_nchunks = len(self.chars)
         return self._text
+
+    def link_words(self) -> int:
+        return len(_squash_ws("".join(self.link_text)).split())
 
 
 class _ContentParser(HTMLParser):
@@ -143,6 +152,7 @@ class _ContentParser(HTMLParser):
             blk.chars.append(data)
             if self.link_depth:
                 blk.link_chars += len(_squash_ws(data))
+                blk.link_text.append(data)
 
 
 def _is_content(blk: _Block) -> bool:
@@ -343,9 +353,12 @@ def extract_html_text_density(html: str) -> str:
         return len(blocks[i].text().split())
 
     def link_density(i: int) -> float:
+        # anchor WORDS over total words — the published classifier's
+        # definition (a char ratio skews high for long-word anchors and
+        # shifts keep/drop decisions off the cited decision tree)
         if i < 0 or i >= len(blocks):
             return 0.0
-        return blocks[i].link_chars / max(1, len(blocks[i].text()))
+        return blocks[i].link_words() / max(1, len(blocks[i].text().split()))
 
     kept: list[str] = []
     for i in range(len(blocks)):

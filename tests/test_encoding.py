@@ -335,3 +335,23 @@ def test_strip_comments_fuzz_never_breaks_prescan():
                        for _ in range(rng.randrange(12))).encode()
         got = sniff_encoding(blob)  # must never raise
         assert got[1] in ("utf-8", "koi8-r", "windows-1252")
+
+
+def test_meta_tag_scan_is_quote_aware():
+    """A '>' inside a quoted attribute value must not truncate the meta
+    tag before the charset is seen (the WHATWG prescan's attribute
+    scanner is quote-aware)."""
+    from pdfextractor_spark.sources.encoding import sniff_encoding
+
+    page = (b'<html><head>'
+            b'<meta content="text/html; a>b; charset=shift_jis" '
+            b'http-equiv="content-type"></head><body>x</body></html>')
+    codec, canon, how = sniff_encoding(page)
+    assert (canon, how) == ("shift_jis", "meta")
+    # reversed attribute order, single quotes, '>' inside the value
+    page2 = (b"<html><head><meta http-equiv='content-type' "
+             b"content='text/html; x>y; charset=euc-kr'></head>")
+    assert sniff_encoding(page2)[1] == "euc-kr"
+    # an unquoted tag still terminates at the first '>'
+    page3 = b'<meta charset=cp1251><body>'
+    assert sniff_encoding(page3)[1] == "windows-1251"

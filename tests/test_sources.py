@@ -173,3 +173,27 @@ def test_html_density_mode_through_bronze(spark):
     assert "Short but real note." in dense["raw_text"]
     assert "Short but real note." not in plain["raw_text"]
     assert dense["parser"] == "html" and dense["error"] is None
+
+
+def test_html_density_link_density_is_word_based():
+    """The published NumWordsRules classifier defines link density as
+    anchor WORDS / total words. A single long-word anchor inside real
+    prose must not push the block over the 0.333 gate the way a
+    char-based ratio would."""
+    from pdfextractor_spark.sources.html import extract_html_text_density
+
+    # 1 anchor word of 34 chars inside 10 words total: word density 0.1,
+    # char density ~0.45 (would be dropped by a char-based gate)
+    long_word = "supercalifragilisticexpialidocious"
+    para = (f'Read the <a href="/x">{long_word}</a> announcement with all '
+            f"of the remaining details attached here.")
+    filler = ("This neighboring paragraph carries more than sixteen words "
+              "of real prose so it stands as content by itself, easily.")
+    html = f"<html><body><p>{filler}</p><p>{para}</p></body></html>"
+    out = extract_html_text_density(html)
+    assert long_word in out
+    # the inverse skew: many short anchor words in few chars must still
+    # be seen as linky even though their char share is modest
+    nav_words = " ".join(f'<a href="/{k}">go {k}</a>' for k in range(6))
+    html2 = f"<html><body><p>{filler}</p><p>{nav_words} ok</p></body></html>"
+    assert "go 3" not in extract_html_text_density(html2)

@@ -122,3 +122,20 @@ def test_sample_unigram_subword_regularization():
     assert sample_unigram("ab", logp, seed=-1) == \
         sample_unigram("ab", logp, seed=-1)
     assert "".join(sample_unigram("ab", logp, seed=2**70 + 3)) == "ab"
+
+
+def test_encode_handles_explicit_neg_inf_single_char():
+    """A caller-supplied table with an explicit -inf single-char piece
+    must take the OOV fallback (not leave the lattice unsegmentable and
+    crash the Viterbi backtrace mid-UDF)."""
+    import math
+
+    from pdfextractor_spark.ops.unigram import encode_unigram, sample_unigram
+
+    logp = {"a": -1.0, "b": -math.inf, "ab": -1.5}
+    assert encode_unigram("ab", logp) == ["ab"]
+    # 'b' alone is only reachable through the -inf piece -> OOV fallback
+    assert encode_unigram("b", logp) == ["b"]
+    assert encode_unigram("ba", logp) == ["b", "a"]
+    # the sampler shares the lattice builder: same guarantee
+    assert sample_unigram("b", logp) == ["b"]
