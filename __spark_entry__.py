@@ -1354,6 +1354,57 @@ def q_webclean_corpus(spark, sf_dir):
     return prep_report(flagged)
 
 
+def q_webclean_full(spark, sf_dir):
+    """The corpus prep WITH the full selection/assembly tail (VERDICT r4
+    task #5): the 10 core stages of q_webclean_corpus plus the expensive
+    half a training run adds — hashed document embeddings feeding
+    SemDeDup semantic dedup, an NB quality-classifier scoring pass, DSIR
+    importance resampling against a trusted target slice, and greedy
+    token-budget shard packing. Returns one accounting row (docs kept,
+    shards, token mass) with a stable schema; rows-only by nature (the
+    kmeans/Gumbel stages are not SQL-expressible) — benched in HEADLINE
+    as the end-to-end 100 TB assembly shape."""
+    from pdfextractor_spark.ops.embed import with_hashed_embedding
+    from pdfextractor_spark.ops.selection import train_nb
+    from pdfextractor_spark.pipeline.webclean import prepare_training_corpus
+
+    # persist the embedded input (module-cached per sf_dir, like the IVF
+    # index): the tail stages consume the pool from several lineage
+    # branches (NB train, DSIR source/target LMs, the semdedup verdict
+    # join, the final selection), and without a materialization each
+    # branch would re-run the embedding UDF over the whole corpus — the
+    # same reason the 100 TB runner (pipeline/webrunner.py) checkpoints
+    # between phases
+    key = ("webclean_full_pages", sf_dir)
+    if key not in _IVF_INDEX_CACHE:
+        _IVF_INDEX_CACHE[key] = with_hashed_embedding(
+            _pages_from_documents(spark, sf_dir), dim=32, n=2).persist()
+    pages = _IVF_INDEX_CACHE[key]
+    # NB model: trained on the pages themselves labeled by lang (bounded
+    # model build — the bench cost under test is the SCORING pass)
+    model, priors = train_nb(pages.select("lang", "text"),
+                             label_col="lang", n=1, buckets=2048)
+    # trusted DSIR target: a deterministic 1/7 slice of the corpus
+    target = pages.where(F.xxhash64("url") % 7 == 0).select("text")
+    n_pool = pages.count()  # bounded: fixes k for the resample
+    out = prepare_training_corpus(
+        pages, extract=False, dup_line_min_count=None, quality_floor=0.0,
+        max_docs_per_host=100_000, filter_rows=True,
+        nb_filter={"model": model, "priors": priors, "n": 1,
+                   "buckets": 2048},
+        semdedup={"vec_col": "embedding", "num_centroids": 8,
+                  "threshold": 0.995, "seed": 13, "max_iter": 4},
+        dsir={"target": target, "k": max(1, int(n_pool * 0.6)), "n": 2,
+              "buckets": 2048, "seed": 17},
+        shard_budget=2000)
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("docs_kept"),
+        F.countDistinct("shard_id").cast("long").alias("n_shards"),
+        F.sum("ws_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("pred_label").isNotNull(), 1).otherwise(0))
+         .cast("long").alias("nb_scored"))
+
+
 def q_robots_gate(spark, sf_dir):
     """Dormant: RFC 9309 robots verdicts (ops/robots.py) over synthesized
     per-host policies; the oracle recomputes the expected decisions with
@@ -1537,6 +1588,7 @@ def _dormant_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     them."""
     return {
         "webclean_corpus": q_webclean_corpus,
+        "webclean_full": q_webclean_full,
         "robots_gate": q_robots_gate,
         "pagerank_top": q_pagerank_top,
         "semdedup_stats": q_semdedup_stats,

@@ -53,7 +53,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hashed_ngram_buckets", "train_hashed_lm", "dsir_weights",
-    "dsir_resample", "train_nb", "score_nb",
+    "dsir_resample", "train_nb", "score_nb", "train_nb_from_pairs",
+    "score_nb_from_pairs",
 ]
 
 _M31 = 2147483647  # 2^31 - 1: modulus for hash -> uniform(0,1)
@@ -241,6 +242,16 @@ def train_nb(df: DataFrame, label_col: str = "label", text_col: str = "text",
         F.col(label_col).alias("label"),
         F.explode(hashed_ngram_buckets(F.col(text_col), n, buckets)).alias("bucket"),
     )
+    return train_nb_from_pairs(
+        lb, df.select(F.col(label_col).alias("label")), buckets)
+
+
+def train_nb_from_pairs(lb: DataFrame, doc_labels: DataFrame, buckets: int):
+    """NB model build over PREBUILT (label, bucket) feature pairs —
+    shared by the word-n-gram quality classifier above and the char-
+    n-gram language identifier (ops/langid.py). ``doc_labels`` is one
+    (label) row per training document (for the priors). Same plan shape:
+    one (label, bucket) shuffle + bounded label-sized collects."""
     counts = lb.groupBy("label", "bucket").agg(F.count(F.lit(1)).alias("c"))
     label_totals = counts.groupBy("label").agg(F.sum("c").alias("total"))
     model = (
@@ -250,7 +261,7 @@ def train_nb(df: DataFrame, label_col: str = "label", text_col: str = "text",
             F.log((F.col("c") + 1.0) / (F.col("total") + F.lit(float(buckets)))).alias("logp"),
         )
     )
-    doc_counts = df.groupBy(F.col(label_col).alias("label")).agg(
+    doc_counts = doc_labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("docs")
     )
     rows = (
@@ -281,6 +292,13 @@ def score_nb(df: DataFrame, model: DataFrame, priors: list,
     sentinel (no extra join), so callers can join back without losing
     rows."""
     doc = _doc_buckets(df, id_col, text_col, n, buckets, keep_empty=True)
+    return score_nb_from_pairs(doc, model, priors)
+
+
+def score_nb_from_pairs(doc: DataFrame, model: DataFrame,
+                        priors: list) -> DataFrame:
+    """NB scoring over PREBUILT (id, bucket) pairs (null-bucket sentinel
+    rows = featureless docs) — shared with ops/langid.py."""
     wide = F.broadcast(
         model.groupBy("bucket").agg(
             F.map_from_entries(F.collect_list(F.struct("label", "logp"))).alias("lp")

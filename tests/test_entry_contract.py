@@ -110,3 +110,14 @@ def test_dormant_webclean_corpus_smoke(spark, sf_dir):
     assert len(rows) == 1
     d = rows[0].asDict()
     assert all(v is None or v >= 0 for v in d.values()), d
+
+
+def test_dormant_webclean_full_smoke(spark, sf_dir):
+    """Rows-only gate for the full selection/assembly prep: one
+    accounting row whose counters are internally consistent."""
+    rows = entry_mod.extra_queries()["webclean_full"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    d = rows[0].asDict()
+    assert d["docs_kept"] > 0 and d["n_shards"] >= 1
+    assert d["nb_scored"] == d["docs_kept"]  # every kept doc was scored
+    assert d["total_tokens"] > 0
