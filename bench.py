@@ -682,6 +682,19 @@ def _write_baseline(result: dict) -> None:
     ]
     for q, s in result["queries"].items():
         lines.append(f"| {q} | {s} |")
+    if result.get("tail_queries"):
+        lines += [
+            "",
+            "Selection/assembly tail (timed SEPARATELY from the headline",
+            "total — the corpus prep with embeddings -> SemDeDup -> NB",
+            "scoring -> DSIR resample -> shard packing, from a persisted",
+            "embedded input):",
+            "",
+            "| tail query | sec |",
+            "| --- | --- |",
+        ]
+        for q, s in result["tail_queries"].items():
+            lines.append(f"| {q} | {s} |")
     lines += [
         "",
         "Reference anchor (BASELINE.md): single Node process ≈3.1 docs/sec",
