@@ -1502,6 +1502,49 @@ def q_host_boilerplate(spark, sf_dir):
 
 
 _BM25_QUERY = "vector hash join"
+# batch workload for the one-scan batch ranking path: overlapping terms
+# across queries (df/idf shared), one no-hit query (must yield no rows)
+_BM25_BATCH = [("q_vh", "vector hash join"),
+               ("q_sf", "stream filter sort"),
+               ("q_cb", "customer query batch"),
+               ("q_no", "zzznomatch")]
+
+
+def _bm25_sql(terms: list, limit: int) -> str:
+    """DuckDB recomputation of the published BM25 formula for one query's
+    ``terms`` (k1=1.2, b=0.75, 4-dp rounding, doc_id tie-break) — shared
+    by the single-query and batch oracles so the math exists once."""
+    tf_defs = ",\n                     ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_defs = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms)))
+    score_terms = " + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN ln((n - df_{i} + 0.5)/(df_{i} + 0.5) + 1.0)"
+        f" * tf_{i} * 2.2 / (tf_{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        f" ELSE 0.0 END" for i in range(len(terms)))
+    matched_terms = " + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms)))
+    return f"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id, len(toks) AS dl,
+                     {tf_defs}
+              FROM t),
+            s AS (SELECT COUNT(*) AS n, avg(dl) AS avgdl, {df_defs} FROM f),
+            scored AS (
+              SELECT doc_id,
+                     round({score_terms}, 4) AS score,
+                     CAST({matched_terms} AS INT) AS matched_terms
+              FROM f, s)
+            SELECT doc_id, score, matched_terms FROM scored
+            WHERE matched_terms > 0
+            ORDER BY score DESC, doc_id LIMIT {limit}
+        """
 
 
 def q_bm25_search(spark, sf_dir):
@@ -1514,6 +1557,19 @@ def q_bm25_search(spark, sf_dir):
 
     return bm25_search(_t(spark, sf_dir, "documents"), _BM25_QUERY,
                        id_col="doc_id", text_col="text", topk=25)
+
+
+def q_bm25_batch(spark, sf_dir):
+    """Dormant: the ONE-corpus-scan batch ranking path
+    (ops/search.py bm25_search_batch, VERDICT r4 task #3) over a fixed
+    4-query workload with overlapping terms and one no-hit query. The
+    oracle recomputes each query's ranking independently (same shared
+    SQL generator as the single-query oracle) and unions them, so the
+    batch path's tf/df/score math must agree with N independent runs."""
+    from pdfextractor_spark.ops.search import bm25_search_batch
+
+    return bm25_search_batch(_t(spark, sf_dir, "documents"), _BM25_BATCH,
+                             id_col="doc_id", text_col="text", topk=10)
 
 
 def q_page_meta(spark, sf_dir):
@@ -1589,6 +1645,7 @@ def _dormant_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "webclean_corpus": q_webclean_corpus,
         "webclean_full": q_webclean_full,
+        "bm25_batch": q_bm25_batch,
         "robots_gate": q_robots_gate,
         "pagerank_top": q_pagerank_top,
         "semdedup_stats": q_semdedup_stats,
@@ -1605,40 +1662,14 @@ def _dormant_oracle_sql() -> dict[str, str]:
     # tokenize + dedup — a divergent oracle-side analysis would silently
     # fake red/green parity if the query constant ever changes
     from pdfextractor_spark.ops.search import tokenize_query as _tq
-    terms = _tq(_BM25_QUERY)
-    tf_defs = ",\n                     ".join(
-        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
-        for i, t in enumerate(terms))
-    df_defs = ", ".join(
-        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
-        for i in range(len(terms)))
-    score_terms = " + ".join(
-        f"CASE WHEN tf_{i} > 0 THEN ln((n - df_{i} + 0.5)/(df_{i} + 0.5) + 1.0)"
-        f" * tf_{i} * 2.2 / (tf_{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
-        f" ELSE 0.0 END" for i in range(len(terms)))
-    matched_terms = " + ".join(
-        f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms)))
-    bm25_sql = f"""
-            WITH t AS (
-              SELECT doc_id,
-                     regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
-              FROM documents),
-            f AS (
-              SELECT doc_id, len(toks) AS dl,
-                     {tf_defs}
-              FROM t),
-            s AS (SELECT COUNT(*) AS n, avg(dl) AS avgdl, {df_defs} FROM f),
-            scored AS (
-              SELECT doc_id,
-                     round({score_terms}, 4) AS score,
-                     CAST({matched_terms} AS INT) AS matched_terms
-              FROM f, s)
-            SELECT doc_id, score, matched_terms FROM scored
-            WHERE matched_terms > 0
-            ORDER BY score DESC, doc_id LIMIT 25
-        """
+    bm25_sql = _bm25_sql(_tq(_BM25_QUERY), 25)
+    bm25_batch_sql = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS query_id, doc_id, score, matched_terms FROM ("
+        + _bm25_sql(_tq(q), 10) + ")"
+        for qid, q in _BM25_BATCH if _tq(q))
     return {
         "bm25_search": bm25_sql,
+        "bm25_batch": bm25_batch_sql,
         "host_boilerplate": """
             -- analytic recomputation: the nav line is in 100% of each
             -- host's docs (dropped where the host has >= 2 docs); the

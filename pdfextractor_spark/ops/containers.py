@@ -32,6 +32,8 @@ import struct
 __all__ = [
     "parse_mp3", "make_mp3", "parse_mp4", "make_mp4",
     "mp4_sample_tables", "mp4_extract_samples", "make_mp4_media",
+    "parse_webp", "make_webp", "parse_tiff", "make_tiff",
+    "parse_flac", "make_flac",
 ]
 
 
@@ -493,3 +495,216 @@ def make_mp4(width: int, height: int, duration_sec: float,
     moov = _box(b"moov", mvhd + traks)
     ftyp = _box(b"ftyp", b"mp42\x00\x00\x00\x00mp42isom")
     return ftyp + moov + _box(b"mdat", b"")
+
+
+# --------------------------------------------------------------------------
+# Crawl-common image/audio header parses: WebP, TIFF, FLAC (round 5).
+# Same philosophy as the MP3/MP4 walks above: real dimensions/durations
+# from the published container layouts (RIFF/VP8 payload headers, TIFF 6.0
+# IFDs, FLAC STREAMINFO) with the entropy-coded PIXEL/SAMPLE decode staying
+# behind the declared stub boundary.
+
+def parse_webp(data: bytes) -> dict:
+    """RIFF WebP container -> {width, height, format, alpha, animation}.
+
+    Reads the actual codec payload headers, not just the container:
+    - ``VP8 `` (lossy): 3-byte frame tag (keyframe check) + the
+      9D 01 2A start code, then 14-bit LE width/height;
+    - ``VP8L`` (lossless): 0x2F signature then 14+14 bits LSB-first;
+    - ``VP8X`` (extended): 24-bit LE canvas minus-one fields (flags
+      carry alpha/animation) — still cross-read against the inner
+      VP8/VP8L chunk when present.
+    Raises ValueError on non-WebP or truncated payloads."""
+    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP RIFF container")
+    riff_end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
+    pos = 12
+    out: dict = {"width": 0, "height": 0, "format": None,
+                 "alpha": False, "animation": False}
+    while pos + 8 <= riff_end:
+        fourcc = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        p = pos + 8
+        if p + size > len(data):
+            size = max(0, len(data) - p)  # truncated final chunk
+        chunk = data[p:p + size]
+        if fourcc == b"VP8X" and size >= 10:
+            out["format"] = out["format"] or "VP8X"
+            out["alpha"] = bool(chunk[0] & 0x10)
+            out["animation"] = bool(chunk[0] & 0x02)
+            w = 1 + (chunk[4] | (chunk[5] << 8) | (chunk[6] << 16))
+            h = 1 + (chunk[7] | (chunk[8] << 8) | (chunk[9] << 16))
+            out["width"], out["height"] = w, h
+        elif fourcc == b"VP8 " and size >= 10:
+            # frame tag: bit 0 of byte 0 = 0 for keyframe
+            if (chunk[0] & 1) == 0 and chunk[3:6] == b"\x9d\x01\x2a":
+                w = struct.unpack("<H", chunk[6:8])[0] & 0x3FFF
+                h = struct.unpack("<H", chunk[8:10])[0] & 0x3FFF
+                out["format"] = out["format"] or "VP8"
+                if not out["width"]:
+                    out["width"], out["height"] = w, h
+        elif fourcc == b"VP8L" and size >= 5 and chunk[0] == 0x2F:
+            bits = struct.unpack("<I", chunk[1:5])[0]
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            out["format"] = out["format"] or "VP8L"
+            out["alpha"] = out["alpha"] or bool((bits >> 28) & 1)
+            if not out["width"]:
+                out["width"], out["height"] = w, h
+        pos = p + size + (size & 1)  # chunks pad to even
+    if out["format"] is None or not out["width"]:
+        raise ValueError("no decodable WebP bitstream header")
+    return out
+
+
+def make_webp(width: int, height: int, fmt: str = "VP8L",
+              alpha: bool = False, animation: bool = False) -> bytes:
+    """Minimal WebP with a bit-exact codec payload HEADER (the pixel
+    entropy stream is a dummy — fixtures test the header parse)."""
+    if fmt == "VP8L":
+        bits = ((width - 1) & 0x3FFF) | (((height - 1) & 0x3FFF) << 14) \
+            | ((1 if alpha else 0) << 28)
+        payload = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    elif fmt == "VP8":
+        tag = b"\x10\x00\x00"  # keyframe (bit0=0), version 0, show_frame
+        payload = (tag + b"\x9d\x01\x2a"
+                   + struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+                   + b"\x00" * 8)
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    elif fmt == "VP8X":
+        flags = (0x10 if alpha else 0) | (0x02 if animation else 0)
+        payload = (bytes([flags, 0, 0, 0])
+                   + struct.pack("<I", width - 1)[:3]
+                   + struct.pack("<I", height - 1)[:3])
+        chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    else:
+        raise ValueError(f"unknown WebP fmt {fmt}")
+    if len(chunk) % 2:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_tiff(data: bytes, max_entries: int = 4096) -> dict:
+    """TIFF 6.0 header + first-IFD walk (both endiannesses) ->
+    {width, height, compression, bits_per_sample, n_ifds}. Entry and
+    IFD counts are bomb-guarded; inline SHORT/LONG values only (the
+    fields a metadata pipeline filters on are always inline)."""
+    if len(data) < 8:
+        raise ValueError("truncated TIFF")
+    if data[:4] == b"II\x2a\x00":
+        e = "<"
+    elif data[:4] == b"MM\x00\x2a":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = struct.unpack(e + "I", data[4:8])
+    out = {"width": 0, "height": 0, "compression": 1,
+           "bits_per_sample": 1, "n_ifds": 0}
+    seen = set()
+    while ifd_off and ifd_off + 2 <= len(data) and ifd_off not in seen:
+        seen.add(ifd_off)
+        out["n_ifds"] += 1
+        (n,) = struct.unpack(e + "H", data[ifd_off:ifd_off + 2])
+        if n > max_entries:
+            raise ValueError(f"IFD declares {n} entries")
+        base = ifd_off + 2
+        for i in range(n):
+            ent = data[base + 12 * i:base + 12 * i + 12]
+            if len(ent) < 12:
+                break
+            tag, typ = struct.unpack(e + "HH", ent[:4])
+            if typ == 3:        # SHORT, inline in the first 2 value bytes
+                (val,) = struct.unpack(e + "H", ent[8:10])
+            elif typ == 4:      # LONG
+                (val,) = struct.unpack(e + "I", ent[8:12])
+            else:
+                continue
+            if out["n_ifds"] == 1:  # first image's geometry wins
+                if tag == 256:
+                    out["width"] = val
+                elif tag == 257:
+                    out["height"] = val
+                elif tag == 259:
+                    out["compression"] = val
+                elif tag == 258:
+                    out["bits_per_sample"] = val
+        nxt = base + 12 * n
+        if nxt + 4 > len(data) or out["n_ifds"] > 64:
+            break
+        (ifd_off,) = struct.unpack(e + "I", data[nxt:nxt + 4])
+    if not out["width"] or not out["height"]:
+        raise ValueError("TIFF carries no ImageWidth/ImageLength")
+    return out
+
+
+def make_tiff(width: int, height: int, big_endian: bool = False,
+              compression: int = 1, n_ifds: int = 1) -> bytes:
+    """Minimal multi-IFD TIFF (header fields only, no strip data)."""
+    e = ">" if big_endian else "<"
+    head = (b"MM\x00\x2a" if big_endian else b"II\x2a\x00") \
+        + struct.pack(e + "I", 8)
+    out = bytearray(head)
+    off = 8
+    for k in range(n_ifds):
+        tags = [(256, 3, width), (257, 3, height), (258, 3, 8),
+                (259, 3, compression)]
+        ifd = struct.pack(e + "H", len(tags))
+        for tag, typ, val in tags:
+            ifd += struct.pack(e + "HHI", tag, typ, 1) \
+                + struct.pack(e + "H", val) + b"\x00\x00"
+        nxt = off + 2 + 12 * len(tags) + 4
+        ifd += struct.pack(e + "I", nxt if k + 1 < n_ifds else 0)
+        out += ifd
+        off = nxt
+    return bytes(out)
+
+
+def parse_flac(data: bytes) -> dict:
+    """FLAC STREAMINFO (the mandatory first metadata block) ->
+    {sample_rate, channels, bits_per_sample, total_samples,
+    duration_sec, n_meta_blocks}. Sample DECODE stays stubbed."""
+    if len(data) < 8 or data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    out = None
+    n_blocks = 0
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        btype = hdr & 0x7F
+        (length,) = struct.unpack(">I", b"\x00" + data[pos + 1:pos + 4])
+        body = data[pos + 4:pos + 4 + length]
+        n_blocks += 1
+        if btype == 0 and len(body) >= 18:  # STREAMINFO
+            bits = int.from_bytes(body[10:18], "big")
+            rate = (bits >> 44) & 0xFFFFF
+            channels = ((bits >> 41) & 0x7) + 1
+            bps = ((bits >> 36) & 0x1F) + 1
+            total = bits & ((1 << 36) - 1)
+            out = {"sample_rate": rate, "channels": channels,
+                   "bits_per_sample": bps, "total_samples": total,
+                   "duration_sec": (total / rate) if rate else 0.0}
+        if hdr & 0x80:  # last-metadata-block flag
+            break
+        pos += 4 + length
+        if n_blocks > 1024:
+            raise ValueError("metadata block bomb")
+    if out is None:
+        raise ValueError("no STREAMINFO block")
+    out["n_meta_blocks"] = n_blocks
+    return out
+
+
+def make_flac(sample_rate: int = 44100, channels: int = 2,
+              total_samples: int = 44100, bits_per_sample: int = 16) -> bytes:
+    """Minimal FLAC: fLaC magic + one last STREAMINFO block (no frames)."""
+    bits = ((sample_rate & 0xFFFFF) << 44) \
+        | (((channels - 1) & 0x7) << 41) \
+        | (((bits_per_sample - 1) & 0x1F) << 36) \
+        | (total_samples & ((1 << 36) - 1))
+    body = (struct.pack(">HH", 4096, 4096)      # min/max block size
+            + b"\x00\x00\x00" * 2               # min/max frame size (u24)
+            + bits.to_bytes(8, "big")
+            + b"\x00" * 16)                     # md5 of unencoded audio
+    return b"fLaC" + bytes([0x80]) + struct.pack(">I", len(body))[1:] + body

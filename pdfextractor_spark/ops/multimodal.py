@@ -618,6 +618,40 @@ def _decode_payload(kind: str, payload: bytes) -> dict:
         dur, _fr, samples = decode_wav(payload)
         return {"width": None, "height": None, "duration_sec": round(dur, 3),
                 "feature": _audio_features(samples)}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # WebP: real dims from the VP8/VP8L/VP8X bitstream headers
+        # (ops/containers.py); VP8 pixel entropy decode stays stubbed.
+        from .containers import parse_webp
+
+        m = parse_webp(bytes(payload))
+        return {"width": int(m["width"]), "height": int(m["height"]),
+                "duration_sec": None,
+                "feature": _container_features(
+                    float(m["width"]), float(m["height"]),
+                    1.0 if m["alpha"] else 0.0,
+                    1.0 if m["animation"] else 0.0, float(len(payload)))}
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        # TIFF: first-IFD geometry (both endiannesses), bomb-guarded.
+        from .containers import parse_tiff
+
+        m = parse_tiff(bytes(payload))
+        return {"width": int(m["width"]), "height": int(m["height"]),
+                "duration_sec": None,
+                "feature": _container_features(
+                    float(m["width"]), float(m["height"]),
+                    float(m["bits_per_sample"]), float(m["compression"]),
+                    float(m["n_ifds"]))}
+    if payload[:4] == b"fLaC":
+        # FLAC: STREAMINFO duration/rate/channels; sample decode stubbed.
+        from .containers import parse_flac
+
+        m = parse_flac(bytes(payload))
+        return {"width": None, "height": None,
+                "duration_sec": round(m["duration_sec"], 3),
+                "feature": _container_features(
+                    m["duration_sec"], m["sample_rate"] / 48000.0,
+                    float(m["channels"]), float(m["bits_per_sample"]),
+                    float(m["total_samples"]))}
     if payload[:2] in (b"P5", b"P6"):
         # PNM: ASCII header then raw samples
         parts = payload.split(maxsplit=4)

@@ -105,3 +105,67 @@ def test_adts_payload_through_spark(spark):
     assert abs(out[1]["duration_sec"] - 86 * 1024 / 44100.0) < 0.01
     assert len(out[1]["feature"]) == 8
     assert out[2]["error"] is not None
+
+
+def test_webp_tiff_flac_round_trips():
+    """Header-level parses for the three round-5 crawl formats, against
+    their encoder twins plus malformed-input guards."""
+    import pytest
+
+    from pdfextractor_spark.ops.containers import (
+        make_flac, make_tiff, make_webp, parse_flac, parse_tiff, parse_webp,
+    )
+
+    for fmt in ("VP8", "VP8L", "VP8X"):
+        m = parse_webp(make_webp(640, 360, fmt))
+        assert (m["width"], m["height"], m["format"]) == (640, 360, fmt)
+    assert parse_webp(make_webp(16383, 4, "VP8"))["width"] == 16383
+    x = parse_webp(make_webp(32, 16, "VP8X", alpha=True, animation=True))
+    assert x["alpha"] and x["animation"]
+    assert parse_webp(make_webp(32, 16, "VP8L", alpha=True))["alpha"]
+    with pytest.raises(ValueError):
+        parse_webp(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        parse_webp(b"RIFF\x10\x00\x00\x00WEBPJUNK\x04\x00\x00\x00abcd")
+
+    for be in (False, True):
+        t = parse_tiff(make_tiff(800, 600, big_endian=be, n_ifds=3))
+        assert (t["width"], t["height"], t["n_ifds"]) == (800, 600, 3)
+        assert t["bits_per_sample"] == 8 and t["compression"] == 1
+    with pytest.raises(ValueError):
+        parse_tiff(b"II\x2a\x00" + b"\xff" * 16)  # huge entry count bomb
+    with pytest.raises(ValueError):
+        parse_tiff(b"PK\x03\x04")
+
+    f = parse_flac(make_flac(48000, 2, 96000, bits_per_sample=24))
+    assert f["sample_rate"] == 48000 and f["channels"] == 2
+    assert f["bits_per_sample"] == 24
+    assert f["duration_sec"] == 96000 / 48000
+    with pytest.raises(ValueError):
+        parse_flac(b"fLaC")  # no STREAMINFO
+    with pytest.raises(ValueError):
+        parse_flac(b"OggS\x00\x00")
+
+
+def test_webp_tiff_flac_through_spark(spark):
+    """The three formats decode real metadata through decode_media;
+    corrupt variants stay per-row errors."""
+    from pdfextractor_spark.ops.containers import make_flac, make_tiff, make_webp
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(make_webp(320, 200, "VP8L")), "image/webp"),
+         (2, "image", bytearray(make_webp(1920, 1080, "VP8X")), "image/webp"),
+         (3, "image", bytearray(make_tiff(1024, 768, big_endian=True)),
+          "image/tiff"),
+         (4, "audio", bytearray(make_flac(44100, 1, 220500)), "audio/flac"),
+         (5, "image", bytearray(b"II\x2a\x00" + b"\xff" * 8), "image/tiff")],
+        "media_id long, kind string, payload binary, mime string")
+    out = {r["media_id"]: r for r in
+           decode_media(media, num_partitions=2).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (320, 200)
+    assert (out[2]["width"], out[2]["height"]) == (1920, 1080)
+    assert (out[3]["width"], out[3]["height"]) == (1024, 768)
+    assert out[4]["duration_sec"] == 5.0 and out[4]["width"] is None
+    for i in (1, 2, 3, 4):
+        assert out[i]["error"] is None and len(out[i]["feature"]) == 8
+    assert out[5]["error"] is not None  # corrupt TIFF: per-row error
