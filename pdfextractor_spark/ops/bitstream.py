@@ -36,6 +36,7 @@ __all__ = [
     "parse_h264_sps", "make_h264_sps", "parse_h265_sps", "make_h265_sps",
     "parse_adts", "make_adts", "parse_avcc", "make_avcc",
     "parse_hvcc", "make_hvcc", "stream_dims_from_codec_private",
+    "parse_annexb", "make_annexb",
 ]
 
 
@@ -535,3 +536,103 @@ def stream_dims_from_codec_private(fourcc: str, record: bytes) -> dict | None:
     except ValueError:
         return None
     return None
+
+
+# ------------------------------------------------------- Annex-B walk --
+
+def parse_annexb(data: bytes, max_nals: int = 200_000) -> dict:
+    """Walk an H.264/H.265 Annex-B elementary stream (00 00 01 /
+    00 00 00 01 start codes) -> {codec, width, height, profile_idc,
+    level_idc, n_nals, n_frames}.
+
+    The codec is detected from which NAL-header layout yields an SPS
+    that parses (H.264 nal_unit_type 7 in the low 5 bits vs H.265 type
+    33 in bits 1-6). ``n_frames`` counts picture STARTS the way a
+    decoder does: H.264 VCL NALs (types 1-5) whose first_mb_in_slice
+    Exp-Golomb is 0, H.265 VCL NALs (types 0-21) whose
+    first_slice_segment_in_pic_flag is set — so multi-slice pictures
+    count once. Raises ValueError when no SPS is found."""
+    # start-code scan
+    nals = []
+    i = 0
+    n = len(data)
+    while i + 3 <= n and len(nals) < max_nals:
+        j = data.find(b"\x00\x00\x01", i)
+        if j < 0:
+            break
+        start = j + 3
+        k = data.find(b"\x00\x00\x01", start)
+        end = n if k < 0 else (k - 1 if k > 0 and data[k - 1] == 0 else k)
+        nals.append(data[start:end])
+        i = start
+    if not nals:
+        raise ValueError("no Annex-B start codes")
+    sps_meta = None
+    codec = None
+    for nal in nals:
+        if not nal:
+            continue
+        if (nal[0] & 0x1F) == 7 and (nal[0] & 0x80) == 0:
+            try:
+                sps_meta = parse_h264_sps(nal)
+                codec = "h264"
+                break
+            except ValueError:
+                pass
+        if len(nal) >= 2 and ((nal[0] >> 1) & 0x3F) == 33 \
+                and (nal[0] & 0x80) == 0:
+            try:
+                sps_meta = parse_h265_sps(nal)
+                codec = "h265"
+                break
+            except ValueError:
+                pass
+    if sps_meta is None:
+        raise ValueError("no parseable SPS NAL in stream")
+    n_frames = 0
+    for nal in nals:
+        if len(nal) < 2:
+            continue
+        if codec == "h264":
+            ntype = nal[0] & 0x1F
+            if 1 <= ntype <= 5:
+                r = _BitReader(_strip_emulation(nal[1:3]))
+                try:
+                    if r.ue() == 0:  # first_mb_in_slice
+                        n_frames += 1
+                except ValueError:
+                    pass
+        else:
+            ntype = (nal[0] >> 1) & 0x3F
+            if ntype <= 21:  # VCL range incl. IRAP
+                if nal[2] & 0x80:  # first_slice_segment_in_pic_flag
+                    n_frames += 1
+    return {"codec": codec, "width": sps_meta["width"],
+            "height": sps_meta["height"],
+            "profile_idc": sps_meta["profile_idc"],
+            "level_idc": sps_meta["level_idc"],
+            "n_nals": len(nals), "n_frames": n_frames}
+
+
+def make_annexb(width: int, height: int, n_frames: int = 3,
+                codec: str = "h264", slices_per_frame: int = 1) -> bytes:
+    """Minimal Annex-B stream: SPS + per-frame VCL NAL headers (slice
+    payloads are dummies; only the fields parse_annexb reads are real)."""
+    sc = b"\x00\x00\x00\x01"
+    if codec == "h264":
+        out = sc + make_h264_sps(width, height)
+        for _ in range(n_frames):
+            for s in range(slices_per_frame):
+                # nal type 5 (IDR); slice header starts with
+                # first_mb_in_slice ue: '1' = 0 (frame start) for the
+                # first slice, ue(1)='010' + pad for continuations
+                body = b"\x80" if s == 0 else b"\x40"
+                out += sc + b"\x65" + body + bytes(8)
+    else:
+        out = sc + make_h265_sps(width, height)
+        for _ in range(n_frames):
+            for s in range(slices_per_frame):
+                hdr = bytes([19 << 1, 1])  # IDR_W_RADL, tid+1=1
+                body = b"\x80" if s == 0 else b"\x00"
+                out += sc + hdr + body + bytes(8)
+    return out

@@ -33,7 +33,7 @@ __all__ = [
     "parse_mp3", "make_mp3", "parse_mp4", "make_mp4",
     "mp4_sample_tables", "mp4_extract_samples", "make_mp4_media",
     "parse_webp", "make_webp", "parse_tiff", "make_tiff",
-    "parse_flac", "make_flac",
+    "parse_flac", "make_flac", "parse_heif", "make_heif",
 ]
 
 
@@ -708,3 +708,73 @@ def make_flac(sample_rate: int = 44100, channels: int = 2,
             + bits.to_bytes(8, "big")
             + b"\x00" * 16)                     # md5 of unencoded audio
     return b"fLaC" + bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+
+
+_HEIF_BRANDS = {b"avif", b"avis", b"heic", b"heix", b"hevc", b"mif1",
+                b"msf1", b"heim", b"heis"}
+
+
+def parse_heif(data: bytes) -> dict:
+    """AVIF/HEIF still image (ISO 23008-12 over ISO BMFF) ->
+    {brand, width, height, n_items, alpha}.
+
+    These files carry no ``moov``: the image lives under
+    ``meta`` (a FullBox) -> ``iprp`` -> ``ipco``, whose ``ispe``
+    property boxes hold the pixel dimensions. The LARGEST ispe wins
+    (smaller ones are thumbnails/alpha planes); ``auxC`` presence
+    marks an auxiliary (usually alpha) item. Raises ValueError when
+    no ispe is found."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file")
+    brand = data[8:12]
+    if brand not in _HEIF_BRANDS:
+        raise ValueError(f"not a HEIF/AVIF brand: {brand!r}")
+    best = (0, 0)
+    n_items = 0
+    alpha = False
+    for btype, p0, p1 in _walk_boxes(data, 0, len(data)):
+        if btype != b"meta":
+            continue
+        # meta is a FullBox: 4 bytes version/flags precede its children
+        for ctype, c0, c1 in _walk_boxes(data, p0 + 4, p1):
+            if ctype == b"iinf" and c1 - c0 >= 6:
+                version = data[c0]
+                off = c0 + 4
+                if version == 0:
+                    n_items = struct.unpack(">H", data[off:off + 2])[0]
+                else:
+                    n_items = struct.unpack(">I", data[off:off + 4])[0]
+            elif ctype == b"iprp":
+                for ptype, q0, q1 in _walk_boxes(data, c0, c1):
+                    if ptype != b"ipco":
+                        continue
+                    for etype, r0, r1 in _walk_boxes(data, q0, q1):
+                        if etype == b"ispe" and r1 - r0 >= 12:
+                            w, h = struct.unpack(
+                                ">II", data[r0 + 4:r0 + 12])
+                            if w * h > best[0] * best[1]:
+                                best = (w, h)
+                        elif etype == b"auxC":
+                            alpha = True
+    if not best[0]:
+        raise ValueError("no ispe property: not a decodable HEIF image")
+    return {"brand": brand.decode("latin-1"), "width": best[0],
+            "height": best[1], "n_items": n_items, "alpha": alpha}
+
+
+def make_heif(width: int, height: int, brand: bytes = b"avif",
+              alpha: bool = False, thumb: tuple | None = None) -> bytes:
+    """Minimal AVIF/HEIF: ftyp + meta(iinf + iprp(ipco(ispe...)))."""
+    ftyp = _box(b"ftyp", brand + b"\x00\x00\x00\x00" + brand + b"mif1")
+    ispe = _box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", width, height))
+    props = ispe
+    if thumb is not None:
+        props += _box(b"ispe", b"\x00\x00\x00\x00"
+                      + struct.pack(">II", *thumb))
+    if alpha:
+        props += _box(b"auxC", b"\x00\x00\x00\x00"
+                      b"urn:mpeg:mpegB:cicp:systems:auxiliary:alpha\x00")
+    iinf = _box(b"iinf", b"\x00\x00\x00\x00" + struct.pack(">H", 2 if alpha else 1))
+    meta = _box(b"meta", b"\x00\x00\x00\x00" + iinf
+                + _box(b"iprp", _box(b"ipco", props)))
+    return ftyp + meta + _box(b"mdat", b"\x00" * 16)

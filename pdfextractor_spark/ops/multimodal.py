@@ -684,6 +684,20 @@ def _decode_payload(kind: str, payload: bytes) -> dict:
                     m["sample_rate"] / 48000.0, float(m["n_frames"]),
                     float(m["channels"]))}
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from .containers import _HEIF_BRANDS
+
+        if payload[8:12] in _HEIF_BRANDS:
+            # AVIF/HEIF still image: no moov — dims come from the meta->
+            # iprp->ipco ispe properties; AV1/HEVC pixel decode stubbed.
+            from .containers import parse_heif
+
+            m = parse_heif(bytes(payload))
+            return {"width": int(m["width"]), "height": int(m["height"]),
+                    "duration_sec": None,
+                    "feature": _container_features(
+                        float(m["width"]), float(m["height"]),
+                        float(m["n_items"]), 1.0 if m["alpha"] else 0.0,
+                        float(len(payload)))}
         # MP4/ISO-BMFF: box walk gives real dims/duration/track count.
         # When the container carries a complete sample table AND a codec
         # we own (MJPEG / PCM), the FIRST sample decodes for real and the
@@ -732,6 +746,18 @@ def _decode_payload(kind: str, payload: bytes) -> dict:
                     out["width"], out["height"] = f["width"], f["height"]
                 break
         return out
+    if payload[:3] == b"\x00\x00\x01" or payload[:4] == b"\x00\x00\x00\x01":
+        # H.26x Annex-B elementary stream: SPS dims + picture-start count
+        # from the NAL walk (ops/bitstream.py); slice decode stays stubbed.
+        from .bitstream import parse_annexb
+
+        m = parse_annexb(bytes(payload))
+        return {"width": int(m["width"]), "height": int(m["height"]),
+                "duration_sec": None,
+                "feature": _container_features(
+                    float(m["width"]), float(m["height"]),
+                    float(m["n_frames"]), float(m["n_nals"]),
+                    float(m["level_idc"]))}
     raise NotImplementedError(
         f"{kind}: compressed codec not available in this container "
         f"(magic {payload[:4]!r}); plug PIL/ffmpeg into _decode_payload"

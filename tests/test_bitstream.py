@@ -220,3 +220,25 @@ def test_avcc_hvcc_records_round_trip():
 def test_struct_pack_sanity():
     # the records use big-endian u16 lengths throughout
     assert struct.pack(">H", 854) == bytes([3, 86])
+
+
+def test_annexb_stream_walk():
+    """Annex-B NAL walk: SPS dims + picture-start frame counting (multi-
+    slice pictures count once), codec auto-detection, junk rejection."""
+    from pdfextractor_spark.ops.bitstream import make_annexb, parse_annexb
+
+    m = parse_annexb(make_annexb(1280, 720, n_frames=5))
+    assert (m["codec"], m["width"], m["height"]) == ("h264", 1280, 720)
+    assert m["n_frames"] == 5 and m["n_nals"] == 6
+    # 3 slices per picture must still count 4 pictures
+    ms = parse_annexb(make_annexb(640, 480, n_frames=4, slices_per_frame=3))
+    assert ms["n_frames"] == 4 and ms["n_nals"] == 13
+    m5 = parse_annexb(make_annexb(1920, 1080, n_frames=2, codec="h265"))
+    assert (m5["codec"], m5["width"], m5["n_frames"]) == ("h265", 1920, 2)
+    m5s = parse_annexb(
+        make_annexb(832, 480, n_frames=3, codec="h265", slices_per_frame=2))
+    assert m5s["n_frames"] == 3
+    with pytest.raises(ValueError):
+        parse_annexb(b"\xff" * 64)  # no start codes
+    with pytest.raises(ValueError):
+        parse_annexb(b"\x00\x00\x01\x41" + bytes(8))  # VCL but no SPS

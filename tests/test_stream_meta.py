@@ -169,3 +169,36 @@ def test_webp_tiff_flac_through_spark(spark):
     for i in (1, 2, 3, 4):
         assert out[i]["error"] is None and len(out[i]["feature"]) == 8
     assert out[5]["error"] is not None  # corrupt TIFF: per-row error
+
+
+def test_heif_avif_and_annexb_through_spark(spark):
+    """AVIF/HEIF still images and raw H.26x elementary streams decode
+    real dimensions through decode_media."""
+    from pdfextractor_spark.ops.bitstream import make_annexb
+    from pdfextractor_spark.ops.containers import make_heif, parse_heif
+
+    # direct parse: biggest ispe wins, thumb/alpha accounted
+    m = parse_heif(make_heif(640, 480, brand=b"heic", alpha=True,
+                             thumb=(64, 48)))
+    assert (m["width"], m["height"], m["alpha"], m["n_items"]) == \
+        (640, 480, True, 2)
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(make_heif(1200, 800)), "image/avif"),
+         (2, "image", bytearray(make_heif(320, 240, brand=b"heic")),
+          "image/heic"),
+         (3, "video", bytearray(make_annexb(1280, 720, n_frames=6)),
+          "video/h264"),
+         (4, "video", bytearray(make_annexb(832, 480, n_frames=3,
+                                            codec="h265")), "video/h265"),
+         (5, "image", bytearray(b"\x00\x00\x00\x10ftypavif"), "image/avif")],
+        "media_id long, kind string, payload binary, mime string")
+    out = {r["media_id"]: r for r in
+           decode_media(media, num_partitions=2).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (1200, 800)
+    assert (out[2]["width"], out[2]["height"]) == (320, 240)
+    assert (out[3]["width"], out[3]["height"]) == (1280, 720)
+    assert (out[4]["width"], out[4]["height"]) == (832, 480)
+    for i in (1, 2, 3, 4):
+        assert out[i]["error"] is None, out[i]
+    assert out[5]["error"] is not None  # truncated: no meta/ispe
