@@ -1897,7 +1897,7 @@ def _live_oracle_sql() -> dict[str, str]:
         "fingerprint_dups": """
             WITH fp AS (
               SELECT doc_id,
-                     md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+                     md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{Nd} ]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
               FROM documents),
             dups AS (
               SELECT fingerprint, count(*) AS n FROM fp GROUP BY fingerprint HAVING count(*) > 1)

@@ -111,8 +111,16 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized content fingerprint: md5 over lowercased, whitespace-
-    collapsed, punctuation-stripped text (stable across engines)."""
-    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "), r"\s+", " "))
+    collapsed, punctuation-stripped text (stable across engines).
+
+    The keep-class is UNICODE letters/digits (``\\p{L}\\p{Nd}``), not
+    ``[a-z0-9]``: an ASCII-only class erases every non-Latin script, so
+    two DISTINCT CJK/Arabic/Cyrillic documents sharing the same Latin
+    residue (a common English boilerplate tail) would collide into one
+    fingerprint and dedup as "copies" (round-5 fix; the SQL oracle uses
+    the same class — RE2 and Java agree on these properties)."""
+    norm = F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower(F.col(text_col)), r"[^\p{L}\p{Nd} ]", " "), r"\s+", " "))
     return df.withColumn("fingerprint", F.md5(norm))
 
 

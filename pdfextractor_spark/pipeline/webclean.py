@@ -133,6 +133,7 @@ def prepare_training_corpus(
     filter_rows: bool = True,
     bpe_merges: list | None = None,
     nb_filter: dict | None = None,
+    langid: dict | None = None,
     semdedup: dict | None = None,
     dsir: dict | None = None,
     shard_budget: int | None = None,
@@ -189,6 +190,15 @@ def prepare_training_corpus(
       ``pred_label IN keep_labels`` into ``keep``. ``n``/``buckets``
       MUST match the values the model was trained with (bucket ids are
       hashes mod ``buckets``; a mismatch silently floors every lookup).
+    - ``langid``: ``{"model": ..., "priors": ..., "keep_langs": {...},
+      "ns": (1, 2, 3), "buckets": 4096, "max_chars": 2000}`` with
+      model/priors from ``ops.langid.train_langid`` — attaches the
+      trained char-n-gram prediction as ``lang_nb`` (the scale path
+      next to the stopword-vote ``lang`` column a pages table may
+      carry) and, when ``keep_langs`` is non-empty, folds
+      ``lang_nb IN keep_langs`` into ``keep`` (null prediction =
+      dropped, matching the NB gate's null-safe rule). ``ns``/
+      ``buckets``/``max_chars`` MUST match training.
     - ``semdedup``: ``{"vec_col": "embedding", "num_centroids": 16,
       "threshold": 0.95, ...}`` (remaining keys pass through to
       ``ops.semdedup.semdedup``) — SemDeDup semantic dedup over a
@@ -225,8 +235,9 @@ def prepare_training_corpus(
                       quality_floor=quality_floor,
                       compression_band=compression_band, redact=redact,
                       bpe_merges=bpe_merges, nb_filter=nb_filter,
-                      semdedup_cfg=semdedup,
-                      want_wcid=(nb_filter is not None or dsir is not None))
+                      langid_cfg=langid, semdedup_cfg=semdedup,
+                      want_wcid=(nb_filter is not None or dsir is not None
+                                 or langid is not None))
     if filter_rows:
         return _select_stages(df, url_col=url_col, text_col=text_col,
                               max_docs_per_host=max_docs_per_host,
@@ -249,7 +260,8 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
                  quality_floor: float | None,
                  compression_band: tuple[float, float] | None,
                  redact: bool, bpe_merges: list | None, nb_filter: dict | None,
-                 semdedup_cfg: dict | None, want_wcid: bool) -> DataFrame:
+                 langid_cfg: dict | None, semdedup_cfg: dict | None,
+                 want_wcid: bool) -> DataFrame:
     """Stages 5-11: the CORPUS-GLOBAL cleaning stages (line dedup, quality
     stats, exact content dedup, decontamination, PII, NB gate) ending in
     the combined ``keep`` flag column — rows are NOT dropped here, so the
@@ -306,10 +318,14 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
     if bpe_merges is not None:
         from ..ops.bpe import apply_bpe
         df = apply_bpe(df, bpe_merges, text_col=text_col)
-    # exact content dedup: best copy per normalized fingerprint
+    # exact content dedup: best copy per normalized fingerprint. The
+    # keep-class is Unicode letters/digits, NOT [a-z0-9]: an ASCII-only
+    # class erases every non-Latin script, so distinct CJK/Arabic docs
+    # sharing one Latin boilerplate tail would collapse as "copies"
+    # (round-5 fix, same class as ops/textstats.with_fingerprint)
     norm = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                         r"[^a-z0-9 ]", " "), r"\s+", " "))
+                         r"[^\p{L}\p{Nd} ]", " "), r"\s+", " "))
     w = Window.partitionBy(F.md5(norm)).orderBy(
         F.col("quality_score").desc(), F.col(url_col))
     df = df.withColumn("_rn", F.row_number().over(w)) \
@@ -370,6 +386,18 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
             buckets=nb_filter.get("buckets", 10_000),
         ).select(F.col("id").alias("_wcid"), "pred_label")
         df = df.join(scored, "_wcid", "left")
+    if langid_cfg is not None:
+        # trained char-n-gram lang-ID (ops/langid.py): same broadcast-
+        # model/id-agg shape as the NB gate above, sharing _wcid
+        from ..ops.langid import score_langid
+        lang_scored = score_langid(
+            df, langid_cfg["model"], langid_cfg["priors"], id_col="_wcid",
+            text_col=text_col, ns=langid_cfg.get("ns", (1, 2, 3)),
+            buckets=langid_cfg.get("buckets", 4096),
+            max_chars=langid_cfg.get("max_chars", 2000),
+        ).select(F.col("id").alias("_wcid"),
+                 F.col("pred_label").alias("lang_nb"))
+        df = df.join(lang_scored, "_wcid", "left")
     keep = (F.col("c4_keep") & ~F.col("repetition_flag")
             & ~F.col("is_contaminated")
             & (F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0))
@@ -382,6 +410,10 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
         # null and a null keep would be neither kept nor counted dropped
         keep = keep & F.coalesce(
             F.col("pred_label").isin(list(nb_filter["keep_labels"])),
+            F.lit(False))
+    if langid_cfg is not None and langid_cfg.get("keep_langs"):
+        keep = keep & F.coalesce(
+            F.col("lang_nb").isin(list(langid_cfg["keep_langs"])),
             F.lit(False))
     if "error" in df.columns:
         keep = keep & F.col("error").isNull()

@@ -194,3 +194,36 @@ def test_langid_plan_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "Python" not in plan  # all-native expressions
+
+
+def test_langid_stage_in_corpus_prep(spark):
+    """langid={...} in prepare_training_corpus attaches lang_nb and,
+    with keep_langs, gates keep on the trained prediction."""
+    from pdfextractor_spark.pipeline.webclean import prepare_training_corpus
+
+    model, priors = train_langid(_train_df(spark))
+    # native-language sentences (C4's page gate wants >= 5 '.'-terminated
+    # lines) plus a TINY unique latin marker per row: the exact-content
+    # dedup fingerprints on letter-normalized text, so identical latin
+    # residue across non-Latin docs would collapse them — and a LONG
+    # shared English suffix would honestly flip a short CJK doc's
+    # majority language
+    rows = [(f"https://site{i}.org/p", ". ".join(_TRAIN[lang]) + f". S{i}.")
+            for i, lang in enumerate(_TRAIN)]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    flagged = prepare_training_corpus(
+        pages, extract=False, dup_line_min_count=None, redact=False,
+        filter_rows=False,
+        langid={"model": model, "priors": priors})
+    got = {r["url"]: r["lang_nb"] for r in flagged.collect()}
+    langs = list(_TRAIN)
+    for i, lang in enumerate(langs):
+        assert got[f"https://site{i}.org/p"] == lang, (i, lang)
+
+    kept = prepare_training_corpus(
+        pages, extract=False, dup_line_min_count=None, redact=False,
+        filter_rows=True,
+        langid={"model": model, "priors": priors,
+                "keep_langs": {"en", "de"}})
+    kept_langs = {r["lang_nb"] for r in kept.collect()}
+    assert kept_langs == {"en", "de"}

@@ -569,3 +569,24 @@ def test_lang_guess_broad_coverage(spark):
         spark.createDataFrame([("x", "zzz qqq 12345")], "lang string, text string")
     ).first()["lang_guess"]
     assert und == "und"
+
+
+def test_fingerprint_keeps_non_latin_scripts(spark):
+    """Distinct CJK/Arabic/Cyrillic documents sharing the same Latin
+    residue must NOT share a fingerprint (the ASCII-only keep-class
+    collapsed them; round-5 fix), while true case/punct variants of the
+    same non-Latin text still collide."""
+    from pdfextractor_spark.ops.textstats import with_fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, "这是一个中文句子 shared tail"),
+         (2, "これは日本語の文です shared tail"),
+         (3, "نص عربي مختلف shared tail"),
+         (4, "Это русский текст shared tail"),
+         (5, "这是一个中文句子, SHARED   tail!"),  # punct/case variant of 1
+         (6, "shared tail")],
+        "doc_id long, text string")
+    fp = {r["doc_id"]: r["fingerprint"]
+          for r in with_fingerprint(docs).collect()}
+    assert len({fp[1], fp[2], fp[3], fp[4], fp[6]}) == 5  # all distinct
+    assert fp[5] == fp[1]  # normalization still folds case/punct
