@@ -34,6 +34,7 @@ __all__ = [
     "mp4_sample_tables", "mp4_extract_samples", "make_mp4_media",
     "parse_webp", "make_webp", "parse_tiff", "make_tiff",
     "parse_flac", "make_flac", "parse_heif", "make_heif",
+    "parse_ogg", "make_ogg",
 ]
 
 
@@ -778,3 +779,94 @@ def make_heif(width: int, height: int, brand: bytes = b"avif",
     meta = _box(b"meta", b"\x00\x00\x00\x00" + iinf
                 + _box(b"iprp", _box(b"ipco", props)))
     return ftyp + meta + _box(b"mdat", b"\x00" * 16)
+
+
+def parse_ogg(data: bytes, max_pages: int = 100_000) -> dict:
+    """Ogg container (RFC 3533) with an Opus (RFC 7845) or Vorbis id
+    header -> {codec, sample_rate, channels, duration_sec, n_pages,
+    pre_skip}.
+
+    Duration comes from the LAST audio page's granule position — PCM
+    samples at the codec rate for Vorbis, 48 kHz samples minus pre-skip
+    for Opus (the spec's playback clock regardless of the input rate
+    recorded in OpusHead). Raises ValueError on non-Ogg payloads or
+    streams with no recognized id header."""
+    if data[:4] != b"OggS":
+        raise ValueError("not an Ogg stream")
+    codec = None
+    rate = None
+    channels = None
+    pre_skip = 0
+    audio_serial = None
+    last_granule = 0
+    n_pages = 0
+    pos = 0
+    n = len(data)
+    while pos + 27 <= n and n_pages < max_pages:
+        if data[pos:pos + 4] != b"OggS":
+            break
+        n_pages += 1
+        granule = struct.unpack("<q", data[pos + 6:pos + 14])[0]
+        serial = struct.unpack("<I", data[pos + 14:pos + 18])[0]
+        n_segs = data[pos + 26]
+        seg_table = data[pos + 27:pos + 27 + n_segs]
+        body_len = sum(seg_table)
+        body = data[pos + 27 + n_segs:pos + 27 + n_segs + body_len]
+        if codec is None:
+            if body[:8] == b"OpusHead" and len(body) >= 19:
+                codec = "opus"
+                channels = body[9]
+                pre_skip = struct.unpack("<H", body[10:12])[0]
+                rate = 48000  # Opus always plays out at 48 kHz
+                audio_serial = serial
+            elif body[:7] == b"\x01vorbis" and len(body) >= 30:
+                codec = "vorbis"
+                channels = body[11]
+                rate = struct.unpack("<I", body[12:16])[0]
+                audio_serial = serial
+        if serial == audio_serial and granule >= 0:
+            last_granule = max(last_granule, granule)
+        pos += 27 + n_segs + body_len
+    if codec is None:
+        raise ValueError("no Opus/Vorbis id header in Ogg stream")
+    samples = max(0, last_granule - (pre_skip if codec == "opus" else 0))
+    return {"codec": codec, "sample_rate": rate, "channels": channels,
+            "duration_sec": samples / float(rate) if rate else 0.0,
+            "n_pages": n_pages, "pre_skip": pre_skip}
+
+
+def _ogg_page(serial: int, seq: int, granule: int, body: bytes,
+              header_type: int = 0) -> bytes:
+    segs = []
+    rest = len(body)
+    while rest >= 255:
+        segs.append(255)
+        rest -= 255
+    segs.append(rest)
+    return (b"OggS\x00" + bytes([header_type])
+            + struct.pack("<q", granule) + struct.pack("<I", serial)
+            + struct.pack("<I", seq) + b"\x00\x00\x00\x00"
+            + bytes([len(segs)]) + bytes(segs) + body)
+
+
+def make_ogg(codec: str = "opus", sample_rate: int = 48000,
+             channels: int = 2, total_samples: int = 48000,
+             pre_skip: int = 312, n_audio_pages: int = 3) -> bytes:
+    """Minimal Ogg stream: id-header page + audio pages whose final
+    granule encodes ``total_samples`` (+ pre-skip for Opus)."""
+    serial = 0x1234
+    if codec == "opus":
+        ident = (b"OpusHead\x01" + bytes([channels])
+                 + struct.pack("<H", pre_skip)
+                 + struct.pack("<I", sample_rate) + b"\x00\x00\x00")
+        final_granule = total_samples + pre_skip
+    else:
+        ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+                 + struct.pack("<I", sample_rate) + b"\x00" * 16 + b"\x01")
+        final_granule = total_samples
+    out = _ogg_page(serial, 0, 0, ident, header_type=2)
+    for i in range(n_audio_pages):
+        granule = final_granule * (i + 1) // n_audio_pages
+        ht = 4 if i == n_audio_pages - 1 else 0
+        out += _ogg_page(serial, i + 1, granule, b"\x00" * 32, header_type=ht)
+    return out

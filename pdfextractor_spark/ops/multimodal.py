@@ -641,6 +641,18 @@ def _decode_payload(kind: str, payload: bytes) -> dict:
                     float(m["width"]), float(m["height"]),
                     float(m["bits_per_sample"]), float(m["compression"]),
                     float(m["n_ifds"]))}
+    if payload[:4] == b"OggS":
+        # Ogg Opus/Vorbis: page walk, duration from the final granule
+        # position (ops/containers.py); audio sample decode stays stubbed.
+        from .containers import parse_ogg
+
+        m = parse_ogg(bytes(payload))
+        return {"width": None, "height": None,
+                "duration_sec": round(m["duration_sec"], 3),
+                "feature": _container_features(
+                    m["duration_sec"], m["sample_rate"] / 48000.0,
+                    float(m["channels"]), float(m["n_pages"]),
+                    1.0 if m["codec"] == "opus" else 2.0)}
     if payload[:4] == b"fLaC":
         # FLAC: STREAMINFO duration/rate/channels; sample decode stubbed.
         from .containers import parse_flac

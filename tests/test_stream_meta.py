@@ -202,3 +202,34 @@ def test_heif_avif_and_annexb_through_spark(spark):
     for i in (1, 2, 3, 4):
         assert out[i]["error"] is None, out[i]
     assert out[5]["error"] is not None  # truncated: no meta/ispe
+
+
+def test_ogg_opus_vorbis_through_spark(spark):
+    """Ogg page walk: duration from the last granule (Opus pre-skip
+    subtracted, 48 kHz playback clock; Vorbis at the coded rate)."""
+    import pytest
+
+    from pdfextractor_spark.ops.containers import make_ogg, parse_ogg
+
+    m = parse_ogg(make_ogg("opus", total_samples=96000, pre_skip=312))
+    assert (m["codec"], m["sample_rate"], m["pre_skip"]) == \
+        ("opus", 48000, 312)
+    assert m["duration_sec"] == 2.0  # pre-skip excluded
+    v = parse_ogg(make_ogg("vorbis", sample_rate=44100, channels=1,
+                           total_samples=88200))
+    assert (v["codec"], v["sample_rate"], v["channels"]) == \
+        ("vorbis", 44100, 1)
+    assert v["duration_sec"] == 2.0
+    with pytest.raises(ValueError):
+        parse_ogg(b"OggS" + b"\x00" * 40)  # pages but no id header
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(make_ogg("opus", total_samples=144000)),
+          "audio/ogg"),
+         (2, "audio", bytearray(make_ogg("vorbis", sample_rate=22050,
+                                         total_samples=44100)), "audio/ogg")],
+        "media_id long, kind string, payload binary, mime string")
+    out = {r["media_id"]: r for r in
+           decode_media(media, num_partitions=2).collect()}
+    assert out[1]["error"] is None and out[1]["duration_sec"] == 3.0
+    assert out[2]["error"] is None and out[2]["duration_sec"] == 2.0
