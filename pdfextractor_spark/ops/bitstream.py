@@ -158,7 +158,11 @@ def parse_h264_sps(nal: bytes) -> dict:
     if not nal:
         raise ValueError("empty SPS")
     data = nal
-    if data[0] & 0x1F == 7:  # NAL header present (forbidden_zero+ref+type)
+    # NAL header present: type 7 in the low 5 bits AND forbidden_zero_bit
+    # clear — without the high-bit check, a headerless RBSP whose
+    # profile_idc has low-5-bits == 7 (e.g. 135 = 0x87) would lose its
+    # first byte
+    if (data[0] & 0x1F) == 7 and (data[0] & 0x80) == 0:
         data = data[1:]
     r = _BitReader(_strip_emulation(data))
     profile_idc = r.u(8)
@@ -233,6 +237,15 @@ def make_h264_sps(width: int, height: int, profile_idc: int = 66,
     w.u(0, 8)       # constraint flags
     w.u(level_idc, 8)
     w.ue(0)         # seq_parameter_set_id
+    if profile_idc in _H264_HIGH_PROFILES:
+        # the parser (correctly, per §7.3.2.1.1) reads these fields for
+        # high profiles — a baseline-layout RBSP under profile_idc 100
+        # would be rejected by our own parse_h264_sps
+        w.ue(1)     # chroma_format_idc = 4:2:0
+        w.ue(0)     # bit_depth_luma_minus8
+        w.ue(0)     # bit_depth_chroma_minus8
+        w.u(0, 1)   # qpprime_y_zero_transform_bypass_flag
+        w.u(0, 1)   # seq_scaling_matrix_present_flag
     w.ue(0)         # log2_max_frame_num_minus4
     w.ue(0)         # pic_order_cnt_type -> log2_max_poc follows
     w.ue(0)
@@ -604,7 +617,10 @@ def parse_annexb(data: bytes, max_nals: int = 200_000) -> dict:
                     pass
         else:
             ntype = (nal[0] >> 1) & 0x3F
-            if ntype <= 21:  # VCL range incl. IRAP
+            # first_slice_segment_in_pic_flag lives in byte 2 (after the
+            # 2-byte NAL header): a truncated 2-byte VCL NAL is skipped,
+            # not an IndexError mid-walk
+            if ntype <= 21 and len(nal) >= 3:  # VCL range incl. IRAP
                 if nal[2] & 0x80:  # first_slice_segment_in_pic_flag
                     n_frames += 1
     return {"codec": codec, "width": sps_meta["width"],

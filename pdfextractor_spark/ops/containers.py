@@ -616,10 +616,33 @@ def parse_tiff(data: bytes, max_entries: int = 4096) -> dict:
             if len(ent) < 12:
                 break
             tag, typ = struct.unpack(e + "HH", ent[:4])
-            if typ == 3:        # SHORT, inline in the first 2 value bytes
-                (val,) = struct.unpack(e + "H", ent[8:10])
-            elif typ == 4:      # LONG
-                (val,) = struct.unpack(e + "I", ent[8:12])
+            (count,) = struct.unpack(e + "I", ent[4:8])
+            # inline only when the value FITS the 4-byte field; otherwise
+            # the field is a file offset to the value array (TIFF 6.0 §2)
+            # — BitsPerSample in every RGB TIFF is SHORT count=3, and
+            # reading the offset word as the value yields garbage. For
+            # count>1 the FIRST element stands in (the per-channel values
+            # are equal in practice; a metadata pipeline filters on one).
+            if typ == 3:        # SHORT (2 bytes each)
+                if count == 0:
+                    continue
+                if count <= 2:
+                    (val,) = struct.unpack(e + "H", ent[8:10])
+                else:
+                    (off,) = struct.unpack(e + "I", ent[8:12])
+                    if off + 2 > len(data):
+                        continue
+                    (val,) = struct.unpack(e + "H", data[off:off + 2])
+            elif typ == 4:      # LONG (4 bytes each)
+                if count == 0:
+                    continue
+                if count == 1:
+                    (val,) = struct.unpack(e + "I", ent[8:12])
+                else:
+                    (off,) = struct.unpack(e + "I", ent[8:12])
+                    if off + 4 > len(data):
+                        continue
+                    (val,) = struct.unpack(e + "I", data[off:off + 4])
             else:
                 continue
             if out["n_ifds"] == 1:  # first image's geometry wins

@@ -151,8 +151,17 @@ def bm25_search_batch(docs: DataFrame, queries, *, id_col: str = "doc_id",
                                        StructField, StructType)
 
         id_field = docs.schema[id_col]
+        # query_id's type must match what the scored path would infer
+        # from the caller's tuples (an all-no-hit workload with int ids
+        # returning query_id:string would fork the schema on exactly the
+        # empty branch — the failure the typed id_col already prevents)
+        if queries:
+            qid_type = spark.createDataFrame(
+                [(q[0],) for q in queries], ["query_id"]).schema[0].dataType
+        else:
+            qid_type = StringType()
         return spark.createDataFrame(
-            [], StructType([StructField("query_id", StringType()),
+            [], StructType([StructField("query_id", qid_type),
                             StructField(id_col, id_field.dataType),
                             StructField("score", DoubleType()),
                             StructField("matched_terms", IntegerType())]))

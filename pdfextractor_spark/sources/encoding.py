@@ -142,16 +142,17 @@ _add("_x-user-defined", "x-user-defined", "x-user-defined")
 
 _UTF16_FAMILY = {"utf-16le", "utf-16be"}
 
-# ASCII whitespace per the spec's prescan tokenizer. The tag-end scan is
-# QUOTE-AWARE like the spec's attribute scanner: a '>' inside a quoted
-# attribute value does not close the tag, so
-# <meta content="a>b" http-equiv=content-type ...> is seen whole. (The
-# alternation is linear — branch first-chars are disjoint, no
-# backtracking blowup; an unterminated quote simply fails the tag, which
-# matches the prescan giving up at end-of-window.)
-_META_RE = re.compile(
-    rb"""<meta\s(?:"[^"]*"|'[^']*'|[^"'>])*>|<meta\s*/?>""",
-    re.IGNORECASE | re.DOTALL)
+# ASCII whitespace per the spec's prescan tokenizer. The meta-tag START
+# is found by regex; the tag END comes from _meta_tag_end, a character
+# scanner that mirrors the WHATWG prescan's attribute rules: a quote
+# opens a quoted value ONLY when it directly follows '=' (plus optional
+# whitespace), so '>' inside such a value does not close the tag, while
+# an apostrophe in the middle of an UNQUOTED value ("content=don't") is
+# a literal character — a quote-alternation regex gets exactly that
+# case wrong (the lone quote either fails the tag or swallows past its
+# '>' into the next one).
+_META_START_RE = re.compile(rb"<meta(?=[\s/>])", re.IGNORECASE)
+_WS = b" \t\n\r\x0c"
 _ATTR_RE = re.compile(
     rb"""([a-zA-Z0-9_:.-]+)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?""",
 )
@@ -197,6 +198,34 @@ def _strip_comments(head: bytes) -> bytes:
     return b"".join(out)
 
 
+def _meta_tag_end(head: bytes, start: int) -> int:
+    """Index of the '>' that closes the tag whose name ends at ``start``,
+    honoring the prescan's attribute rules: a quoted value exists only
+    when a quote DIRECTLY follows '=' (after whitespace), and inside it
+    '>' is literal; anywhere else quotes are ordinary value characters.
+    Returns -1 when the tag never closes in the window."""
+    i = start
+    n = len(head)
+    while i < n:
+        c = head[i]
+        if c == 0x3E:  # '>'
+            return i
+        if c == 0x3D:  # '=': a value follows
+            i += 1
+            while i < n and head[i] in _WS:
+                i += 1
+            if i < n and head[i] in (0x22, 0x27):  # '"' or "'"
+                q = head[i]
+                i += 1
+                while i < n and head[i] != q:
+                    i += 1
+                if i >= n:
+                    return -1  # unterminated quoted value
+            continue  # unquoted value: fall through to the normal scan
+        i += 1
+    return -1
+
+
 def _prescan_meta(head: bytes) -> tuple[str, str] | None:
     """The spec's meta prescan over the first 1024 bytes: the first
     ``<meta charset>`` or ``<meta http-equiv=content-type content=...>``
@@ -205,8 +234,11 @@ def _prescan_meta(head: bytes) -> tuple[str, str] | None:
     looking for metas — a commented-out legacy meta must not hijack
     the decode)."""
     head = _strip_comments(head)
-    for m in _META_RE.finditer(head):
-        tag = m.group(0)
+    for m in _META_START_RE.finditer(head):
+        end = _meta_tag_end(head, m.end())
+        if end < 0:
+            continue  # tag never closes inside the window: prescan skips
+        tag = head[m.start():end + 1]
         charset = http_equiv = content = None
         for a in _ATTR_RE.finditer(tag[5:]):
             name = a.group(1).lower()

@@ -111,6 +111,12 @@ class _ContentParser(HTMLParser):
             return
         if tag == "a":
             self.link_depth += 1
+            # anchor-boundary separator: link_text runs from DIFFERENT
+            # anchors must not concatenate into one "word" ('<a>Home</a>
+            # <a>About</a>' counting 1 anchor word instead of 2 drives
+            # link density far under its true value and keeps nav blocks)
+            if self.block_stack:
+                self.block_stack[-1].link_text.append(" ")
         if tag == "br" and self.block_stack:
             self.block_stack[-1].chars.append(" ")
         if tag in _BLOCK_TAGS:

@@ -242,3 +242,41 @@ def test_annexb_stream_walk():
         parse_annexb(b"\xff" * 64)  # no start codes
     with pytest.raises(ValueError):
         parse_annexb(b"\x00\x00\x01\x41" + bytes(8))  # VCL but no SPS
+
+
+def test_review_fixes_bitstream():
+    """Round-5 review regressions: truncated H.265 VCL NAL skipped (not
+    IndexError), high-profile SPS writer emits the chroma/bit-depth
+    fields, headerless RBSP with profile 135 not mis-sniffed."""
+    from pdfextractor_spark.ops.bitstream import make_annexb, parse_annexb
+
+    # 2-byte VCL NAL after a valid SPS: skipped, not IndexError
+    stream = (b"\x00\x00\x00\x01" + make_h265_sps(64, 64)
+              + b"\x00\x00\x00\x01" + bytes([19 << 1, 1]))
+    m = parse_annexb(stream)
+    assert m["codec"] == "h265" and m["n_frames"] == 0
+
+    # High profile (100): writer emits the fields the parser demands
+    for prof in (100, 110, 77, 66):
+        sps = make_h264_sps(854, 480, profile_idc=prof)
+        got = parse_h264_sps(sps)
+        assert (got["width"], got["height"], got["profile_idc"]) == \
+            (854, 480, prof)
+    rec = parse_avcc(make_avcc(make_h264_sps(1280, 720, profile_idc=100)))
+    assert rec["sps_parsed"]["width"] == 1280
+
+    # headerless RBSP whose profile_idc has low-5-bits 7 (135 = 0x87):
+    # the first byte is profile_idc, not a NAL header, and must survive
+    from pdfextractor_spark.ops.bitstream import _BitWriter, _add_emulation
+
+    w = _BitWriter()
+    w.u(135, 8); w.u(0, 8); w.u(40, 8)
+    w.ue(0)              # seq_parameter_set_id
+    w.ue(1); w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1)  # high-profile fields
+    w.ue(0); w.ue(0); w.ue(0)  # frame_num, poc_type=0, log2_poc
+    w.ue(1); w.u(0, 1)   # refs, gaps
+    w.ue(3); w.ue(3)     # 4x4 MBs = 64x64
+    w.u(1, 1); w.u(1, 1); w.u(0, 1); w.u(0, 1)
+    rbsp = _add_emulation(w.rbsp_trailing())
+    got = parse_h264_sps(rbsp)
+    assert (got["profile_idc"], got["width"]) == (135, 64)

@@ -233,3 +233,28 @@ def test_ogg_opus_vorbis_through_spark(spark):
            decode_media(media, num_partitions=2).collect()}
     assert out[1]["error"] is None and out[1]["duration_sec"] == 3.0
     assert out[2]["error"] is None and out[2]["duration_sec"] == 2.0
+
+
+def test_tiff_multi_count_bits_per_sample():
+    """TIFF entries with count>1 (BitsPerSample count=3 in every RGB
+    TIFF) must dereference the offset, not read it as the value."""
+    import struct
+
+    from pdfextractor_spark.ops.containers import parse_tiff
+
+    # hand-build: II header, one IFD with width/height inline and
+    # BitsPerSample SHORT count=3 stored at an offset
+    e = "<"
+    ifd_off = 8
+    n_tags = 3
+    values_off = ifd_off + 2 + 12 * n_tags + 4
+    ifd = struct.pack(e + "H", n_tags)
+    ifd += struct.pack(e + "HHI", 256, 3, 1) + struct.pack(e + "H", 640) + b"\x00\x00"
+    ifd += struct.pack(e + "HHI", 257, 3, 1) + struct.pack(e + "H", 480) + b"\x00\x00"
+    ifd += struct.pack(e + "HHI", 258, 3, 3) + struct.pack(e + "I", values_off)
+    ifd += struct.pack(e + "I", 0)
+    data = b"II\x2a\x00" + struct.pack(e + "I", ifd_off) + ifd \
+        + struct.pack(e + "HHH", 8, 8, 8)
+    t = parse_tiff(data)
+    assert (t["width"], t["height"]) == (640, 480)
+    assert t["bits_per_sample"] == 8  # NOT the offset word
