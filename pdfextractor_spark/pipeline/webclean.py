@@ -260,8 +260,8 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
                  quality_floor: float | None,
                  compression_band: tuple[float, float] | None,
                  redact: bool, bpe_merges: list | None, nb_filter: dict | None,
-                 langid_cfg: dict | None, semdedup_cfg: dict | None,
-                 want_wcid: bool) -> DataFrame:
+                 semdedup_cfg: dict | None, want_wcid: bool,
+                 langid_cfg: dict | None = None) -> DataFrame:
     """Stages 5-11: the CORPUS-GLOBAL cleaning stages (line dedup, quality
     stats, exact content dedup, decontamination, PII, NB gate) ending in
     the combined ``keep`` flag column — rows are NOT dropped here, so the

@@ -125,6 +125,7 @@ def run_corpus_prep(
     redact: bool = True,
     bpe_merges: list | None = None,
     nb_filter: dict | None = None,
+    langid: dict | None = None,
     semdedup: dict | None = None,
     dsir: dict | None = None,
     shard_budget: int | None = None,
@@ -186,8 +187,12 @@ def run_corpus_prep(
         dedup_span_width=dedup_span_width, quality_floor=quality_floor,
         compression_band=compression_band,
         redact=redact, bpe=bpe_merges is not None, nb_filter=nb_filter,
+        langid=langid is not None and {
+            k: v for k, v in langid.items()
+            if k in ("keep_langs", "ns", "buckets", "max_chars")},
         semdedup=semdedup, want_wcid=(nb_filter is not None
-                                      or dsir is not None))
+                                      or dsir is not None
+                                      or langid is not None))
     flagged_current = (resume and _meta_current(
         spark, flagged_path + "_meta", n_cleaned, flag_fp))
     if not flagged_current:
@@ -200,8 +205,9 @@ def run_corpus_prep(
             quality_floor=quality_floor,
             compression_band=compression_band, redact=redact,
             bpe_merges=bpe_merges, nb_filter=nb_filter,
-            semdedup_cfg=semdedup,
-            want_wcid=(nb_filter is not None or dsir is not None))
+            langid_cfg=langid, semdedup_cfg=semdedup,
+            want_wcid=(nb_filter is not None or dsir is not None
+                       or langid is not None))
         write_stage(flagged_df, flagged_path, "flagged", bytes_col=text_col)
         _write_meta(spark, flagged_path + "_meta", n_cleaned, flag_fp)
     summary["flagged_recomputed"] = not flagged_current
