@@ -1405,6 +1405,71 @@ def q_webclean_full(spark, sf_dir):
          .cast("long").alias("nb_scored"))
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """Dormant: CCNet per-language perplexity terciles (ops/lm.py
+    ccnet_buckets, Wenzek et al. 2020 §4.3) — train the char-trigram LM
+    on even doc_ids, bucket the held-out odd docs head/middle/tail
+    within each language. Exact (ntile) mode so the DuckDB oracle can
+    replicate the total order bit-for-bit; the approx cutoff mode is
+    the 100 TB path (pytest pins the two modes' agreement)."""
+    from pdfextractor_spark.ops.lm import ccnet_buckets, train_char_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_char_lm(docs.where("doc_id % 2 = 0"))
+    held = docs.where("doc_id % 2 = 1")
+    out = ccnet_buckets(held, model, mode="exact")
+    return (out.where(F.col("ppl_bucket").isNotNull())
+            .groupBy("lang", "ppl_bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("docs"),
+                 F.round(F.avg("perplexity"), 4).alias("mean_perplexity"))
+            .orderBy("lang", "ppl_bucket"))
+
+
+def q_url_quality(spark, sf_dir):
+    """Dormant: FineWeb-style URL quality flags (ops/urls.py
+    with_url_quality) over urls synthesized deterministically from
+    doc_id — six classes, each tripping exactly one gate (clean, digit
+    host, hyphen-stuffed host, crawl-trap path depth, faceted query
+    params, spam token). The oracle recomputes every count from the
+    doc_id % 6 class arithmetic."""
+    from pdfextractor_spark.ops.urls import with_url_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    cls = F.col("doc_id") % 6
+    url = (F.when(cls == 0, F.concat(F.lit("https://site"),
+                                     (F.col("doc_id") % 97).cast("string"),
+                                     F.lit(".org/a/p"),
+                                     F.col("doc_id").cast("string")))
+           .when(cls == 1, F.concat(F.lit("https://n"),
+                                    F.col("doc_id").cast("string"),
+                                    F.lit("123456789.example/x")))
+           .when(cls == 2, F.concat(F.lit("https://a-b-c-d-e-f"),
+                                    (F.col("doc_id") % 10).cast("string"),
+                                    F.lit(".example/p")))
+           .when(cls == 3, F.concat(F.lit("https://ok.example"),
+                                    F.lit("/a" * 10), F.lit("/"),
+                                    F.col("doc_id").cast("string")))
+           .when(cls == 4, F.concat(
+               F.lit("https://ok.example/s?"),
+               F.lit("&".join(f"p{i}=1" for i in range(11)))))
+           .otherwise(F.concat(F.lit("https://casino"),
+                               (F.col("doc_id") % 10).cast("string"),
+                               F.lit(".example/p"))))
+    flagged = with_url_quality(docs.select("doc_id", url.alias("url")))
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum(F.col("url_quality_ok").cast("int")).cast("long").alias("n_ok"),
+        F.sum(F.col("url_spam_token").cast("int")).cast("long").alias("n_spam"),
+        F.sum((F.col("host_digit_frac") > 0.4).cast("int")).cast("long")
+         .alias("n_digit_host"),
+        F.sum((F.col("host_hyphens") > 4).cast("int")).cast("long")
+         .alias("n_hyphen_host"),
+        F.sum((F.col("path_depth") > 8).cast("int")).cast("long")
+         .alias("n_deep_path"),
+        F.sum((F.col("n_query_params") > 10).cast("int")).cast("long")
+         .alias("n_many_params"))
+
+
 def q_robots_gate(spark, sf_dir):
     """Dormant: RFC 9309 robots verdicts (ops/robots.py) over synthesized
     per-host policies; the oracle recomputes the expected decisions with
@@ -1646,6 +1711,8 @@ def _dormant_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webclean_corpus": q_webclean_corpus,
         "webclean_full": q_webclean_full,
         "bm25_batch": q_bm25_batch,
+        "ccnet_buckets": q_ccnet_buckets,
+        "url_quality": q_url_quality,
         "robots_gate": q_robots_gate,
         "pagerank_top": q_pagerank_top,
         "semdedup_stats": q_semdedup_stats,
@@ -1670,6 +1737,64 @@ def _dormant_oracle_sql() -> dict[str, str]:
     return {
         "bm25_search": bm25_sql,
         "bm25_batch": bm25_batch_sql,
+        "ccnet_buckets": r"""
+            -- the lm_perplexity oracle's model/scoring CTEs, extended
+            -- with CCNet's per-language tercile assignment: ntile(3)
+            -- over the same (lang, rounded ppl, doc_id) total order the
+            -- Spark exact mode uses
+            WITH t AS (
+              SELECT doc_id, lang,
+                     regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+              FROM documents),
+            tr AS (SELECT t FROM t WHERE doc_id % 2 = 0 AND length(t) >= 3),
+            gtr AS (
+              SELECT substring(t, i, 3) AS gram
+              FROM (SELECT t, unnest(generate_series(1, length(t) - 2)) AS i FROM tr)),
+            counts AS (SELECT gram, count(*) AS c FROM gtr GROUP BY gram),
+            tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM counts),
+            model AS (
+              SELECT gram, ln((c + 1.0) / (total + vocab)) AS logp
+              FROM counts, tot),
+            held AS (
+              SELECT doc_id, lang, t FROM t
+              WHERE doc_id % 2 = 1 AND length(t) >= 3),
+            hg AS (
+              SELECT doc_id, lang, substring(t, i, 3) AS gram
+              FROM (SELECT doc_id, lang, t,
+                           unnest(generate_series(1, length(t) - 2)) AS i
+                    FROM held)),
+            sc AS (
+              SELECT doc_id, lang,
+                     round(exp(avg(-coalesce(m.logp,
+                         (SELECT ln(1.0 / (total + vocab)) FROM tot)))), 4) AS ppl
+              FROM hg LEFT JOIN model m USING (gram)
+              GROUP BY doc_id, lang),
+            tiled AS (
+              SELECT lang, ppl,
+                     ntile(3) OVER (PARTITION BY lang
+                                    ORDER BY ppl, doc_id) AS tile
+              FROM sc)
+            SELECT lang,
+                   CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                             ELSE 'tail' END AS ppl_bucket,
+                   CAST(count(*) AS BIGINT) AS docs,
+                   round(avg(ppl), 4) AS mean_perplexity
+            FROM tiled GROUP BY lang, tile ORDER BY lang, ppl_bucket
+        """,
+        "url_quality": """
+            -- every count recomputed from the doc_id % 6 class arithmetic:
+            -- class 0 is the only clean one; classes 1-5 trip exactly the
+            -- digit-host / hyphen-host / deep-path / many-params / spam
+            -- gates respectively
+            SELECT CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+                   CAST(sum(CASE WHEN doc_id % 6 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_spam,
+                   CAST(sum(CASE WHEN doc_id % 6 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_digit_host,
+                   CAST(sum(CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hyphen_host,
+                   CAST(sum(CASE WHEN doc_id % 6 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_deep_path,
+                   CAST(sum(CASE WHEN doc_id % 6 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_many_params
+            FROM documents
+        """,
         "host_boilerplate": """
             -- analytic recomputation: the nav line is in 100% of each
             -- host's docs (dropped where the host has >= 2 docs); the

@@ -23,10 +23,10 @@ scale (V <= ~50k in practice); scoring touches each document once.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["train_char_lm", "score_perplexity"]
+__all__ = ["train_char_lm", "score_perplexity", "ccnet_buckets"]
 
 
 def _grams_expr(text_col, n: int):
@@ -84,3 +84,56 @@ def score_perplexity(df: DataFrame, model: DataFrame, text_col: str = "text",
             F.round(F.exp("avg_neg_logp"), 4).alias("perplexity"),
         )
     )
+
+
+def ccnet_buckets(df: DataFrame, model: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", lang_col: str = "lang",
+                  n: int = 3, mode: str = "approx",
+                  accuracy: int = 10_000) -> DataFrame:
+    """CCNet's per-language perplexity bucketing (Wenzek et al. 2020 §4.3):
+    within each language, docs split into head / middle / tail terciles by
+    LM perplexity — head is the cleanest third a training run keeps first.
+
+    Returns ``df`` + ``(perplexity, ppl_bucket)``; docs too short to score
+    (< n chars after normalization) carry null perplexity and bucket.
+
+    Two physical strategies, same semantics:
+
+    - ``mode="approx"`` (the 100 TB path): per-language tercile CUTOFFS
+      via ``percentile_approx`` — a map-side-partial sketch whose result
+      is one tiny row per language, broadcast back; bucket assignment is
+      a pure projection. No per-language data shuffle, so a corpus that
+      is 50% one language cannot skew a partition.
+    - ``mode="exact"``: ``ntile(3)`` over (lang, perplexity, id) — the
+      deterministic total order DuckDB replicates exactly (the oracle
+      twin); the per-language window shuffle makes it the small-scale /
+      verification path, not the production one.
+    """
+    scored = score_perplexity(df, model, text_col=text_col, id_col=id_col,
+                              n=n).select(
+        F.col("id").alias(id_col), "perplexity")
+    out = df.join(scored, id_col, "left")
+    names = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
+    if mode == "exact":
+        w = Window.partitionBy(lang_col).orderBy("perplexity", id_col)
+        tile = F.when(F.col("perplexity").isNotNull(),
+                      F.ntile(3).over(w))
+        # ntile must only rank the scored rows: route unscored docs out
+        # first or they'd occupy tile slots
+        scored_part = out.where(F.col("perplexity").isNotNull()) \
+            .withColumn("ppl_bucket",
+                        F.element_at(names, F.ntile(3).over(w)))
+        unscored = out.where(F.col("perplexity").isNull()) \
+            .withColumn("ppl_bucket", F.lit(None).cast("string"))
+        return scored_part.unionByName(unscored)
+    cuts = F.broadcast(
+        out.where(F.col("perplexity").isNotNull())
+        .groupBy(lang_col)
+        .agg(F.percentile_approx("perplexity", [1.0 / 3, 2.0 / 3],
+                                 accuracy).alias("_cuts")))
+    joined = out.join(cuts, lang_col, "left")
+    bucket = F.when(F.col("perplexity").isNull(), F.lit(None)) \
+        .when(F.col("perplexity") <= F.col("_cuts")[0], "head") \
+        .when(F.col("perplexity") <= F.col("_cuts")[1], "middle") \
+        .otherwise("tail")
+    return joined.withColumn("ppl_bucket", bucket).drop("_cuts")

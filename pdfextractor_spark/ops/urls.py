@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["canonicalize_url", "resolve_canonical_hint", "url_dedup",
            "url_dup_stats", "url_host", "host_stats", "cap_per_host",
-           "psl_rules", "registrable_domain"]
+           "psl_rules", "registrable_domain", "with_url_quality"]
 
 _TRACKING_RE = "^(utm_[a-z0-9]+|gclid|fbclid|msclkid)="
 
@@ -285,3 +285,62 @@ def registrable_domain(df: DataFrame, rules: DataFrame,
                          etld1.alias(out_col))
     return df.join(mapping, h == F.col(host_col + "_key"), "left") \
         .drop(host_col + "_key")
+
+
+# Conservative default list for the URL-token spam gate (the FineWeb/
+# RefinedWeb URL filter idea: adult/gambling/pharma spam markers IN THE
+# URL are a high-precision page-quality signal long before fetch/parse).
+# Deliberately tiny — a production run supplies its own curated list.
+_URL_SPAM_TOKENS = ("porn", "xxx", "casino", "viagra", "escort")
+
+
+def with_url_quality(df: DataFrame, url_col: str = "url",
+                     spam_tokens: tuple = _URL_SPAM_TOKENS,
+                     max_len: int = 200, max_depth: int = 8,
+                     max_params: int = 10, max_host_digit_frac: float = 0.4,
+                     max_host_hyphens: int = 4) -> DataFrame:
+    """FineWeb/RefinedWeb-style URL quality flags — the cheapest filter a
+    crawl pipeline owns, judged before any byte of the page is parsed:
+
+    - ``url_len`` / overlong urls (session-id / tracking-mill pages)
+    - ``host_digit_frac`` (spam mills autogenerate numeric hosts)
+    - ``host_hyphens`` (keyword-stuffed SEO hosts: a-b-c-d-cheap.example)
+    - ``path_depth`` (calendar/faceted-navigation crawl traps)
+    - ``n_query_params`` (faceted/search result permutations)
+    - ``url_spam_token`` (adult/gambling tokens anywhere in the url)
+    - ``url_quality_ok`` — the conjunction, null-safe (a null url fails)
+
+    All native expressions (one projection, zero shuffles, zero Python);
+    thresholds follow the published recipes' spirit and are caller-
+    tunable. The flags column, not a row filter: corpus accounting wants
+    to COUNT what a gate would remove."""
+    u = F.coalesce(F.col(url_col), F.lit(""))
+    lower = F.lower(u)
+    host = F.coalesce(url_host(url_col, strip_www=False), F.lit(""))
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    query = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
+    host_len = F.length(host)
+    digits = host_len - F.length(F.regexp_replace(host, r"[0-9]", ""))
+    hyphens = host_len - F.length(F.regexp_replace(host, "-", ""))
+    depth = F.when(path == "", 0).otherwise(
+        F.length(path) - F.length(F.regexp_replace(path, "/", "")))
+    nparams = F.when(query == "", 0).otherwise(
+        F.length(query) - F.length(F.regexp_replace(query, "&", "")) + 1)
+    spam = F.lit(False)
+    for tok in spam_tokens:
+        spam = spam | lower.contains(tok)
+    out = (df.withColumn("url_len", F.length(u))
+           .withColumn("host_digit_frac",
+                       F.round(digits / F.greatest(host_len, F.lit(1)), 4))
+           .withColumn("host_hyphens", hyphens)
+           .withColumn("path_depth", depth)
+           .withColumn("n_query_params", nparams)
+           .withColumn("url_spam_token", spam))
+    ok = ((F.col(url_col).isNotNull())
+          & (F.col("url_len") <= max_len)
+          & (F.col("host_digit_frac") <= max_host_digit_frac)
+          & (F.col("host_hyphens") <= max_host_hyphens)
+          & (F.col("path_depth") <= max_depth)
+          & (F.col("n_query_params") <= max_params)
+          & ~F.col("url_spam_token"))
+    return out.withColumn("url_quality_ok", ok)

@@ -590,3 +590,40 @@ def test_fingerprint_keeps_non_latin_scripts(spark):
           for r in with_fingerprint(docs).collect()}
     assert len({fp[1], fp[2], fp[3], fp[4], fp[6]}) == 5  # all distinct
     assert fp[5] == fp[1]  # normalization still folds case/punct
+
+
+def test_ccnet_buckets_modes_agree_and_plan(spark, sf_dir):
+    """CCNet per-language perplexity terciles: the approx (cutoff) mode
+    and the exact (ntile) oracle twin assign identical buckets on the
+    test corpus; approx plans with NO per-language data window (the
+    skew-free 100 TB shape); unscorable docs carry null buckets."""
+    from pdfextractor_spark.ops.lm import ccnet_buckets, train_char_lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = train_char_lm(docs.where("doc_id % 2 = 0"))
+    held = docs.where("doc_id % 2 = 1")
+    a = {r["doc_id"]: r["ppl_bucket"] for r in
+         ccnet_buckets(held, model, mode="approx").collect()}
+    e = {r["doc_id"]: r["ppl_bucket"] for r in
+         ccnet_buckets(held, model, mode="exact").collect()}
+    assert a == e and len(a) > 50
+    # terciles: per-lang bucket sizes within 1 of each other
+    from collections import Counter
+    per = Counter()
+    langs = {r["doc_id"]: r["lang"] for r in held.collect()}
+    for d, b in e.items():
+        per[(langs[d], b)] += 1
+    for lang in set(langs.values()):
+        sizes = [per[(lang, b)] for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+    # a too-short doc: null bucket, row not lost
+    tiny = spark.createDataFrame([(999999, "en", "ab")],
+                                 "doc_id long, lang string, text string")
+    out = ccnet_buckets(held.unionByName(tiny, allowMissingColumns=True)
+                        .select("doc_id", "lang", "text"), model,
+                        mode="approx").where("doc_id = 999999").collect()
+    assert len(out) == 1 and out[0]["ppl_bucket"] is None
+    # approx plan: the only Window-free path (cutoffs are a broadcast)
+    plan = ccnet_buckets(held, model, mode="approx") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

@@ -271,3 +271,36 @@ def test_prepare_corpus_folds_canonical_hint(spark):
         dup_line_min_count=None).select("url").collect()
     urls = sorted(r["url"] for r in out)
     assert urls == ["https://ex.org/other", "https://ex.org/post"]
+
+
+def test_url_quality_flags_and_plan(spark):
+    """FineWeb-style URL gates: each pathological class trips exactly its
+    flag; the op is one map-only projection (no Exchange, no Python)."""
+    from pdfextractor_spark.ops.urls import with_url_quality
+
+    df = spark.createDataFrame([
+        (1, "https://example.com/article/clean-page"),
+        (2, "https://777-888-999.bet1234567890.example/x"),
+        (3, "https://cheap-deals-best-buy-now-today.example/p"),
+        (4, "https://ok.example/a/b/c/d/e/f/g/h/i/j/k"),
+        (5, "https://ok.example/s?" + "&".join(f"p{i}=1" for i in range(11))),
+        (6, "https://xxxcasino.example/page"),
+        (7, None),
+        (8, "https://ok.example/" + "x" * 300),
+    ], "doc_id long, url string")
+    out = {r["doc_id"]: r for r in with_url_quality(df).collect()}
+    assert out[1]["url_quality_ok"] is True
+    assert out[2]["host_digit_frac"] > 0.4 and not out[2]["url_quality_ok"]
+    assert out[3]["host_hyphens"] >= 5 and not out[3]["url_quality_ok"]
+    assert out[4]["path_depth"] == 11 and not out[4]["url_quality_ok"]
+    assert out[5]["n_query_params"] == 11 and not out[5]["url_quality_ok"]
+    assert out[6]["url_spam_token"] and not out[6]["url_quality_ok"]
+    assert out[7]["url_quality_ok"] is False  # null url fails, not null
+    assert out[8]["url_len"] > 200 and not out[8]["url_quality_ok"]
+    # tunable thresholds flip the verdicts
+    relaxed = {r["doc_id"]: r["url_quality_ok"] for r in with_url_quality(
+        df, max_depth=20, max_params=20).collect()}
+    assert relaxed[4] is True and relaxed[5] is True
+    plan = with_url_quality(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
