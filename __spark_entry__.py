@@ -1470,6 +1470,24 @@ def q_url_quality(spark, sf_dir):
          .alias("n_many_params"))
 
 
+def q_chunk_stats(spark, sf_dir):
+    """Dormant: fixed-token document chunking (ops/sampling.py
+    chunk_documents — size 40, overlap 8, whitespace tokens) over the
+    documents table, rolled up per language. The oracle replicates the
+    start-index arithmetic (sequence by stride, pure-suffix tail starts
+    dropped) with generate_series in DuckDB."""
+    from pdfextractor_spark.ops.sampling import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    chunks = chunk_documents(docs, size=40, overlap=8)
+    return (chunks.groupBy("lang")
+            .agg(F.countDistinct("doc_id").cast("long").alias("docs"),
+                 F.count(F.lit(1)).cast("long").alias("chunks"),
+                 F.sum("chunk_tokens").cast("long").alias("chunk_tokens"),
+                 F.max("chunk_tokens").cast("int").alias("max_chunk_tokens"))
+            .orderBy("lang"))
+
+
 def q_robots_gate(spark, sf_dir):
     """Dormant: RFC 9309 robots verdicts (ops/robots.py) over synthesized
     per-host policies; the oracle recomputes the expected decisions with
@@ -1713,6 +1731,7 @@ def _dormant_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch": q_bm25_batch,
         "ccnet_buckets": q_ccnet_buckets,
         "url_quality": q_url_quality,
+        "chunk_stats": q_chunk_stats,
         "robots_gate": q_robots_gate,
         "pagerank_top": q_pagerank_top,
         "semdedup_stats": q_semdedup_stats,
@@ -1780,6 +1799,30 @@ def _dormant_oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS docs,
                    round(avg(ppl), 4) AS mean_perplexity
             FROM tiled GROUP BY lang, tile ORDER BY lang, ppl_bucket
+        """,
+        "chunk_stats": """
+            -- same start-index arithmetic as chunk_documents(40, 8):
+            -- starts 1, 1+32, 1+64, ... <= n; a start past n-8 (other
+            -- than the first) would be a pure-suffix duplicate and is
+            -- dropped; chunk token count = least(40, n - s + 1)
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                                     x -> x <> '')) AS n
+              FROM documents),
+            starts AS (
+              SELECT doc_id, lang, n, unnest(generate_series(1, n, 32)) AS s
+              FROM toks WHERE n > 0),
+            kept AS (
+              SELECT doc_id, lang, n, s,
+                     least(40, n - s + 1) AS ct
+              FROM starts WHERE s = 1 OR s + 8 <= n)
+            SELECT lang,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS docs,
+                   CAST(count(*) AS BIGINT) AS chunks,
+                   CAST(sum(ct) AS BIGINT) AS chunk_tokens,
+                   CAST(max(ct) AS INT) AS max_chunk_tokens
+            FROM kept GROUP BY lang ORDER BY lang
         """,
         "url_quality": """
             -- every count recomputed from the doc_id % 6 class arithmetic:

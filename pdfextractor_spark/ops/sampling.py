@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["stratified_sample", "exact_stratified_sample", "mixture_report",
+           "chunk_documents",
            "pack_shards"]
 
 
@@ -105,3 +106,52 @@ def pack_shards(df: DataFrame, tokens_col: str, shard_budget: int,
     return (b.withColumn("shard_id",
                          F.floor(before / F.lit(float(shard_budget))).cast("int"))
             .drop("_bkt"))
+
+
+def chunk_documents(df: DataFrame, size: int, overlap: int = 0,
+                    text_col: str = "text",
+                    keep_cols: list | None = None) -> DataFrame:
+    """Split documents into fixed-token training chunks with overlap —
+    the standard LM-data assembly step between cleaning and shard
+    packing (a 200k-token page must become ~size-token rows before
+    packing or one document blows the shard budget).
+
+    One output row per chunk: the kept columns plus ``(chunk_id,
+    chunk_text, chunk_tokens)``. Chunk starts stride ``size - overlap``
+    tokens; the final chunk is the remainder (>= 1 token — a shorter
+    tail is real text, not discarded). Tokens are whitespace-split
+    (callers tokenizing with BPE budget per chunk downstream via
+    ``apply_bpe``).
+
+    Plan: the text splits ONCE into a staged token-array column, chunk
+    starts come from ``sequence``, and the explode is the only Generate
+    — map-side, zero shuffles, no Python (plan-pinned). Documents with
+    no tokens yield zero rows (they carry no trainable text)."""
+    if size <= 0 or overlap < 0 or overlap >= size:
+        raise ValueError("need size > 0 and 0 <= overlap < size")
+    stride = size - overlap
+    keep = keep_cols if keep_cols is not None else \
+        [c for c in df.columns if c != text_col]
+    toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+                    lambda x: x != "")
+    staged = df.select(*keep, toks.alias("_toks"),
+                       F.size(toks).alias("_n"))
+    # chunk start indices: 1, 1+stride, ... while start <= n (1-based);
+    # the last window may be short (the remainder tail)
+    starts = F.when(F.col("_n") <= 0, F.array().cast("array<int>")) \
+        .otherwise(F.sequence(F.lit(1), F.col("_n"), F.lit(stride))
+                   .cast("array<int>"))
+    # a start inside the previous chunk's tail would emit a pure-suffix
+    # duplicate: drop starts past n - overlap except the very first
+    starts = F.filter(starts,
+                      lambda s: (s == 1) | (s + overlap <= F.col("_n")))
+    exploded = staged.select(
+        *keep, "_toks",
+        F.posexplode(starts).alias("_pos", "_start"))
+    return exploded.select(
+        *keep,
+        F.col("_pos").alias("chunk_id"),
+        F.array_join(F.slice("_toks", F.col("_start"), size), " ")
+         .alias("chunk_text"),
+        F.least(F.lit(size),
+                F.size("_toks") - F.col("_start") + 1).alias("chunk_tokens"))

@@ -94,3 +94,51 @@ def test_pack_shards_budget_order_and_plan(spark):
     assert again == got
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_chunk_documents_semantics_and_plan(spark):
+    """Fixed-token chunking: stride coverage, remainder tail kept,
+    pure-suffix tail starts dropped, empty docs yield no rows, map-only
+    plan (the assembly step between cleaning and shard packing)."""
+    from pdfextractor_spark.ops.sampling import chunk_documents
+
+    df = spark.createDataFrame([
+        (1, "en", " ".join(f"w{i}" for i in range(25))),
+        (2, "en", "a b c"),
+        (3, "en", ""),
+        (4, "en", None),
+        (5, "en", " ".join(f"x{i}" for i in range(10))),  # exactly size
+    ], "doc_id long, lang string, text string")
+    out = chunk_documents(df, size=10, overlap=2)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by[1], key=lambda r: r["chunk_id"])
+    # stride 8: starts at tokens 0, 8, 16 (0-based); every token covered
+    assert [r["chunk_text"].split()[0] for r in c1] == ["w0", "w8", "w16"]
+    assert c1[-1]["chunk_text"].split()[-1] == "w24"
+    assert [r["chunk_tokens"] for r in c1] == [10, 10, 9]
+    # overlap means consecutive chunks share exactly `overlap` tokens
+    assert c1[0]["chunk_text"].split()[-2:] == c1[1]["chunk_text"].split()[:2]
+    # short doc: one chunk, true token count; empty/null: no rows
+    assert len(by[2]) == 1 and by[2][0]["chunk_tokens"] == 3
+    assert 3 not in by and 4 not in by
+    # exactly-size doc: one chunk, no empty/pure-suffix second chunk
+    assert len(by[5]) == 1 and by[5][0]["chunk_tokens"] == 10
+    # deterministic reconstruction: dropping each chunk's leading overlap
+    # (after the first) rebuilds the document exactly
+    rebuilt = c1[0]["chunk_text"].split()
+    for r in c1[1:]:
+        rebuilt += r["chunk_text"].split()[2:]
+    assert rebuilt == [f"w{i}" for i in range(25)]
+    # zero-overlap path and input validation
+    nz = chunk_documents(df.where("doc_id = 1"), size=10).collect()
+    assert [r["chunk_tokens"] for r in nz] == [10, 10, 5]
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=5, overlap=5)
+    # map-only: no Exchange, no Python
+    plan = chunk_documents(df, 10, 2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
