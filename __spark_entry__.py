@@ -915,11 +915,17 @@ def q_lm_perplexity(spark, sf_dir):
     scores = score_perplexity(held, model)
     with_lang = scores.join(
         F.broadcast(held.select(F.col("doc_id").alias("id"), "lang")), "id")
+    # mean via DECIMAL sum (not avg of doubles): double summation is
+    # partition-order-dependent, so a 4-dp round at a .00005 boundary
+    # could flip between runs/engines — decimal addition is exact and
+    # associative (same hardening as q_ccnet_buckets)
+    dec = F.col("perplexity").cast("decimal(18,4)")
     return (
         with_lang.groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("docs"),
-            F.round(F.avg("perplexity"), 4).alias("mean_perplexity"),
+            F.round((F.sum(dec) / F.count(F.lit(1))).cast("double"), 4)
+             .alias("mean_perplexity"),
         )
         .orderBy("lang")
     )
@@ -1418,10 +1424,16 @@ def q_ccnet_buckets(spark, sf_dir):
     model = train_char_lm(docs.where("doc_id % 2 = 0"))
     held = docs.where("doc_id % 2 = 1")
     out = ccnet_buckets(held, model, mode="exact")
+    # mean via DECIMAL sum: double summation is partition-order-dependent
+    # and a 4-dp round at a .00005 boundary flips between runs/engines —
+    # decimal addition is exact and associative, so the mean's digits are
+    # identical under any partitioning and in DuckDB
+    dec = F.col("perplexity").cast("decimal(18,4)")
     return (out.where(F.col("ppl_bucket").isNotNull())
             .groupBy("lang", "ppl_bucket")
             .agg(F.count(F.lit(1)).cast("long").alias("docs"),
-                 F.round(F.avg("perplexity"), 4).alias("mean_perplexity"))
+                 F.round((F.sum(dec) / F.count(F.lit(1))).cast("double"), 4)
+                  .alias("mean_perplexity"))
             .orderBy("lang", "ppl_bucket"))
 
 
@@ -1797,10 +1809,11 @@ def _dormant_oracle_sql() -> dict[str, str]:
                    CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                              ELSE 'tail' END AS ppl_bucket,
                    CAST(count(*) AS BIGINT) AS docs,
-                   round(avg(ppl), 4) AS mean_perplexity
+                   round(CAST(sum(CAST(ppl AS DECIMAL(18,4))) / count(*)
+                              AS DOUBLE), 4) AS mean_perplexity
             FROM tiled GROUP BY lang, tile ORDER BY lang, ppl_bucket
         """,
-        "chunk_stats": """
+        "chunk_stats": r"""
             -- same start-index arithmetic as chunk_documents(40, 8):
             -- starts 1, 1+32, 1+64, ... <= n; a start past n-8 (other
             -- than the first) would be a pure-suffix duplicate and is
@@ -2400,7 +2413,8 @@ def _live_oracle_sql() -> dict[str, str]:
               FROM hg LEFT JOIN model m USING (gram)
               GROUP BY doc_id, lang)
             SELECT lang, CAST(count(*) AS BIGINT) AS docs,
-                   round(avg(round(exp(a), 4)), 4) AS mean_perplexity
+                   round(CAST(sum(CAST(round(exp(a), 4) AS DECIMAL(18,4)))
+                              / count(*) AS DOUBLE), 4) AS mean_perplexity
             FROM sc GROUP BY lang ORDER BY lang
         """,
         "winnow_overlap": """
