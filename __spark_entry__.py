@@ -2119,8 +2119,10 @@ def _live_oracle_sql() -> dict[str, str]:
               FROM q2)
             SELECT lang, CAST(count(*) AS BIGINT) AS docs,
                    CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
-                   round(avg(round(score, 6)), 6) AS avg_quality,
-                   round(avg(round(digit_ratio, 6)), 6) AS avg_digit_ratio,
+                   round(CAST(sum(CAST(round(score, 6) AS DECIMAL(28,6)))
+                              / count(*) AS DOUBLE), 6) AS avg_quality,
+                   round(CAST(sum(CAST(round(digit_ratio, 6) AS DECIMAL(28,6)))
+                              / count(*) AS DOUBLE), 6) AS avg_digit_ratio,
                    CAST(sum(CASE WHEN round(score, 6) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS high_quality_docs
             FROM q3 GROUP BY lang ORDER BY lang
         """,

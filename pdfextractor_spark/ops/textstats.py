@@ -131,8 +131,16 @@ def quality_rollup(df: DataFrame, text_col: str = "text", group_col: str = "lang
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("ws_tokens").alias("total_tokens"),
-            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
-            F.round(F.avg("digit_ratio"), 6).alias("avg_digit_ratio"),
+            # means via DECIMAL sums: the inputs are 6-dp rounded, so a
+            # group count of the form 2^a*5^b puts the true mean EXACTLY
+            # on a 6-dp rounding midpoint, where double summation order
+            # decides the direction — decimal addition is exact
+            F.round((F.sum(F.col("quality_score").cast("decimal(28,6)"))
+                     / F.count(F.lit(1))).cast("double"), 6)
+             .alias("avg_quality"),
+            F.round((F.sum(F.col("digit_ratio").cast("decimal(28,6)"))
+                     / F.count(F.lit(1))).cast("double"), 6)
+             .alias("avg_digit_ratio"),
             F.sum(F.when(F.col("quality_score") >= 0.5, 1).otherwise(0)).alias("high_quality_docs"),
         )
         .orderBy(group_col)
