@@ -590,8 +590,10 @@ def make_webp(width: int, height: int, fmt: str = "VP8L",
 def parse_tiff(data: bytes, max_entries: int = 4096) -> dict:
     """TIFF 6.0 header + first-IFD walk (both endiannesses) ->
     {width, height, compression, bits_per_sample, n_ifds}. Entry and
-    IFD counts are bomb-guarded; inline SHORT/LONG values only (the
-    fields a metadata pipeline filters on are always inline)."""
+    IFD counts are bomb-guarded. SHORT/LONG values that fit the 4-byte
+    field read inline; larger counts (BitsPerSample count=3 in every
+    RGB TIFF) dereference the bounds-checked offset and take the first
+    element."""
     if len(data) < 8:
         raise ValueError("truncated TIFF")
     if data[:4] == b"II\x2a\x00":

@@ -97,7 +97,11 @@ def ccnet_buckets(df: DataFrame, model: DataFrame, text_col: str = "text",
     Returns ``df`` + ``(perplexity, ppl_bucket)``; docs too short to score
     (< n chars after normalization) carry null perplexity and bucket.
 
-    Two physical strategies, same semantics:
+    Two physical strategies, equal up to boundary TIES (docs whose
+    rounded perplexity equals a tercile cutoff: the cutoff rule puts
+    every tied doc in the lower bucket, the rank rule splits them by
+    ``id_col`` — on tie-free data the assignments are identical, which
+    the pytest gate pins):
 
     - ``mode="approx"`` (the 100 TB path): per-language tercile CUTOFFS
       via ``percentile_approx`` — a map-side-partial sketch whose result
@@ -108,32 +112,38 @@ def ccnet_buckets(df: DataFrame, model: DataFrame, text_col: str = "text",
       deterministic total order DuckDB replicates exactly (the oracle
       twin); the per-language window shuffle makes it the small-scale /
       verification path, not the production one.
-    """
+
+    A null ``lang_col`` forms its own bucket group in BOTH modes (the
+    cutoff join is null-safe)."""
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
     scored = score_perplexity(df, model, text_col=text_col, id_col=id_col,
                               n=n).select(
         F.col("id").alias(id_col), "perplexity")
     out = df.join(scored, id_col, "left")
     names = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
     if mode == "exact":
-        w = Window.partitionBy(lang_col).orderBy("perplexity", id_col)
-        tile = F.when(F.col("perplexity").isNotNull(),
-                      F.ntile(3).over(w))
         # ntile must only rank the scored rows: route unscored docs out
         # first or they'd occupy tile slots
+        w = Window.partitionBy(lang_col).orderBy("perplexity", id_col)
         scored_part = out.where(F.col("perplexity").isNotNull()) \
             .withColumn("ppl_bucket",
                         F.element_at(names, F.ntile(3).over(w)))
         unscored = out.where(F.col("perplexity").isNull()) \
             .withColumn("ppl_bucket", F.lit(None).cast("string"))
         return scored_part.unionByName(unscored)
+    # null-safe group key: a plain lang join would drop null-lang rows'
+    # cutoffs (their groupBy row exists but never matches) and mislabel
+    # the whole null-lang group 'tail'
+    lk = F.coalesce(F.col(lang_col).cast("string"), F.lit("\x00<null>"))
     cuts = F.broadcast(
         out.where(F.col("perplexity").isNotNull())
-        .groupBy(lang_col)
+        .groupBy(lk.alias("_lk"))
         .agg(F.percentile_approx("perplexity", [1.0 / 3, 2.0 / 3],
                                  accuracy).alias("_cuts")))
-    joined = out.join(cuts, lang_col, "left")
+    joined = out.withColumn("_lk", lk).join(cuts, "_lk", "left")
     bucket = F.when(F.col("perplexity").isNull(), F.lit(None)) \
         .when(F.col("perplexity") <= F.col("_cuts")[0], "head") \
         .when(F.col("perplexity") <= F.col("_cuts")[1], "middle") \
         .otherwise("tail")
-    return joined.withColumn("ppl_bucket", bucket).drop("_cuts")
+    return joined.withColumn("ppl_bucket", bucket).drop("_cuts", "_lk")

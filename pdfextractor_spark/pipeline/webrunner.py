@@ -187,9 +187,8 @@ def run_corpus_prep(
         dedup_span_width=dedup_span_width, quality_floor=quality_floor,
         compression_band=compression_band,
         redact=redact, bpe=bpe_merges is not None, nb_filter=nb_filter,
-        langid=langid is not None and {
-            k: v for k, v in langid.items()
-            if k in ("keep_langs", "ns", "buckets", "max_chars")},
+        langid=langid,  # _norm maps the model/priors to type markers,
+                        # every scalar tunable fingerprints automatically
         semdedup=semdedup, want_wcid=(nb_filter is not None
                                       or dsir is not None
                                       or langid is not None))

@@ -151,7 +151,9 @@ _UTF16_FAMILY = {"utf-16le", "utf-16be"}
 # a literal character — a quote-alternation regex gets exactly that
 # case wrong (the lone quote either fails the tag or swallows past its
 # '>' into the next one).
-_META_START_RE = re.compile(rb"<meta(?=[\s/>])", re.IGNORECASE)
+# explicit whitespace class, NOT \s: Python's bytes \s includes vertical
+# tab 0x0b, which WHATWG prescan whitespace excludes
+_META_START_RE = re.compile(rb"<meta(?=[ \t\n\r\x0c/>])", re.IGNORECASE)
 _WS = b" \t\n\r\x0c"
 _ATTR_RE = re.compile(
     rb"""([a-zA-Z0-9_:.-]+)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?""",
@@ -200,17 +202,28 @@ def _strip_comments(head: bytes) -> bytes:
 
 def _meta_tag_end(head: bytes, start: int) -> int:
     """Index of the '>' that closes the tag whose name ends at ``start``,
-    honoring the prescan's attribute rules: a quoted value exists only
-    when a quote DIRECTLY follows '=' (after whitespace), and inside it
-    '>' is literal; anywhere else quotes are ordinary value characters.
+    via the prescan's own attribute loop (WHATWG "get an attribute"):
+    skip whitespace/'/', read a name, and only an '=' AFTER the name
+    introduces a value — quoted (a '>' inside is literal; unterminated
+    quote = tag never closes) or unquoted (runs to whitespace/'>', so
+    '=', quotes and apostrophes inside it are ordinary characters).
     Returns -1 when the tag never closes in the window."""
     i = start
     n = len(head)
-    while i < n:
-        c = head[i]
-        if c == 0x3E:  # '>'
+    while True:
+        while i < n and (head[i] in _WS or head[i] == 0x2F):  # ws or '/'
+            i += 1
+        if i >= n:
+            return -1
+        if head[i] == 0x3E:  # '>'
             return i
-        if c == 0x3D:  # '=': a value follows
+        # attribute name
+        while i < n and head[i] not in _WS \
+                and head[i] not in (0x2F, 0x3D, 0x3E):
+            i += 1
+        while i < n and head[i] in _WS:
+            i += 1
+        if i < n and head[i] == 0x3D:  # '=': a value follows the name
             i += 1
             while i < n and head[i] in _WS:
                 i += 1
@@ -221,9 +234,10 @@ def _meta_tag_end(head: bytes, start: int) -> int:
                     i += 1
                 if i >= n:
                     return -1  # unterminated quoted value
-            continue  # unquoted value: fall through to the normal scan
-        i += 1
-    return -1
+                i += 1
+            else:
+                while i < n and head[i] not in _WS and head[i] != 0x3E:
+                    i += 1
 
 
 def _prescan_meta(head: bytes) -> tuple[str, str] | None:
@@ -234,10 +248,21 @@ def _prescan_meta(head: bytes) -> tuple[str, str] | None:
     looking for metas — a commented-out legacy meta must not hijack
     the decode)."""
     head = _strip_comments(head)
-    for m in _META_START_RE.finditer(head):
+    pos = 0
+    while True:
+        m = _META_START_RE.search(head, pos)
+        if m is None:
+            return None
         end = _meta_tag_end(head, m.end())
         if end < 0:
-            continue  # tag never closes inside the window: prescan skips
+            # the tag (e.g. an unterminated quoted value) consumed the
+            # rest of the window — the spec's prescan pointer is at EOF,
+            # so nothing after it can be a tag
+            return None
+        # resume past this tag's full span: a '<meta ...>' embedded in a
+        # QUOTED attribute value of this tag is markup text, not a tag —
+        # restarting inside the span would honor it (hijacked charset)
+        pos = end + 1
         tag = head[m.start():end + 1]
         charset = http_equiv = content = None
         for a in _ATTR_RE.finditer(tag[5:]):

@@ -355,3 +355,31 @@ def test_meta_tag_scan_is_quote_aware():
     # an unquoted tag still terminates at the first '>'
     page3 = b'<meta charset=cp1251><body>'
     assert sniff_encoding(page3)[1] == "windows-1251"
+
+
+def test_prescan_attribute_scanner_edge_cases():
+    """Second-review regressions: the prescan's attribute loop must
+    (a) never honor a meta embedded in a QUOTED value of an earlier
+    tag, (b) treat '=' and quotes inside an unquoted value as literal,
+    and (c) not accept vertical tab as tag-name whitespace."""
+    from pdfextractor_spark.sources.encoding import _prescan_meta
+
+    # (a) the embedded "tag" is markup TEXT inside a value
+    got = _prescan_meta(
+        b'<meta name=d content="<meta charset=shift_jis>">'
+        b'<meta charset=utf-8>')
+    assert got == ("utf-8", "utf-8")
+    # (b) '=' then a quote inside an unquoted value: the quote is a
+    # value char, and the real charset after it is still found
+    assert _prescan_meta(b'<meta x=y=" charset=utf-8>') == \
+        ("utf-8", "utf-8")
+    # apostrophe in an unquoted value stays literal
+    assert _prescan_meta(b"<meta content=don't charset=euc-kr>") == \
+        ("cp949", "euc-kr")
+    # (c) 0x0b is not prescan whitespace: the tag is not a meta
+    assert _prescan_meta(b"<meta\x0bcharset=shift_jis>") is None
+    # an unterminated quote ends the window: a LATER meta outside any
+    # tag is still unreachable (the value swallows it), matching the
+    # spec's give-up-at-window-end behavior
+    assert _prescan_meta(b'<meta content="never closes '
+                         b'<meta charset=shift_jis>') is None

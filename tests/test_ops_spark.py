@@ -627,3 +627,29 @@ def test_ccnet_buckets_modes_agree_and_plan(spark, sf_dir):
     plan = ccnet_buckets(held, model, mode="approx") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_ccnet_buckets_null_lang_and_mode_guard(spark):
+    """Null-lang docs form their own bucket group in BOTH modes (the
+    cutoff join is null-safe); unknown mode strings fail fast."""
+    import pytest
+
+    from pdfextractor_spark.ops.lm import ccnet_buckets, train_char_lm
+
+    # tie-free perplexities (per-doc unique text): the modes are equal
+    # only up to boundary ties, per the documented cutoff-vs-rank rule
+    rows = [(i, None if i % 2 else "en",
+             " ".join(f"w{j}x{i}" for j in range(20 + i % 11)))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model = train_char_lm(docs)
+    a = {r["doc_id"]: r["ppl_bucket"] for r in
+         ccnet_buckets(docs, model, mode="approx").collect()}
+    e = {r["doc_id"]: r["ppl_bucket"] for r in
+         ccnet_buckets(docs, model, mode="exact").collect()}
+    null_docs = [i for i in range(60) if i % 2]
+    # null-lang group terciles in both modes — never all-'tail'
+    assert {a[i] for i in null_docs} == {"head", "middle", "tail"}
+    assert a == e
+    with pytest.raises(ValueError):
+        ccnet_buckets(docs, model, mode="Exact")
