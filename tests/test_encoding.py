@@ -383,3 +383,31 @@ def test_prescan_attribute_scanner_edge_cases():
     # spec's give-up-at-window-end behavior
     assert _prescan_meta(b'<meta content="never closes '
                          b'<meta charset=shift_jis>') is None
+
+
+def test_prescan_scanner_fuzz_terminates_and_sniff_total():
+    """The attribute-loop tag scanner (round-5 rewrite) must terminate
+    and sniff_decode must stay TOTAL (returns text, never raises) on
+    arbitrary byte soup — deterministic LCG fuzz like the comment-
+    prescan gate above, seeded for reproducibility."""
+    import random
+
+    from pdfextractor_spark.sources.encoding import (
+        _meta_tag_end,
+        _prescan_meta,
+        sniff_decode,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    alphabet = b"<>=\"' \t\n\x0b\x0cmetacharsut-/;ABC\x00\xff\x80"
+    for _ in range(400):
+        n = rng.randrange(0, 300)
+        data = bytes(rng.choice(alphabet) for _ in range(n))
+        out = _prescan_meta(data)
+        assert out is None or isinstance(out, tuple)
+        text, enc = sniff_decode(data)
+        assert isinstance(text, str) and isinstance(enc, str)
+        # the scanner itself on arbitrary offsets: returns int, no hang
+        if n:
+            e = _meta_tag_end(data, rng.randrange(0, n))
+            assert isinstance(e, int)
