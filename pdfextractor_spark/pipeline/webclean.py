@@ -48,6 +48,11 @@ from pyspark.sql import functions as F
 
 __all__ = ["prepare_training_corpus", "prep_report"]
 
+# flag columns with_url_quality attaches (dropped after a hard gate)
+_URL_QUALITY_COLS = ("url_len", "host_digit_frac", "host_hyphens",
+                     "path_depth", "n_query_params", "url_spam_token",
+                     "url_quality_ok")
+
 
 def _row_id(url_col: str, text_col: str, as_string: bool = False):
     """The pipeline's row identity: (url, xxhash64(text)). Row-unique
@@ -68,7 +73,8 @@ def _perdoc_stages(pages: DataFrame, *, extract: bool | None, url_col: str,
                    badwords: list[str] | None, filter_rows: bool,
                    canonical_hint_col: str | None = None,
                    extract_mode: str = "default",
-                   unicode_form: str | None = None) -> DataFrame:
+                   unicode_form: str | None = None,
+                   url_quality: dict | None = None) -> DataFrame:
     """Stages 1-4: the PER-DOCUMENT prefix of the pipeline (url dedup,
     robots gate, extraction, C4 cleaning, Gopher repetition). Every
     transformation here is keyed by the document row, which is what makes
@@ -81,6 +87,13 @@ def _perdoc_stages(pages: DataFrame, *, extract: bool | None, url_col: str,
                        hint_col=(canonical_hint_col
                                  if canonical_hint_col in df.columns
                                  else None))
+    if url_quality is not None and filter_rows:
+        # cheapest gate first: URL spam/trap heuristics need zero page
+        # bytes, so a failing page spends neither the robots join nor
+        # extraction (hard removal; the flag variant below survives)
+        from ..ops.urls import with_url_quality
+        df = with_url_quality(df, url_col=url_col, **url_quality) \
+            .where("url_quality_ok").drop(*_URL_QUALITY_COLS)
     if robots is not None and filter_rows:
         # politeness gate runs FIRST after url dedup: a disallowed page
         # must not spend extraction/cleaning compute (hard removal here;
@@ -99,6 +112,9 @@ def _perdoc_stages(pages: DataFrame, *, extract: bool | None, url_col: str,
         # its own schema and would drop the flag) so `keep` can report it
         from ..ops.robots import robots_filter
         df = robots_filter(df, robots[0], robots[1], url_col=url_col)
+    if url_quality is not None and not filter_rows:
+        from ..ops.urls import with_url_quality
+        df = with_url_quality(df, url_col=url_col, **url_quality)
     from ..ops.cleaning import c4_clean
     from ..ops.textstats import with_repetition
     if unicode_form is not None:
@@ -123,6 +139,7 @@ def prepare_training_corpus(
     benchmark: DataFrame | None = None,
     robots: tuple | None = None,
     badwords: list[str] | None = None,
+    url_quality: dict | None = None,
     host_boilerplate: dict | None = None,
     dup_line_min_count: int | None = 2,
     dedup_span_width: int | None = None,
@@ -163,6 +180,11 @@ def prepare_training_corpus(
 
     Optional selection/assembly stages (all default off):
 
+    - ``url_quality``: kwargs for ``ops.urls.with_url_quality`` (``{}``
+      for the defaults) — the zero-page-bytes URL spam/trap gate, run
+      FIRST (before even the robots join) with ``filter_rows=True``;
+      flag-only runs attach the flags after extraction and fold
+      ``url_quality_ok`` into ``keep``.
     - ``host_boilerplate``: ``{"min_docs": 2, "min_frac": 0.5}`` —
       per-HOST template-line removal (``ops.cleaning.
       strip_host_boilerplate``, the CCNet/RefinedWeb intra-site pass)
@@ -225,10 +247,12 @@ def prepare_training_corpus(
                         badwords=badwords, filter_rows=filter_rows,
                         canonical_hint_col=canonical_hint_col,
                         extract_mode=extract_mode,
-                        unicode_form=unicode_form)
+                        unicode_form=unicode_form, url_quality=url_quality)
     df = _flag_stages(df, url_col=url_col, text_col=text_col,
                       benchmark=benchmark, robots_flagged=(
                           robots is not None and not filter_rows),
+                      url_flagged=(url_quality is not None
+                                   and not filter_rows),
                       host_boilerplate=host_boilerplate,
                       dup_line_min_count=dup_line_min_count,
                       dedup_span_width=dedup_span_width,
@@ -255,6 +279,7 @@ def prepare_training_corpus(
 
 def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
                  benchmark: DataFrame | None, robots_flagged: bool,
+                 url_flagged: bool = False,
                  host_boilerplate: dict | None,
                  dup_line_min_count: int | None, dedup_span_width: int | None,
                  quality_floor: float | None,
@@ -405,6 +430,8 @@ def _flag_stages(df: DataFrame, *, url_col: str, text_col: str,
         keep = keep & F.col("semdedup_keep")
     if robots_flagged:
         keep = keep & F.col("robots_allowed")
+    if url_flagged:
+        keep = keep & F.col("url_quality_ok")
     if nb_filter is not None and nb_filter.get("keep_labels"):
         # null-safe: a featureless doc has pred_label null; isin(null) is
         # null and a null keep would be neither kept nor counted dropped

@@ -116,6 +116,7 @@ def run_corpus_prep(
     robots: tuple | None = None,
     benchmark: DataFrame | None = None,
     badwords: list[str] | None = None,
+    url_quality: dict | None = None,
     host_boilerplate: dict | None = None,
     dup_line_min_count: int | None = 2,
     dedup_span_width: int | None = None,
@@ -148,6 +149,7 @@ def run_corpus_prep(
 
     def _perdoc(df: DataFrame) -> DataFrame:
         return _perdoc_stages(df, extract=extract, url_col=url_col,
+                              url_quality=url_quality,
                               ts_col=ts_col, text_col=text_col,
                               robots=robots, badwords=badwords,
                               filter_rows=True, extract_mode=extract_mode,
@@ -159,7 +161,8 @@ def run_corpus_prep(
     # semantics silently — a changed config forces a full rebuild
     clean_fp = _config_fp(extract=extract, extract_mode=extract_mode,
                           unicode_form=unicode_form,
-                          robots=robots is not None, badwords=badwords)
+                          robots=robots is not None, badwords=badwords,
+                          url_quality=url_quality)
     clean_cfg_ok = _meta_current(spark, cleaned_path + "_cfg", 0, clean_fp)
     if resume and clean_cfg_ok and _exists(spark, cleaned_ref):
         done = read_checkpoint(spark, cleaned_ref)

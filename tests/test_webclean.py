@@ -464,3 +464,41 @@ def test_unicode_form_stage_unifies_dedup_groups(spark):
     plain = prepare_training_corpus(
         _pages(spark, rows), dup_line_min_count=None)
     assert plain.count() == 2  # both spellings survive without the stage
+
+
+def test_url_quality_stage_in_corpus_prep(spark):
+    """url_quality={}: spam/trap urls hard-drop before extraction with
+    filter_rows=True; flag runs keep the rows and fold url_quality_ok
+    into keep."""
+    from pdfextractor_spark.pipeline.webclean import prepare_training_corpus
+
+    def body(tag):
+        # distinct per row: identical bodies would collapse in the exact
+        # content dedup even on flag runs (duplication is not a judgment)
+        return (f"Plenty of clean prose sits here about {tag}. "
+                "It has several sentences. Each one ends with a period. "
+                "The page gate needs five. Here is the fifth sentence.")
+
+    pages = spark.createDataFrame(
+        [("https://ok.example/a", body("alpha")),
+         ("https://xxxcasino.example/p", body("beta")),
+         ("https://ok.example/" + "d/" * 12 + "deep", body("gamma"))],
+        "url string, text string")
+    kept = prepare_training_corpus(
+        pages, extract=False, dup_line_min_count=None, redact=False,
+        filter_rows=True, url_quality={})
+    assert [r["url"] for r in kept.collect()] == ["https://ok.example/a"]
+
+    flagged = prepare_training_corpus(
+        pages, extract=False, dup_line_min_count=None, redact=False,
+        filter_rows=False, url_quality={})
+    rows = {r["url"]: r for r in flagged.collect()}
+    assert len(rows) == 3  # flag run keeps every row
+    assert rows["https://ok.example/a"]["keep"] is True
+    assert rows["https://xxxcasino.example/p"]["keep"] is False
+    assert rows["https://xxxcasino.example/p"]["url_spam_token"] is True
+    # custom thresholds pass through
+    relaxed = prepare_training_corpus(
+        pages, extract=False, dup_line_min_count=None, redact=False,
+        filter_rows=True, url_quality={"max_depth": 30})
+    assert len(relaxed.collect()) == 2
